@@ -12,6 +12,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // driver testdata events.ts is parquet TIMESTAMP(NANOS); Spark has
+      // no ns timestamp type — read as epoch-nano longs (orders/compares
+      // identically to DuckDB's TIMESTAMP_NS)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
