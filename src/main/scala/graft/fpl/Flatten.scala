@@ -1,0 +1,87 @@
+package graft.fpl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Match-structure flattens (reference G1-G3, master.py:261-310 and
+  * ui.py:139-184) — pure `explode` + higher-order functions; no custom
+  * Generator needed.
+  */
+object Flatten {
+
+  /** Explode the dynamic-keyed teamsData map into one row per team. */
+  private def teams(matches: DataFrame): DataFrame =
+    matches.select(
+      col("wyId").as("matchId"), col("gameweek"),
+      explode(col("teamsData")).as(Seq("teamKey", "td")))
+
+  /** G2: (matchId, playerId, teamId) for every squad member — lineup ∪
+    * bench (reference getTeamIDforPlayer master.py:294-310). */
+  def playerTeam(matches: DataFrame): DataFrame =
+    teams(matches).select(
+      col("matchId"), col("gameweek"),
+      col("td.teamId").as("teamId"),
+      explode(concat(
+        col("td.formation.lineup.playerId"),
+        col("td.formation.bench.playerId"))).as("playerId"))
+
+  /** G1: per-match on-pitch interval per player (reference
+    * getPlayerListFromMatch master.py:261-292): starters play
+    * [0, subbed-out minute | 90]; bench play [subbed-in minute, 90] or
+    * [-1,-1] if never fielded. Interval arithmetic via a left join
+    * against the exploded substitution list — the as-of-like logic of
+    * the system. */
+  def playerMinutes(matches: DataFrame): DataFrame = {
+    val t = teams(matches)
+    val starters = t.select(col("matchId"), col("td.teamId").as("teamId"),
+      explode(col("td.formation.lineup.playerId")).as("playerId"))
+      .withColumn("isStarter", lit(true))
+    val bench = t.select(col("matchId"), col("td.teamId").as("teamId"),
+      explode(col("td.formation.bench.playerId")).as("playerId"))
+      .withColumn("isStarter", lit(false))
+    val subs = t.select(col("matchId"),
+      explode(col("td.formation.substitutions")).as("sub"))
+      .select(col("matchId"), col("sub.playerIn").as("inId"),
+        col("sub.playerOut").as("outId"), col("sub.minute").as("minute"))
+    val outs = subs.select(col("matchId").as("om"), col("outId"),
+      col("minute").as("subOutMinute"))
+    val ins = subs.select(col("matchId").as("im"), col("inId"),
+      col("minute").as("subInMinute"))
+    starters.unionByName(bench)
+      .join(outs, col("matchId") === col("om") &&
+        col("playerId") === col("outId"), "left_outer")
+      .drop("om", "outId")
+      .join(ins, col("matchId") === col("im") &&
+        col("playerId") === col("inId"), "left_outer")
+      .drop("im", "inId")
+      .select(
+        col("matchId"), col("teamId"), col("playerId"), col("isStarter"),
+        when(col("isStarter"), lit(0))
+          .otherwise(coalesce(col("subInMinute"), lit(-1))).as("inMinute"),
+        when(col("isStarter"), coalesce(col("subOutMinute"), lit(90)))
+          .otherwise(when(col("subInMinute").isNotNull, lit(90))
+            .otherwise(lit(-1))).as("outMinute"))
+      .withColumn("minutesPlayed",
+        when(col("inMinute") === -1, lit(0))
+          .otherwise(col("outMinute") - col("inMinute")))
+      .withColumn("neverSubstituted",
+        col("isStarter") && col("outMinute") === 90 &&
+          col("inMinute") === 0)
+  }
+
+  /** G3: match-detail flatten — per squad member goals/own-goals/cards
+    * from the lineup/bench structs. Per SURVEY §2.9 Q4 we use the real
+    * card counters (the reference appends every name unconditionally). */
+  def matchSquadStats(matches: DataFrame): DataFrame =
+    teams(matches).select(
+        col("matchId"), col("td.teamId").as("teamId"),
+        explode(concat(col("td.formation.lineup"),
+          col("td.formation.bench"))).as("m"))
+      .select(
+        col("matchId"), col("teamId"),
+        col("m.playerId").as("playerId"),
+        coalesce(col("m.goals").cast("int"), lit(0)).as("goals"),
+        coalesce(col("m.ownGoals").cast("int"), lit(0)).as("ownGoals"),
+        coalesce(col("m.yellowCards").cast("int"), lit(0)).as("yellowCards"),
+        coalesce(col("m.redCards").cast("int"), lit(0)).as("redCards"))
+}
