@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact
+  * (hash-groupBy), MinHash+LSH (shingle → minhash → band → bucket join),
+  * SimHash, and n-gram Jaccard verification.
+  *
+  * Scale posture: everything is expressed as keyed aggregations and
+  * bucket-joins — the only shuffles are on (dedup key), (doc id) and
+  * (band key); no global cross product ever materializes. MinHash bands
+  * turn the O(N²) pair problem into same-bucket joins, and the Jaccard
+  * verifier only runs on candidate or same-block pairs.
+  *
+  * Hashes are md5-based (hex-string min is a valid permutation min), so
+  * signatures are engine-independent and reproducible anywhere.
+  */
+object Dedup {
+
+  /** Exact dedup: one representative (min id) + multiplicity per key. */
+  def exactDedup(df: DataFrame, keyCols: Seq[String], idCol: String)
+      : DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as("representative_id"),
+        count(lit(1)).as("n_duplicates"))
+
+  /** k-word shingles (default 3) of a whitespace-tokenized text column.
+    * Empty array for texts shorter than k tokens (NB: Spark's
+    * `sequence(1,0)` counts DOWN, hence the explicit guard). */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = split(text, " ")
+    val idx = sequence(lit(1), size(toks) - (k - 1))
+    when(size(toks) >= k,
+      transform(idx, i => concat_ws(" ",
+        (0 until k).map(off => element_at(toks, i + off)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Per-doc MinHash signature: numHashes md5-permutation minima over
+    * the shingle set. Output: id, h0…h{n-1} (hex strings). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 8, shingleK: Int = 3): DataFrame = {
+    val sh = df
+      .select(col(idCol), explode(shingles(col(textCol), shingleK)).as("sh"))
+    sh.groupBy(col(idCol))
+      .agg(
+        min(md5(concat(lit("0:"), col("sh")))).as("h0"),
+        (1 until numHashes).map(p =>
+          min(md5(concat(lit(s"$p:"), col("sh")))).as(s"h$p")): _*)
+  }
+
+  /** LSH bands: group the signature into bands of `bandSize` hashes;
+    * band key = md5(bandId : h_i : h_{i+1} …). One row per (id, band). */
+  def minhashBands(sigs: DataFrame, idCol: String, numHashes: Int = 8,
+      bandSize: Int = 2): DataFrame = {
+    val bands = (0 until numHashes / bandSize).map { b =>
+      val key = md5(concat_ws(":", lit(b.toString) +:
+        (0 until bandSize).map(j => col(s"h${b * bandSize + j}")): _*))
+      sigs.select(col(idCol), lit(b).as("band"), key.as("bandKey"))
+    }
+    bands.reduce(_ unionByName _)
+  }
+
+  /** Candidate near-dup pairs: ids sharing ≥1 LSH band bucket. The join
+    * key is the band bucket — collisions, not the corpus, bound the
+    * work. */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 8, bandSize: Int = 2, shingleK: Int = 3)
+      : DataFrame = {
+    val bands = minhashBands(
+      minhashSignatures(df, idCol, textCol, numHashes, shingleK),
+      idCol, numHashes, bandSize)
+    val a = bands.select(col("bandKey"), col(idCol).as("d1"))
+    val b = bands.select(col("bandKey").as("bk2"), col(idCol).as("d2"))
+    a.join(b, col("bandKey") === col("bk2") && col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity for pairs within a blocking key
+    * (or for verified candidates). jaccard = |A∩B| / |A∪B| over distinct
+    * shingle sets. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], threshold: Double, shingleK: Int = 3)
+      : DataFrame = {
+    val withSh = df.select(
+      (col(idCol) +: blockCols.map(col)) :+
+        array_distinct(shingles(col(textCol), shingleK)).as("shset"): _*)
+    val a = withSh.select(
+      col(idCol).as("d1") +: col("shset").as("s1") +:
+        blockCols.map(c => col(c).as(s"a_$c")): _*)
+    val b = withSh.select(
+      col(idCol).as("d2") +: col("shset").as("s2") +:
+        blockCols.map(c => col(c).as(s"b_$c")): _*)
+    val blockEq = blockCols.map(c => col(s"a_$c") === col(s"b_$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val inter = size(array_intersect(col("s1"), col("s2")))
+    val uni = size(col("s1")) + size(col("s2")) - inter
+    a.join(b, blockEq && col("d1") < col("d2"))
+      .withColumn("jaccard",
+        when(uni === 0, 0.0)
+          .otherwise(inter.cast("double") / uni.cast("double")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** The scale path: MinHash-LSH candidate generation followed by exact
+    * n-gram Jaccard verification on the candidates only — the pair work
+    * is bounded by bucket collisions, never by N². */
+  def verifiedNearDups(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, numHashes: Int = 8, bandSize: Int = 2,
+      shingleK: Int = 3): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, numHashes, bandSize,
+      shingleK)
+    val sets = df.select(col(idCol).as("sid"),
+      array_distinct(shingles(col(textCol), shingleK)).as("shset"))
+    val inter = size(array_intersect(col("s1"), col("s2")))
+    val uni = size(col("s1")) + size(col("s2")) - inter
+    cands
+      .join(sets.select(col("sid"), col("shset").as("s1")),
+        col("d1") === col("sid")).drop("sid")
+      .join(sets.select(col("sid"), col("shset").as("s2")),
+        col("d2") === col("sid")).drop("sid")
+      .withColumn("jaccard",
+        when(uni === 0, 0.0)
+          .otherwise(inter.cast("double") / uni.cast("double")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** SimHash fingerprint (bits from the first bits/4 hex nibbles of each
+    * token's md5; per-bit ±1 votes summed over tokens; fp bit = vote>0).
+    * Near-dup candidates then join on fingerprint (or low Hamming
+    * distance). */
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+      bits: Int = 16): DataFrame = {
+    require(bits % 4 == 0 && bits <= 32)
+    val exploded = df.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val votes = (0 until bits).map { b =>
+      val nib = conv(substring(col("h"), b / 4 + 1, 1), 16, 10).cast("int")
+      val bit = nib.divide(lit(1 << (b % 4))).cast("int") % 2
+      sum(bit * 2 - 1).as(s"v$b")
+    }
+    exploded.groupBy(col(idCol))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol),
+        (0 until bits).map(b =>
+          when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+  }
+}

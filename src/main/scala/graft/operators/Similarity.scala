@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Brute-force cosine top-k is the correctness baseline; the scale path
+  * is bucketed search (random-hyperplane-style sign-bit LSH buckets, or
+  * any coarse quantizer): queries only score candidates in their own
+  * bucket, turning the N×M cross join into per-bucket joins. Both are
+  * pure column algebra — the dot product is a sequential
+  * `aggregate(zip_with(...))` fold (deterministic association order).
+  */
+object Similarity {
+
+  /** Cosine similarity between two float-array columns, computed in
+    * double precision with left-to-right accumulation. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y,
+        (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Brute-force top-k neighbors for the query rows (excluding self).
+    * Output: (query_id, neighbor_id, rank, cos) with cosine rounded for
+    * cross-engine rank stability. */
+  def bruteForceTopK(vectors: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
+  /** Sign-bit LSH bucket over the first `nbits` dimensions (a fixed
+    * axis-aligned hyperplane family — deterministic and
+    * engine-independent; swap in random projections for production). */
+  def signBucket(vec: Column, nbits: Int = 8): Column =
+    concat((0 until nbits).map(i =>
+      when(element_at(vec, i + 1) > 0f, lit("1")).otherwise(lit("0"))): _*)
+
+  /** Bucketed ANN top-k: queries only score same-bucket candidates.
+    * Recall < 1 by construction; the candidate set per query is |bucket|
+    * instead of N. */
+  def bucketedTopK(vectors: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nbits: Int = 8): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      signBucket(col(vecCol), nbits).as("qb"))
+    val c = vectors.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"), signBucket(col(vecCol), nbits).as("cb"))
+    val scored = q.join(c,
+      col("qb") === col("cb") && col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("qb").as("bucket"), col("neighbor_id"),
+        col("rank"), col("cos"))
+  }
+
+  /** Embedding near-duplicate pairs: same-block cosine ≥ threshold. */
+  def embeddingNearDupPairs(vectors: DataFrame, idCol: String,
+      vecCol: String, blockCol: String, threshold: Double): DataFrame = {
+    val a = vectors.select(col(idCol).as("d1"), col(vecCol).as("v1"),
+      col(blockCol).as("b1"))
+    val b = vectors.select(col(idCol).as("d2"), col(vecCol).as("v2"),
+      col(blockCol).as("b2"))
+    a.join(b, col("b1") === col("b2") && col("d1") < col("d2"))
+      .withColumn("cos", round(cosine(col("v1"), col("v2")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("d1"), col("d2"), col("cos"))
+  }
+}

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token statistics, quality scoring, language-ID heuristics, document
+  * fingerprints. All pure column algebra — codegen-friendly, no UDFs,
+  * scan-parallel at any scale (each document is scored independently;
+  * no shuffle at all until an aggregation is requested).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish subword-ish tokens: letter runs, digit runs, single
+    * punctuation — the classic pre-tokenizer regex shape. */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
+  def distinctTokenCount(text: Column): Column =
+    size(array_distinct(tokens(text)))
+
+  /** Character length excluding spaces. */
+  def charLen(text: Column): Column =
+    length(regexp_replace(text, " ", ""))
+
+  /** Mean token length (chars per token). */
+  def meanTokenLen(text: Column): Column =
+    charLen(text).cast("double") / tokenCount(text).cast("double")
+
+  def stopwordCount(text: Column, stopwords: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(stopwords.map(lit): _*)))
+
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column =
+    stopwordCount(text, stopwords).cast("double") /
+      tokenCount(text).cast("double")
+
+  /** Distinct/total token ratio — low values indicate boilerplate /
+    * repetition (a standard pretraining-quality signal). */
+  def distinctRatio(text: Column): Column =
+    distinctTokenCount(text).cast("double") / tokenCount(text).cast("double")
+
+  val defaultStopwords: Seq[String] = Seq("the", "a", "of", "and", "to")
+
+  /** Composite quality score ∈ [0,1]: length window + stopword presence
+    * + repetition + alphabetic purity, equally weighted. The formula is
+    * fixed left-associated arithmetic so it reproduces bit-identically
+    * in any engine. */
+  def qualityScore(text: Column,
+      minTokens: Int = 20, maxTokens: Int = 200,
+      stopwords: Seq[String] = defaultStopwords): Column = {
+    val n = tokenCount(text)
+    val wLen = when(n >= minTokens && n <= maxTokens, 1.0).otherwise(0.0)
+    val sr = stopwordRatio(text, stopwords)
+    val wStop = when(sr >= 0.01 && sr <= 0.6, 1.0).otherwise(0.0)
+    val wDup = distinctRatio(text)
+    val alpha = size(regexp_extract_all(text, lit("[A-Za-z]"), lit(0)))
+    val wAlpha = alpha.cast("double") / charLen(text).cast("double")
+    lit(0.25) * wLen + lit(0.25) * wStop + lit(0.25) * wDup +
+      lit(0.25) * wAlpha
+  }
+
+  /** Per-language stopword marker lists for the n-gram/stopword
+    * language-ID heuristic. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "las", "y", "es"),
+    "zh" -> Seq("de", "shi", "le", "he", "zai"))
+
+  /** Language-ID: argmax of marker hits, ties broken by list order
+    * (en > de > fr > es > zh) — fully deterministic. */
+  def predictLang(text: Column): Column = {
+    val scores = langMarkers.map { case (l, words) =>
+      l -> stopwordCount(text, words)
+    }
+    // lang whose score is >= all later langs' scores and > all earlier?
+    // simpler: fold keeping (bestLang, bestScore), strict > to keep
+    // earlier-list priority on ties
+    scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
+      case ((bl, bs), (l, s)) =>
+        (when(s > bs, lit(l)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }._1
+  }
+
+  /** Normalized-content fingerprint: md5 over lowercased,
+    * whitespace-collapsed text (exact-dedup key robust to formatting). */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** Polynomial rolling hash over tokens (mod 2^31-1, base 131) —
+    * an order-sensitive fingerprint, unlike the bag-of-words md5.
+    * Computed with exact integer window arithmetic. */
+  def rollingHash(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val exploded = df.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    // hash(token) = first 8 hex chars of md5 → int
+    val tokHash = conv(substring(md5(col("tok")), 1, 8), 16, 10)
+      .cast("long") % 2147483647L
+    // rolling = Σ tokHash_i · base^(n-1-i) mod p — via aggregate fold
+    exploded
+      .withColumn("th", tokHash)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("pos"), col("th"))))
+        .as("ordered"))
+      .withColumn("rolling_hash",
+        aggregate(col("ordered"), lit(0L),
+          (acc, x) => (acc * 131L + x.getField("th")) % 2147483647L))
+      .drop("ordered")
+  }
+}

@@ -1,0 +1,334 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{GQuery, Tables => T}
+import graft.operators.{Dedup, Similarity, TextAnalysis => TA}
+
+/** LLM-training-data pipeline operator surface (builder prompt §extras):
+  * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding
+  * cosine), similarity search (brute force + LSH-bucketed), text
+  * analysis (tokens, quality, language-ID, fingerprints) — each over
+  * the documents/embeddings tables with a DuckDB oracle.
+  */
+object Pipeline {
+
+  // ------------------------------------------------------------- dedup
+  /** Exact dedup via hash-groupBy on a composite key. */
+  val dedup_exact = GQuery(
+    "dedup_exact",
+    (s, d) => Dedup.exactDedup(T.documents(s, d), Seq("lang", "source"),
+        "doc_id")
+      .orderBy(col("lang"), col("source")),
+    Some("""
+      SELECT lang, source, MIN(doc_id) AS representative_id,
+             COUNT(*) AS n_duplicates
+      FROM documents GROUP BY lang, source ORDER BY lang, source"""))
+
+  /** MinHash+LSH candidate pairs: 3-shingles → 8 md5-permutation minima
+    * → 4 bands of 2 → same-bucket join. */
+  val dedup_minhash_lsh = GQuery(
+    "dedup_minhash_lsh",
+    (s, d) => Dedup.minhashCandidates(T.documents(s, d), "doc_id", "text")
+      .orderBy(col("d1"), col("d2")),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      sh AS (
+        SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        FROM toks, LATERAL (SELECT UNNEST(range(1, len(t) - 1)) AS i) u),
+      sig AS (
+        SELECT doc_id,
+               MIN(md5('0:' || sh)) AS h0, MIN(md5('1:' || sh)) AS h1,
+               MIN(md5('2:' || sh)) AS h2, MIN(md5('3:' || sh)) AS h3,
+               MIN(md5('4:' || sh)) AS h4, MIN(md5('5:' || sh)) AS h5,
+               MIN(md5('6:' || sh)) AS h6, MIN(md5('7:' || sh)) AS h7
+        FROM sh GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, md5('0:' || h0 || ':' || h1) AS bk FROM sig
+        UNION ALL SELECT doc_id, md5('1:' || h2 || ':' || h3) FROM sig
+        UNION ALL SELECT doc_id, md5('2:' || h4 || ':' || h5) FROM sig
+        UNION ALL SELECT doc_id, md5('3:' || h6 || ':' || h7) FROM sig)
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+      ORDER BY d1, d2"""))
+
+  /** SimHash 16-bit fingerprints. */
+  val dedup_simhash = GQuery(
+    "dedup_simhash",
+    (s, d) => Dedup.simhash(T.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id")),
+    Some {
+      val votes = (0 until 16).map { b =>
+        val nib = s"(strpos('0123456789abcdef', substr(h, ${b / 4 + 1}, 1)) - 1)"
+        s"SUM((($nib // ${1 << (b % 4)}) % 2) * 2 - 1) AS v$b"
+      }.mkString(", ")
+      val fp = (0 until 16).map(b =>
+        s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+      s"""
+      WITH tok AS (
+        SELECT doc_id, md5(UNNEST(string_split(text, ' '))) AS h
+        FROM documents),
+      v AS (SELECT doc_id, $votes FROM tok GROUP BY doc_id)
+      SELECT doc_id, CAST($fp AS BIGINT) AS simhash
+      FROM v ORDER BY doc_id"""
+    })
+
+  /** n-gram Jaccard verification over MinHash-LSH candidates — the
+    * scale-correct composition: exact Jaccard only on bucket-collision
+    * pairs, never on N²/blocked pairs. */
+  val dedup_ngram_jaccard = GQuery(
+    "dedup_ngram_jaccard",
+    (s, d) => Dedup.verifiedNearDups(T.documents(s, d), "doc_id", "text",
+        0.8)
+      .orderBy(col("d1"), col("d2")),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      sh AS (
+        SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        FROM toks, LATERAL (SELECT UNNEST(range(1, len(t) - 1)) AS i) u),
+      sig AS (
+        SELECT doc_id,
+               MIN(md5('0:' || sh)) AS h0, MIN(md5('1:' || sh)) AS h1,
+               MIN(md5('2:' || sh)) AS h2, MIN(md5('3:' || sh)) AS h3,
+               MIN(md5('4:' || sh)) AS h4, MIN(md5('5:' || sh)) AS h5,
+               MIN(md5('6:' || sh)) AS h6, MIN(md5('7:' || sh)) AS h7
+        FROM sh GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, md5('0:' || h0 || ':' || h1) AS bk FROM sig
+        UNION ALL SELECT doc_id, md5('1:' || h2 || ':' || h3) FROM sig
+        UNION ALL SELECT doc_id, md5('2:' || h4 || ':' || h5) FROM sig
+        UNION ALL SELECT doc_id, md5('3:' || h6 || ':' || h7) FROM sig),
+      cands AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+      sets AS (
+        SELECT doc_id, list_distinct(list(sh)) AS shset
+        FROM sh GROUP BY doc_id),
+      scored AS (
+        SELECT d1, d2,
+               CAST(len(list_intersect(x.shset, y.shset)) AS DOUBLE) /
+               CAST(len(x.shset) + len(y.shset)
+                    - len(list_intersect(x.shset, y.shset)) AS DOUBLE)
+                 AS jaccard
+        FROM cands JOIN sets x ON d1 = x.doc_id
+                   JOIN sets y ON d2 = y.doc_id
+        WHERE len(x.shset) + len(y.shset)
+              - len(list_intersect(x.shset, y.shset)) > 0)
+      SELECT d1, d2, ROUND(jaccard, 6) AS jaccard
+      FROM scored WHERE jaccard >= 0.8 ORDER BY d1, d2"""))
+
+  /** Embedding-cosine near-dup pairs within label blocks. */
+  val dedup_embedding_cosine = GQuery(
+    "dedup_embedding_cosine",
+    (s, d) => Similarity.embeddingNearDupPairs(T.embeddings(s, d),
+        "vec_id", "embedding", "label", 0.4)
+      .orderBy(col("d1"), col("d2")),
+    Some("""
+      WITH pairs AS (
+        SELECT a.vec_id AS d1, b.vec_id AS d2,
+               a.embedding AS v1, b.embedding AS v2
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id),
+      dots AS (
+        SELECT d1, d2,
+               SUM(CAST(v1[i.i+1] AS DOUBLE) * CAST(v2[i.i+1] AS DOUBLE)) AS dot,
+               SUM(CAST(v1[i.i+1] AS DOUBLE) * CAST(v1[i.i+1] AS DOUBLE)) AS n1,
+               SUM(CAST(v2[i.i+1] AS DOUBLE) * CAST(v2[i.i+1] AS DOUBLE)) AS n2
+        FROM pairs, (SELECT CAST(range AS INT) AS i FROM range(64)) i
+        GROUP BY d1, d2)
+      SELECT d1, d2, ROUND(dot / (SQRT(n1) * SQRT(n2)), 6) AS cos
+      FROM dots
+      WHERE ROUND(dot / (SQRT(n1) * SQRT(n2)), 6) >= 0.4
+      ORDER BY d1, d2"""))
+
+  // -------------------------------------------------------- similarity
+  /** Brute-force cosine top-5 for the first 10 query vectors. */
+  val sim_topk_bruteforce = GQuery(
+    "sim_topk_bruteforce",
+    (s, d) => {
+      val vecs = T.embeddings(s, d)
+      Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") < 10),
+          "vec_id", "embedding", 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                 FROM embeddings WHERE vec_id < 10),
+      c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+      dots AS (
+        SELECT query_id, neighbor_id,
+               SUM(CAST(qv[i.i+1] AS DOUBLE) * CAST(cv[i.i+1] AS DOUBLE)) AS dot,
+               SUM(CAST(qv[i.i+1] AS DOUBLE) * CAST(qv[i.i+1] AS DOUBLE)) AS nq,
+               SUM(CAST(cv[i.i+1] AS DOUBLE) * CAST(cv[i.i+1] AS DOUBLE)) AS nc
+        FROM q JOIN c ON query_id <> neighbor_id,
+             (SELECT CAST(range AS INT) AS i FROM range(64)) i
+        GROUP BY query_id, neighbor_id),
+      ranked AS (
+        SELECT query_id, neighbor_id,
+               ROUND(dot / (SQRT(nq) * SQRT(nc)), 6) AS cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY ROUND(dot / (SQRT(nq) * SQRT(nc)), 6) DESC,
+                          neighbor_id) AS rank
+        FROM dots)
+      SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos
+      FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
+
+  /** LSH-bucketed ANN: sign-bit bucket on dims 1-8, top-3 in-bucket for
+    * query vectors < 100. */
+  val sim_lsh_bucketed = GQuery(
+    "sim_lsh_bucketed",
+    (s, d) => {
+      val vecs = T.embeddings(s, d)
+      Similarity.bucketedTopK(vecs, vecs.filter(col("vec_id") < 100),
+          "vec_id", "embedding", 3)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""
+      WITH bv AS (
+        SELECT vec_id, embedding,
+               (CASE WHEN embedding[1] > 0 THEN '1' ELSE '0' END) ||
+               (CASE WHEN embedding[2] > 0 THEN '1' ELSE '0' END) ||
+               (CASE WHEN embedding[3] > 0 THEN '1' ELSE '0' END) ||
+               (CASE WHEN embedding[4] > 0 THEN '1' ELSE '0' END) ||
+               (CASE WHEN embedding[5] > 0 THEN '1' ELSE '0' END) ||
+               (CASE WHEN embedding[6] > 0 THEN '1' ELSE '0' END) ||
+               (CASE WHEN embedding[7] > 0 THEN '1' ELSE '0' END) ||
+               (CASE WHEN embedding[8] > 0 THEN '1' ELSE '0' END) AS bucket
+        FROM embeddings),
+      pairs AS (
+        SELECT a.vec_id AS query_id, a.bucket, b.vec_id AS neighbor_id,
+               a.embedding AS qv, b.embedding AS cv
+        FROM bv a JOIN bv b
+          ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+        WHERE a.vec_id < 100),
+      dots AS (
+        SELECT query_id, bucket, neighbor_id,
+               SUM(CAST(qv[i.i+1] AS DOUBLE) * CAST(cv[i.i+1] AS DOUBLE)) AS dot,
+               SUM(CAST(qv[i.i+1] AS DOUBLE) * CAST(qv[i.i+1] AS DOUBLE)) AS nq,
+               SUM(CAST(cv[i.i+1] AS DOUBLE) * CAST(cv[i.i+1] AS DOUBLE)) AS nc
+        FROM pairs, (SELECT CAST(range AS INT) AS i FROM range(64)) i
+        GROUP BY query_id, bucket, neighbor_id),
+      ranked AS (
+        SELECT query_id, bucket, neighbor_id,
+               ROUND(dot / (SQRT(nq) * SQRT(nc)), 6) AS cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY ROUND(dot / (SQRT(nq) * SQRT(nc)), 6) DESC,
+                          neighbor_id) AS rank
+        FROM dots)
+      SELECT query_id, bucket, neighbor_id, CAST(rank AS INT) AS rank, cos
+      FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"""))
+
+  // ------------------------------------------------------------- text
+  /** Token statistics: whitespace, BPE-ish regex, distinct. */
+  val text_tokens = GQuery(
+    "text_tokens",
+    (s, d) => T.documents(s, d).select(
+        col("doc_id"),
+        TA.tokenCount(col("text")).as("n_tokens"),
+        TA.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+        TA.distinctTokenCount(col("text")).as("n_distinct"),
+        length(col("text")).as("n_chars"))
+      .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+             CAST(len(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpe_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS INT)
+               AS n_distinct,
+             CAST(length(text) AS INT) AS n_chars
+      FROM documents ORDER BY doc_id"""))
+
+  /** Quality scoring: length window, stopword band, repetition,
+    * alphabetic purity. */
+  val text_quality = GQuery(
+    "text_quality",
+    (s, d) => T.documents(s, d).select(
+        col("doc_id"),
+        round(TA.stopwordRatio(col("text"), TA.defaultStopwords), 6)
+          .as("stopword_ratio"),
+        round(TA.distinctRatio(col("text")), 6).as("distinct_ratio"),
+        round(TA.meanTokenLen(col("text")), 6).as("mean_token_len"),
+        round(TA.qualityScore(col("text")), 6).as("quality"))
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH f AS (
+        SELECT doc_id,
+               CAST(len(string_split(text,' ')) AS DOUBLE) AS n,
+               CAST(len(list_filter(string_split(text,' '),
+                 t -> t IN ('the','a','of','and','to'))) AS DOUBLE) AS nstop,
+               CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+                 AS ndist,
+               CAST(length(replace(text,' ','')) AS DOUBLE) AS nchar,
+               CAST(len(regexp_extract_all(text,'[A-Za-z]')) AS DOUBLE)
+                 AS nalpha
+        FROM documents)
+      SELECT doc_id,
+             ROUND(nstop / n, 6) AS stopword_ratio,
+             ROUND(ndist / n, 6) AS distinct_ratio,
+             ROUND(nchar / n, 6) AS mean_token_len,
+             ROUND(0.25 * (CASE WHEN n >= 20 AND n <= 200 THEN 1.0 ELSE 0.0 END)
+                 + 0.25 * (CASE WHEN nstop / n >= 0.01 AND nstop / n <= 0.6
+                           THEN 1.0 ELSE 0.0 END)
+                 + 0.25 * (ndist / n)
+                 + 0.25 * (nalpha / nchar), 6) AS quality
+      FROM f ORDER BY doc_id"""))
+
+  /** Language-ID heuristic: per-language marker-token hits, argmax with
+    * fixed priority. */
+  val text_langid = GQuery(
+    "text_langid",
+    (s, d) => T.documents(s, d).select(
+        col("doc_id"), col("lang"),
+        TA.predictLang(col("text")).as("lang_pred"))
+      .orderBy(col("doc_id")),
+    Some {
+      val markers = TA.langMarkers.map { case (l, ws) =>
+        l -> ws.map(w => s"'$w'").mkString("(", ",", ")")
+      }
+      val scoreCols = markers.map { case (l, set) =>
+        s"len(list_filter(string_split(text,' '), t -> t IN $set)) AS s_$l"
+      }.mkString(", ")
+      // fold with strict > replicates the Scala-side priority order
+      val langs = TA.langMarkers.map(_._1)
+      val fold = langs.tail.foldLeft((s"'${langs.head}'", s"s_${langs.head}")) {
+        case ((bl, bs), l) =>
+          (s"CASE WHEN s_$l > $bs THEN '$l' ELSE $bl END",
+            s"CASE WHEN s_$l > $bs THEN s_$l ELSE $bs END")
+      }._1
+      s"""
+      WITH sc AS (SELECT doc_id, lang, $scoreCols FROM documents)
+      SELECT doc_id, lang, $fold AS lang_pred FROM sc ORDER BY doc_id"""
+    })
+
+  /** Content fingerprints: normalized md5 + order-sensitive polynomial
+    * rolling hash. */
+  val text_fingerprint = GQuery(
+    "text_fingerprint",
+    (s, d) => {
+      val docs = T.documents(s, d)
+      docs.select(col("doc_id"), TA.fingerprint(col("text")).as("fp"))
+        .join(TA.rollingHash(docs, "doc_id", "text"), Seq("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH rh AS (
+        SELECT doc_id,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(text, ' '),
+                   t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)
+                        % 2147483647)),
+                 (acc, x) -> (acc * 131 + x) % 2147483647) AS rolling_hash
+        FROM documents)
+      SELECT d.doc_id,
+             md5(lower(regexp_replace(trim(d.text), '\s+', ' ', 'g'))) AS fp,
+             rh.rolling_hash
+      FROM documents d JOIN rh ON d.doc_id = rh.doc_id
+      ORDER BY d.doc_id"""))
+
+  val all: Seq[GQuery] = Seq(
+    dedup_exact, dedup_minhash_lsh, dedup_simhash, dedup_ngram_jaccard,
+    dedup_embedding_cosine, sim_topk_bruteforce, sim_lsh_bucketed,
+    text_tokens, text_quality, text_langid, text_fingerprint)
+}

@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "en"),
+    (2L, "the quick brown fox jumps over the lazy cat", "en"),  // near-dup of 1
+    (3L, "completely different words entirely here now", "en"),
+    (4L, "the quick brown fox jumps over the lazy dog", "en"),  // exact dup of 1
+    (5L, "kurz", "de"))                                          // < 3 tokens
+    .toDF("doc_id", "text", "lang")
+
+  test("shingles: 3-grams, and <k tokens yields EMPTY (sequence guard)") {
+    val sh = docs.select($"doc_id",
+      Dedup.shingles($"text").as("sh")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh(1L).head == "the quick brown")
+    assert(sh(1L).size == 7)   // 9 tokens → 7 shingles
+    assert(sh(5L).isEmpty)     // 1 token → no descending-sequence blowup
+  }
+
+  test("minhash LSH finds exact and near dups, not unrelated docs") {
+    val pairs = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))           // exact dup always collides
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated doc
+  }
+
+  test("ngram jaccard: identical → 1.0, near-dup high, threshold filters") {
+    val j = Dedup.ngramJaccardPairs(docs, "doc_id", "text", Seq("lang"), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(j((1L, 4L)) == 1.0)
+    assert(j.contains((1L, 2L)) && j((1L, 2L)) > 0.5 && j((1L, 2L)) < 1.0)
+    assert(!j.contains((1L, 3L)))
+  }
+
+  test("simhash: identical texts → identical fingerprints; near-dups close") {
+    val fp = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(4L))
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(fp(1L), fp(2L)) <= hamming(fp(1L), fp(3L)))
+  }
+
+  test("exact dedup collapses duplicate keys") {
+    val d = Dedup.exactDedup(docs, Seq("text"), "doc_id")
+      .filter($"n_duplicates" > 1).collect()
+    assert(d.length == 1 && d.head.getAs[Long]("representative_id") == 1L)
+  }
+
+  private val vecs = Seq(
+    (1L, Array(1f, 0f, 0f), 0),
+    (2L, Array(0f, 1f, 0f), 0),
+    (3L, Array(2f, 0f, 0f), 0),     // same direction as 1
+    (4L, Array(-1f, 0f, 0f), 1))
+    .toDF("vec_id", "embedding", "label")
+
+  test("cosine: colinear=1, orthogonal=0, opposite=-1") {
+    val c = vecs.as("a").crossJoin(vecs.as("b"))
+      .select($"a.vec_id".as("i"), $"b.vec_id".as("j"),
+        Similarity.cosine($"a.embedding", $"b.embedding").as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(approx(c((1L, 3L)), 1.0))
+    assert(approx(c((1L, 2L)), 0.0))
+    assert(approx(c((1L, 4L)), -1.0))
+  }
+
+  test("brute-force top-k ranks by cosine desc with id tie-break") {
+    val topk = Similarity.bruteForceTopK(vecs,
+      vecs.filter($"vec_id" === 1), "vec_id", "embedding", 2).collect()
+    assert(topk.length == 2)
+    assert(topk.head.getAs[Long]("neighbor_id") == 3L) // cos 1.0 first
+  }
+
+  test("bucketed top-k only pairs same-sign-bucket vectors") {
+    val bt = Similarity.bucketedTopK(vecs, vecs, "vec_id", "embedding",
+      5, nbits = 3).collect()
+    val pairs = bt.map(r => (r.getAs[Long]("query_id"),
+      r.getAs[Long]("neighbor_id"))).toSet
+    assert(pairs.contains((1L, 3L)) && pairs.contains((3L, 1L)))
+    assert(!pairs.exists { case (q, n) => Set(q, n) == Set(1L, 4L) })
+  }
+
+  test("text analysis: quality ∈ [0,1], langid deterministic, rolling hash order-sensitive") {
+    val q = docs.select(TextAnalysis.qualityScore($"text").as("q"))
+      .as[Double].collect()
+    assert(q.forall(v => v >= 0.0 && v <= 1.0))
+    val lp = Seq((1L, "der hund und die katze ist da"),
+      (2L, "the cat and the dog is here"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", TextAnalysis.predictLang($"text").as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(lp(1L) == "de" && lp(2L) == "en")
+    val rh = TextAnalysis.rollingHash(
+      Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c")).toDF("doc_id", "text"),
+      "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rolling_hash"))
+      .toMap
+    assert(rh(1L) == rh(3L) && rh(1L) != rh(2L))
+  }
+}
