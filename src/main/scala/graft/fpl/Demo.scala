@@ -48,6 +48,28 @@ object Demo {
     println("=== cumulative profiles (A3) ===")
     Folds.profiles(fm).orderBy("playerId").show(30, false)
 
+    // Streaming replay: the same lines through a real file-source
+    // readStream → stateful match-close pipeline → parquet sink.
+    println("=== streaming replay (FplStream, AvailableNow) ===")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-demo")
+    val inDir = tmp.resolve("in"); java.nio.file.Files.createDirectory(inDir)
+    // a trailing match record acts as season-end punctuation so the
+    // last real match rolls over and emits (spec: match JSON precedes
+    // its events, so a new match record closes the previous one)
+    val replay = (if (args.nonEmpty) lines.collect().map(_.getString(0)).toSeq
+      else DemoFixture.lines) :+
+      DemoFixture.lines.head.replace("\"wyId\":1001", "\"wyId\":9999")
+    java.nio.file.Files.write(inDir.resolve("season.jsonl"),
+      String.join("\n", replay: _*).getBytes)
+    val streamLines = spark.readStream.text(inDir.toString)
+    val q = graft.streaming.FplStream.run(streamLines,
+        tmp.resolve("out").toString, tmp.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(tmp.resolve("out").toString)
+      .orderBy("matchId", "playerId").show(30, false)
+
     spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft.fpl
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Match-structure flattens (reference G1-G3, master.py:261-310 and
@@ -33,33 +33,29 @@ object Flatten {
     * the system. */
   def playerMinutes(matches: DataFrame): DataFrame = {
     val t = teams(matches)
+    // The substitution list lives in the same match row as the squads, so
+    // in/out minutes are higher-order array lookups — zero joins, zero
+    // shuffles, and therefore streaming-safe (no stream-stream join).
+    def subMinute(field: String): Column =
+      get(filter(col("subs"),
+        s => s.getField(field) === col("playerId")), lit(0))
+        .getField("minute")
     val starters = t.select(col("matchId"), col("td.teamId").as("teamId"),
+      col("td.formation.substitutions").as("subs"),
       explode(col("td.formation.lineup.playerId")).as("playerId"))
       .withColumn("isStarter", lit(true))
     val bench = t.select(col("matchId"), col("td.teamId").as("teamId"),
+      col("td.formation.substitutions").as("subs"),
       explode(col("td.formation.bench.playerId")).as("playerId"))
       .withColumn("isStarter", lit(false))
-    val subs = t.select(col("matchId"),
-      explode(col("td.formation.substitutions")).as("sub"))
-      .select(col("matchId"), col("sub.playerIn").as("inId"),
-        col("sub.playerOut").as("outId"), col("sub.minute").as("minute"))
-    val outs = subs.select(col("matchId").as("om"), col("outId"),
-      col("minute").as("subOutMinute"))
-    val ins = subs.select(col("matchId").as("im"), col("inId"),
-      col("minute").as("subInMinute"))
     starters.unionByName(bench)
-      .join(outs, col("matchId") === col("om") &&
-        col("playerId") === col("outId"), "left_outer")
-      .drop("om", "outId")
-      .join(ins, col("matchId") === col("im") &&
-        col("playerId") === col("inId"), "left_outer")
-      .drop("im", "inId")
       .select(
         col("matchId"), col("teamId"), col("playerId"), col("isStarter"),
         when(col("isStarter"), lit(0))
-          .otherwise(coalesce(col("subInMinute"), lit(-1))).as("inMinute"),
-        when(col("isStarter"), coalesce(col("subOutMinute"), lit(90)))
-          .otherwise(when(col("subInMinute").isNotNull, lit(90))
+          .otherwise(coalesce(subMinute("playerIn"), lit(-1)))
+          .as("inMinute"),
+        when(col("isStarter"), coalesce(subMinute("playerOut"), lit(90)))
+          .otherwise(when(subMinute("playerIn").isNotNull, lit(90))
             .otherwise(lit(-1))).as("outMinute"))
       .withColumn("minutesPlayed",
         when(col("inMinute") === -1, lit(0))

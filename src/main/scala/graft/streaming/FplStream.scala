@@ -1,0 +1,144 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.fpl.{Flatten, Ingest, MetricsAlgebra}
+
+/** Structured-Streaming incrementalization of the football pipeline
+  * (reference master.py's DStream + updateStateByKey chain,
+  * master.py:330-378).
+  *
+  * Design (SURVEY §2.7/§7 phase 7): ONE input line stream (socket in
+  * prod, file/MemoryStream in tests) → single `from_json` parse → the
+  * SAME column algebra as batch (`MetricsAlgebra`) → typed per-player
+  * state via `flatMapGroupsWithState` keyed by playerId.
+  *
+  * Match boundaries are data punctuation: the spec guarantees a match
+  * record precedes its events (docs/Specs.pdf p.2), and each match
+  * record fans out per-player minutes messages (keyed by playerId, so
+  * they shuffle to the same state partition as that player's events).
+  * When a player's first message of match N+1 arrives, match N
+  * finalizes: per-match metrics, contribution, rating update
+  * r' = factor·(c+r)/2 and profile chain run inside the state handler
+  * and a MatchClose row is emitted. State per key is one fixed-size
+  * counter block — O(players), not O(events), unlike the reference's
+  * full-state re-scan per batch.
+  */
+object FplStream {
+
+  /** Per-player message: either a minutes/factor row (from a match
+    * record, kind=0) or an event counter row (kind=1). */
+  case class PlayerMsg(playerId: Long, matchId: Long, order: Long,
+      kind: Int, factor: Double, counters: Array[Long])
+
+  case class PlayerState(matchId: Long, factor: Double,
+      counters: Array[Long], rating: Double,
+      profFouls: Long, profGoals: Long, profOwnGoals: Long,
+      profPassAcc: Double, profShots: Long, profMatches: Long)
+
+  /** Emitted when a player's match closes. */
+  case class MatchClose(playerId: Long, matchId: Long,
+      passAccuracy: Double, duelEffectiveness: Double,
+      shotEffectiveness: Double, fouls: Long, ownGoals: Long,
+      shotsOnTarget: Long, freeKickEffectiveness: Double, goals: Long,
+      contribution: Double, rating: Double, delta: Double,
+      profilePassAccuracy: Double, matchesPlayed: Long)
+
+  val NumCounters: Int = MetricsAlgebra.counterNames.size
+
+  /** Raw lines → typed per-player messages (the streaming front half;
+    * identical plan for batch frames). */
+  def toMessages(lines: DataFrame): Dataset[PlayerMsg] = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    val parsed = Ingest.parse(lines)
+    val events = MetricsAlgebra.withCounters(Ingest.events(parsed))
+      .select(col("playerId"), col("matchId"),
+        col("id").as("order"), lit(1).as("kind"), lit(0.0).as("factor"),
+        array(MetricsAlgebra.counterNames.map(c => col(c).cast("long")): _*)
+          .as("counters"))
+    val minutes = Flatten.playerMinutes(Ingest.matches(parsed))
+      .select(col("playerId"), col("matchId"), lit(0L).as("order"),
+        lit(0).as("kind"),
+        when(col("neverSubstituted"), lit(1.05))
+          .otherwise(col("minutesPlayed").cast("double") / 90.0)
+          .as("factor"),
+        array((0 until NumCounters).map(_ => lit(0L)): _*).as("counters"))
+    events.unionByName(minutes).as[PlayerMsg]
+  }
+
+  /** The per-key state handler. Messages are replayed in (matchId,
+    * order) sequence; a matchId greater than the open one closes it. */
+  def handle(playerId: Long, msgs: Iterator[PlayerMsg],
+      state: GroupState[PlayerState]): Iterator[MatchClose] = {
+    var st = state.getOption.getOrElse(
+      PlayerState(-1L, 1.05, new Array[Long](NumCounters), 0.5,
+        0L, 0L, 0L, 0.0, 0L, 0L))
+    val out = scala.collection.mutable.ArrayBuffer.empty[MatchClose]
+
+    // Only event-producing players emit and update state (the batch
+    // pipeline and the reference key everything off event-derived
+    // metric rows; squad members without events get no rating row).
+    def close(): Unit = if (st.matchId >= 0 && st.counters.exists(_ != 0)) {
+      val c = st.counters
+      def ratio(num: Double, den: Double): Double =
+        if (den == 0) 0.0 else num / den
+      val passAcc = ratio(c(0) + 2.0 * c(1), c(2) + 2.0 * c(3))
+      val duelEff = ratio(c(4) + 0.5 * c(5), c(6).toDouble)
+      val shotEff = ratio(c(8) + 0.5 * c(9), c(7).toDouble)
+      val fkEff = ratio(c(14) + c(15).toDouble, c(13).toDouble)
+      val base = (passAcc + duelEff + shotEff + c(10)) / 4
+      val contrib = base - (0.005 * c(11) + 0.05 * c(12)) * base
+      val nextRating = st.factor * ((contrib + st.rating) / 2)
+      val profPassAcc =
+        if (st.profMatches == 0) passAcc
+        else (passAcc + st.profPassAcc) / 2
+      out += MatchClose(playerId, st.matchId, passAcc, duelEff, shotEff,
+        c(11), c(12), c(10), fkEff, c(16), contrib, nextRating,
+        nextRating - st.rating, profPassAcc, st.profMatches + 1)
+      st = PlayerState(-1L, 1.05, new Array[Long](NumCounters), nextRating,
+        st.profFouls + c(11), st.profGoals + c(16),
+        st.profOwnGoals + c(12), profPassAcc, st.profShots + c(10),
+        st.profMatches + 1)
+    }
+
+    msgs.toSeq.sortBy(m => (m.matchId, m.kind, m.order)).foreach { m =>
+      if (m.matchId > st.matchId && st.matchId >= 0) close()
+      if (m.kind == 0) {
+        st = st.copy(matchId = m.matchId, factor = m.factor)
+      } else {
+        val cs = st.counters.clone()
+        var i = 0
+        while (i < NumCounters) { cs(i) += m.counters(i); i += 1 }
+        st = st.copy(matchId = math.max(st.matchId, m.matchId),
+          counters = cs)
+      }
+    }
+    state.update(st)
+    out.iterator
+  }
+
+  /** Streaming (or batch) messages → match-close stream. */
+  def matchCloses(msgs: Dataset[PlayerMsg]): Dataset[MatchClose] = {
+    import msgs.sparkSession.implicits._
+    msgs.groupByKey(_.playerId)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(handle)
+  }
+
+  /** End-to-end: raw line stream → match-close stream, writing parquet
+    * tables via foreachBatch (K1-K3 replacement: transactional parquet
+    * appends instead of repr-text directories). */
+  def run(lines: DataFrame, outDir: String, checkpoint: String) = {
+    val closes = matchCloses(toMessages(lines))
+    closes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[MatchClose], batchId: Long) =>
+        batch.toDF.withColumn("batchId", lit(batchId))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .outputMode("append")
+  }
+}

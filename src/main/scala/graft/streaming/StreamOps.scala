@@ -1,0 +1,45 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** General-purpose streaming operators (engine improvements over the
+  * reference, SURVEY §2.7: it has no watermarks, no event-time windows,
+  * no late-data handling — ordering came from a single TCP socket).
+  * Each works identically on `readStream` and `read` frames.
+  */
+object StreamOps {
+
+  /** Event-time tumbling/sliding window aggregation with watermark;
+    * late rows beyond the watermark are dropped (and counted by the
+    * state store metrics). */
+  def windowedAgg(events: DataFrame, tsCol: String, watermark: String,
+      windowDur: String, slide: Option[String] = None,
+      groupCols: Seq[String] = Nil, aggs: Seq[Column] = Seq(count(lit(1)).as("n")))
+      : DataFrame = {
+    val win = slide match {
+      case Some(s) => window(col(tsCol), windowDur, s)
+      case None => window(col(tsCol), windowDur)
+    }
+    events.withWatermark(tsCol, watermark)
+      .groupBy(win +: groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Session windows keyed by `keyCols` with an inactivity gap —
+    * the streaming analogue of the reference's match-punctuation state
+    * (a match is a session of events per player). */
+  def sessionAgg(events: DataFrame, tsCol: String, watermark: String,
+      gap: String, keyCols: Seq[String],
+      aggs: Seq[Column] = Seq(count(lit(1)).as("n"))): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap) +: keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** Streaming exact dedup within the watermark horizon — state is
+    * bounded by the horizon, so it runs forever at constant memory. */
+  def dedupStream(events: DataFrame, tsCol: String, watermark: String,
+      keyCols: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+}

@@ -1,0 +1,136 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.fpl._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Second match: same squads, no substitutions, different events;
+    * third match record acts as season-end punctuation that flushes
+    * match 2 state for every squad player. */
+  private def matchJson(mid: Long, gw: Int): String =
+    Fixture.matchJson
+      .replace("\"wyId\":1001", s""""wyId":$mid""")
+      .replace("\"gameweek\":1", s""""gameweek":$gw""")
+      .replace(
+        """"substitutions":[{"playerIn":4,"playerOut":3,"minute":60}]""",
+        """"substitutions":[]""")
+
+  private def ev(id: Int, mid: Long, eventId: Int, pid: Int, tid: Int,
+      tags: Seq[Int]): String = {
+    val tagStr = tags.map(t => s"""{"id":$t}""").mkString(",")
+    s"""{"id":$id,"eventId":$eventId,"subEventId":0,"matchId":$mid,
+       |"matchPeriod":"1H","eventSec":${id}.0,"playerId":$pid,
+       |"teamId":$tid,"tags":[$tagStr]}""".stripMargin.replaceAll("\n", "")
+  }
+
+  private val match2Events = Seq(
+    ev(101, 1002, 8, 1, 100, Seq(1801)),
+    ev(102, 1002, 8, 1, 100, Seq(1801)),
+    ev(103, 1002, 10, 3, 100, Seq(1801, 101)),
+    ev(104, 1002, 1, 11, 200, Seq(703)),
+    ev(105, 1002, 2, 12, 200, Seq()))
+
+  private val season: Seq[String] =
+    (Fixture.allLines :+ matchJson(1002, 2)) ++ match2Events :+
+      matchJson(1003, 3)
+
+  test("streaming match-close equals batch library (split across batches)") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[String]
+    val q = FplStream.matchCloses(
+        FplStream.toMessages(stream.toDF().withColumnRenamed("value", "value")))
+      .writeStream.format("memory").queryName("closes")
+      .outputMode("append").start()
+    try {
+      // replay in 4 uneven chunks to exercise cross-batch state
+      season.grouped(5).foreach { chunk =>
+        stream.addData(chunk); q.processAllAvailable()
+      }
+      val streamed = spark.table("closes")
+        .select("playerId", "matchId", "passAccuracy", "rating", "delta")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+
+      // batch reference: same formula layer over the full replay
+      val parsed = Ingest.parse(season.toDF("value"))
+      val fm = MetricsAlgebra.playerMatchMetrics(Ingest.events(parsed))
+      val pm = Flatten.playerMinutes(Ingest.matches(parsed))
+      val batch = Folds.ratings(spark, fm, pm).collect()
+        .map(r => (r.getAs[Long]("playerId"), r.getAs[Long]("matchId")) ->
+          ((r.getAs[Double]("rating"), r.getAs[Double]("delta")))).toMap
+      val batchPa = fm.collect()
+        .map(r => (r.getAs[Long]("playerId"), r.getAs[Long]("matchId")) ->
+          r.getAs[Double]("pass_accuracy")).toMap
+
+      // every batch row with events must be matched by a streamed close
+      assert(batch.nonEmpty)
+      batch.foreach { case (k, (rating, delta)) =>
+        assert(streamed.contains(k), s"missing streamed close for $k")
+        val (spa, sr, sd) = streamed(k)
+        assert(approx(spa, batchPa(k)), s"passAcc mismatch at $k")
+        assert(approx(sr, rating), s"rating mismatch at $k: $sr vs $rating")
+        assert(approx(sd, delta), s"delta mismatch at $k")
+      }
+      // profile chain: p1 played both matches
+      val p1 = spark.table("closes").filter($"playerId" === 1 &&
+        $"matchId" === 1002).collect().head
+      assert(p1.getAs[Long]("matchesPlayed") == 2L)
+    } finally q.stop()
+  }
+
+  test("windowed aggregation with watermark over a replayed event stream") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    val df = stream.toDF().toDF("ts", "event_type")
+    val q = StreamOps.windowedAgg(df, "ts", "1 minute", "10 minutes")
+      .writeStream.format("memory").queryName("windowed")
+      .outputMode("append").start()
+    try {
+      def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      stream.addData((t(0), "a"), (t(5), "b"), (t(12), "c"))
+      q.processAllAvailable()
+      stream.addData((t(40), "d"))  // advances watermark, closes old windows
+      q.processAllAvailable()
+      val rows = spark.table("windowed").collect()
+      assert(rows.exists(r => r.getAs[Long]("n") == 2L)) // 10:00-10:10
+    } finally q.stop()
+  }
+
+  test("session windows close after the gap") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, Long)]
+    val df = stream.toDF().toDF("ts", "user_id")
+    val q = StreamOps.sessionAgg(df, "ts", "1 minute", "5 minutes",
+        Seq("user_id"))
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      stream.addData((t(0), 7L), (t(2), 7L), (t(20), 7L), (t(59), 7L))
+      q.processAllAvailable()
+      val sessions = spark.table("sessions").collect()
+      // first session (2 events) and second (1 event) are closed
+      assert(sessions.map(_.getAs[Long]("n")).sorted.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("streaming dedup within watermark") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    val df = stream.toDF().toDF("ts", "k")
+    val q = StreamOps.dedupStream(df, "ts", "10 minutes", Seq("k"))
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+    try {
+      def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      stream.addData((t(0), "x"), (t(1), "x"), (t(2), "y"))
+      q.processAllAvailable()
+      assert(spark.table("deduped").count() == 2)
+    } finally q.stop()
+  }
+}
