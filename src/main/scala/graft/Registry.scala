@@ -4,7 +4,7 @@ package graft
   * this single list. */
 object Registry {
   def all: Seq[GQuery] =
-    queries.Core.all ++ queries.Pipeline.all
+    queries.Core.all ++ queries.Pipeline.all ++ queries.Extras.all
 
   def queryMap: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

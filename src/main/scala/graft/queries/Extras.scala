@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{GQuery, Tables => T}
+import graft.operators.Multimodal
+
+/** Sessionization, multidimensional aggregates, multimodal metadata,
+  * and ML surface (rows-only where no deterministic SQL oracle can
+  * exist).
+  *
+  * NB on time: events.ts is nanosecond parquet; Spark reads epoch-nano
+  * longs (nanosAsLong), DuckDB truncates to µs — so every cross-engine
+  * time computation here works in microseconds (floor division).
+  */
+object Extras {
+
+  /** 30-minute-gap sessionization (batch analogue of the streaming
+    * session window; reference A1's match-punctuation state is the same
+    * shape). Pure window algebra: lag → gap flag → running session id. */
+  val sessionize = GQuery(
+    "sessionize",
+    (s, d) => {
+      import s.implicits._
+      val wOrder = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val gapUs = 30L * 60 * 1000 * 1000
+      val sessions = T.events(s, d)
+        .withColumn("us", floor($"ts" / 1000L))
+        .withColumn("gap", $"us" - lag($"us", 1).over(wOrder))
+        .withColumn("new_session",
+          when($"gap".isNull || $"gap" > gapUs, 1L).otherwise(0L))
+        .withColumn("session_id",
+          sum($"new_session").over(
+            wOrder.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sessions
+        .groupBy($"user_id", $"session_id")
+        .agg(count(lit(1)).as("n_events"))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          max($"n_events").as("max_session_events"),
+          sum($"n_events").as("n_events"))
+        .orderBy($"user_id")
+    },
+    Some("""
+      WITH g AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+               epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        FROM events),
+      s AS (
+        SELECT user_id,
+               SUM(CASE WHEN gap IS NULL OR gap > 1800000000
+                        THEN 1 ELSE 0 END) OVER
+                 (PARTITION BY user_id ORDER BY us, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_id
+        FROM g),
+      per_session AS (
+        SELECT user_id, session_id, COUNT(*) AS n_events
+        FROM s GROUP BY user_id, session_id)
+      SELECT user_id, COUNT(*) AS n_sessions,
+             MAX(n_events) AS max_session_events,
+             CAST(SUM(n_events) AS BIGINT) AS n_events
+      FROM per_session GROUP BY user_id ORDER BY user_id"""))
+
+  /** CUBE multidimensional aggregate (SURVEY §2.5 "free in Spark SQL"
+    * row, made concrete). */
+  val agg_cube = GQuery(
+    "agg_cube",
+    (s, d) => {
+      import s.implicits._
+      T.events(s, d)
+        .withColumn("cohort", ($"user_id" % 2).cast("int"))
+        .cube($"event_type", $"cohort")
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce($"event_type", lit("ALL")).as("event_type"),
+          coalesce($"cohort", lit(-1)).as("cohort"), $"n")
+        .orderBy($"event_type", $"cohort")
+    },
+    Some("""
+      SELECT COALESCE(event_type, 'ALL') AS event_type,
+             COALESCE(cohort, -1) AS cohort, COUNT(*) AS n
+      FROM (SELECT event_type, CAST(user_id % 2 AS INT) AS cohort
+            FROM events)
+      GROUP BY CUBE(event_type, cohort)
+      ORDER BY event_type, cohort"""))
+
+  /** Multimodal metadata over binary payloads (payload = utf-8 text via
+    * Multimodal.fromText; byte length + sha256 digest cross-checked). */
+  val mm_binary_meta = GQuery(
+    "mm_binary_meta",
+    (s, d) => {
+      import s.implicits._
+      Multimodal.fromText(T.documents(s, d), "doc_id", "text")
+        .select($"media_id", $"modality",
+          octet_length($"payload").as("n_bytes"),
+          sha2($"payload", 256).as("sha256"))
+        .orderBy($"media_id")
+    },
+    Some("""
+      SELECT doc_id AS media_id, 'image' AS modality,
+             CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+             sha256(text) AS sha256
+      FROM documents ORDER BY media_id"""))
+
+  /** HyperLogLog approximate distinct — engine-specific sketches can't
+    * hash-match an oracle, so this is declared rows-only (the driver
+    * records a weaker check); the exact distinct twin is agg_distinct. */
+  val agg_approx_distinct = GQuery(
+    "agg_approx_distinct",
+    (s, d) => {
+      import s.implicits._
+      T.events(s, d)
+        .groupBy($"event_type")
+        .agg(approx_count_distinct($"user_id", 0.02).as("approx_users"))
+        .orderBy($"event_type")
+    },
+    None)
+
+  /** KMeans(k=5) profile clustering (SURVEY §2.8) — model output, no
+    * SQL oracle; rows-only check + ClusteringSpec pins behavior. */
+  val ml_kmeans_profiles = GQuery(
+    "ml_kmeans_profiles",
+    (s, d) => {
+      import s.implicits._
+      // profile-shaped features from the events table
+      val profiles = T.events(s, d)
+        .groupBy($"user_id".as("playerId"))
+        .agg(
+          sum(when($"event_type" === "error", 1L).otherwise(0L)).as("fouls"),
+          sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("goals"),
+          sum(when($"event_type" === "signup", 1L).otherwise(0L)).as("own_goals"),
+          avg($"value").as("pass_accuracy"),
+          sum(when($"event_type" === "click", 1L).otherwise(0L)).as("shots_on_target"),
+          count(lit(1)).as("matches_played"))
+      graft.fpl.MLCapabilities.clusterProfiles(profiles)
+        .groupBy($"cluster").agg(count(lit(1)).as("n_players"))
+        .orderBy($"cluster")
+    },
+    None)
+
+  val all: Seq[GQuery] = Seq(sessionize, agg_cube, mm_binary_meta,
+    agg_approx_distinct, ml_kmeans_profiles)
+}
