@@ -37,29 +37,46 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Per-doc MinHash signature: numHashes md5-permutation minima over
-    * the shingle set. Output: id, h0…h{n-1} (hex strings). */
+  /** Per-doc MinHash signature as ONE array column.
+    *
+    * Hash budget: 2 md5 per shingle (md5(s) ‖ md5(reverse(s)) = 64 hex
+    * chars) sliced into `numHashes` 8-char (32-bit) permutation values,
+    * instead of one md5 per (shingle × permutation). The whole
+    * signature is a single `aggregate` fold expression (sig[p] =
+    * min over shingles of slice p), so Spark's CollapseProject cannot
+    * duplicate the expensive md5 work into every consumer — and the
+    * trailing one-row-per-doc groupBy materializes it once before the
+    * band explode. Hex-string minima are valid permutation minima
+    * (lexicographic = numeric on fixed-width hex). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 8, shingleK: Int = 3): DataFrame = {
-    val sh = df
-      .select(col(idCol), explode(shingles(col(textCol), shingleK)).as("sh"))
-    sh.groupBy(col(idCol))
-      .agg(
-        min(md5(concat(lit("0:"), col("sh")))).as("h0"),
-        (1 until numHashes).map(p =>
-          min(md5(concat(lit(s"$p:"), col("sh")))).as(s"h$p")): _*)
+    require(numHashes <= 8, "64 hex chars → at most 8 32-bit slices")
+    df.select(col(idCol), split(col(textCol), " ").as("toks"))
+      .filter(size(col("toks")) >= shingleK)
+      .select(col(idCol),
+        graft.functions.HashExprs.minhashSig(col("toks"), numHashes,
+          shingleK).as("sig"))
+      // one-row-per-doc agg barrier: materializes sig so downstream
+      // consumers (band explode reads 8 elements) can't trigger
+      // CollapseProject re-evaluation of the hash kernel
+      .groupBy(col(idCol)).agg(min(col("sig")).as("sig"))
   }
 
   /** LSH bands: group the signature into bands of `bandSize` hashes;
     * band key = md5(bandId : h_i : h_{i+1} …). One row per (id, band). */
   def minhashBands(sigs: DataFrame, idCol: String, numHashes: Int = 8,
       bandSize: Int = 2): DataFrame = {
-    val bands = (0 until numHashes / bandSize).map { b =>
-      val key = md5(concat_ws(":", lit(b.toString) +:
-        (0 until bandSize).map(j => col(s"h${b * bandSize + j}")): _*))
-      sigs.select(col(idCol), lit(b).as("band"), key.as("bandKey"))
+    // one explode over the materialized sig array (cheap element reads)
+    val bandStructs = (0 until numHashes / bandSize).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws(":", lit(b.toString) +:
+          (0 until bandSize).map(j =>
+            element_at(col("sig"), b * bandSize + j + 1)): _*))
+          .as("bandKey"))
     }
-    bands.reduce(_ unionByName _)
+    sigs.select(col(idCol), explode(array(bandStructs: _*)).as("bs"))
+      .select(col(idCol), col("bs.band").as("band"),
+        col("bs.bandKey").as("bandKey"))
   }
 
   /** Candidate near-dup pairs: ids sharing ≥1 LSH band bucket. The join
@@ -85,7 +102,8 @@ object Dedup {
       : DataFrame = {
     val withSh = df.select(
       (col(idCol) +: blockCols.map(col)) :+
-        array_distinct(shingles(col(textCol), shingleK)).as("shset"): _*)
+        graft.functions.HashExprs.shingleSet(split(col(textCol), " "),
+          shingleK).as("shset"): _*)
     val a = withSh.select(
       col(idCol).as("d1") +: col("shset").as("s1") +:
         blockCols.map(c => col(c).as(s"a_$c")): _*)
@@ -113,7 +131,8 @@ object Dedup {
     val cands = minhashCandidates(df, idCol, textCol, numHashes, bandSize,
       shingleK)
     val sets = df.select(col(idCol).as("sid"),
-      array_distinct(shingles(col(textCol), shingleK)).as("shset"))
+      graft.functions.HashExprs.shingleSet(split(col(textCol), " "),
+        shingleK).as("shset"))
     val inter = size(array_intersect(col("s1"), col("s2")))
     val uni = size(col("s1")) + size(col("s2")) - inter
     cands

@@ -14,25 +14,31 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity between two float-array columns, computed in
-    * double precision with left-to-right accumulation. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y,
-        (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  import graft.functions.VectorExprs.{fdot, fnorm}
+
+  /** Cosine similarity between two float-array columns — codegen'd
+    * double-precision sequential fold (graft.functions.FloatDot). */
+  def cosine(a: Column, b: Column): Column =
+    fdot(a, b) / (fnorm(a) * fnorm(b))
+
+  /** Per-pair cosine from pre-computed norms: at N×M pair scale this is
+    * one dot per pair instead of three. */
+  private def pairCos(dot: Column, n1: Column, n2: Column): Column =
+    round(dot / (n1 * n2), 6)
 
   /** Brute-force top-k neighbors for the query rows (excluding self).
-    * Output: (query_id, neighbor_id, rank, cos) with cosine rounded for
+    * Norms are computed once per vector, not per pair. Output:
+    * (query_id, neighbor_id, rank, cos) with cosine rounded for
     * cross-engine rank stability. */
   def bruteForceTopK(vectors: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      fnorm(col(vecCol)).as("qn"))
+    val c = vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      fnorm(col(vecCol)).as("cn"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("cos", pairCos(fdot(col("qv"), col("cv")),
+        col("qn"), col("cn")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
@@ -55,12 +61,15 @@ object Similarity {
   def bucketedTopK(vectors: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nbits: Int = 8): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      signBucket(col(vecCol), nbits).as("qb"))
+      signBucket(col(vecCol), nbits).as("qb"),
+      fnorm(col(vecCol)).as("qn"))
     val c = vectors.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("cv"), signBucket(col(vecCol), nbits).as("cb"))
+      col(vecCol).as("cv"), signBucket(col(vecCol), nbits).as("cb"),
+      fnorm(col(vecCol)).as("cn"))
     val scored = q.join(c,
       col("qb") === col("cb") && col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("cos", pairCos(fdot(col("qv"), col("cv")),
+        col("qn"), col("cn")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
@@ -75,11 +84,12 @@ object Similarity {
   def embeddingNearDupPairs(vectors: DataFrame, idCol: String,
       vecCol: String, blockCol: String, threshold: Double): DataFrame = {
     val a = vectors.select(col(idCol).as("d1"), col(vecCol).as("v1"),
-      col(blockCol).as("b1"))
+      col(blockCol).as("b1"), fnorm(col(vecCol)).as("n1"))
     val b = vectors.select(col(idCol).as("d2"), col(vecCol).as("v2"),
-      col(blockCol).as("b2"))
+      col(blockCol).as("b2"), fnorm(col(vecCol)).as("n2"))
     a.join(b, col("b1") === col("b2") && col("d1") < col("d2"))
-      .withColumn("cos", round(cosine(col("v1"), col("v2")), 6))
+      .withColumn("cos", pairCos(fdot(col("v1"), col("v2")),
+        col("n1"), col("n2")))
       .filter(col("cos") >= threshold)
       .select(col("d1"), col("d2"), col("cos"))
   }

@@ -36,13 +36,15 @@ object Pipeline {
       sh AS (
         SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
         FROM toks, LATERAL (SELECT UNNEST(range(1, len(t) - 1)) AS i) u),
+      hx AS (
+        SELECT doc_id, md5(sh) || md5(reverse(sh)) AS m FROM sh),
       sig AS (
         SELECT doc_id,
-               MIN(md5('0:' || sh)) AS h0, MIN(md5('1:' || sh)) AS h1,
-               MIN(md5('2:' || sh)) AS h2, MIN(md5('3:' || sh)) AS h3,
-               MIN(md5('4:' || sh)) AS h4, MIN(md5('5:' || sh)) AS h5,
-               MIN(md5('6:' || sh)) AS h6, MIN(md5('7:' || sh)) AS h7
-        FROM sh GROUP BY doc_id),
+               MIN(substr(m, 1, 8)) AS h0, MIN(substr(m, 9, 8)) AS h1,
+               MIN(substr(m, 17, 8)) AS h2, MIN(substr(m, 25, 8)) AS h3,
+               MIN(substr(m, 33, 8)) AS h4, MIN(substr(m, 41, 8)) AS h5,
+               MIN(substr(m, 49, 8)) AS h6, MIN(substr(m, 57, 8)) AS h7
+        FROM hx GROUP BY doc_id),
       bands AS (
         SELECT doc_id, md5('0:' || h0 || ':' || h1) AS bk FROM sig
         UNION ALL SELECT doc_id, md5('1:' || h2 || ':' || h3) FROM sig
@@ -87,13 +89,15 @@ object Pipeline {
       sh AS (
         SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
         FROM toks, LATERAL (SELECT UNNEST(range(1, len(t) - 1)) AS i) u),
+      hx AS (
+        SELECT doc_id, sh, md5(sh) || md5(reverse(sh)) AS m FROM sh),
       sig AS (
         SELECT doc_id,
-               MIN(md5('0:' || sh)) AS h0, MIN(md5('1:' || sh)) AS h1,
-               MIN(md5('2:' || sh)) AS h2, MIN(md5('3:' || sh)) AS h3,
-               MIN(md5('4:' || sh)) AS h4, MIN(md5('5:' || sh)) AS h5,
-               MIN(md5('6:' || sh)) AS h6, MIN(md5('7:' || sh)) AS h7
-        FROM sh GROUP BY doc_id),
+               MIN(substr(m, 1, 8)) AS h0, MIN(substr(m, 9, 8)) AS h1,
+               MIN(substr(m, 17, 8)) AS h2, MIN(substr(m, 25, 8)) AS h3,
+               MIN(substr(m, 33, 8)) AS h4, MIN(substr(m, 41, 8)) AS h5,
+               MIN(substr(m, 49, 8)) AS h6, MIN(substr(m, 57, 8)) AS h7
+        FROM hx GROUP BY doc_id),
       bands AS (
         SELECT doc_id, md5('0:' || h0 || ':' || h1) AS bk FROM sig
         UNION ALL SELECT doc_id, md5('1:' || h2 || ':' || h3) FROM sig
