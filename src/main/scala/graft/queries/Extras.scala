@@ -139,6 +139,26 @@ object Extras {
     },
     None)
 
+  /** Set operations (INTERSECT/EXCEPT with distinct semantics). */
+  val set_ops = GQuery(
+    "set_ops",
+    (s, d) => {
+      import s.implicits._
+      val e = T.events(s, d)
+      def users(t: String) =
+        e.filter($"event_type" === t).select($"user_id")
+      users("click").intersect(users("purchase"))
+        .except(users("error"))
+        .orderBy($"user_id")
+    },
+    Some("""
+      SELECT user_id FROM events WHERE event_type = 'click'
+      INTERSECT
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      EXCEPT
+      SELECT user_id FROM events WHERE event_type = 'error'
+      ORDER BY user_id"""))
+
   val all: Seq[GQuery] = Seq(sessionize, agg_cube, mm_binary_meta,
-    agg_approx_distinct, ml_kmeans_profiles)
+    agg_approx_distinct, ml_kmeans_profiles, set_ops)
 }
