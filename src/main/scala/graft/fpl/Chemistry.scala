@@ -43,11 +43,35 @@ object Chemistry {
           .as("pairDelta"))
   }
 
+  /** Cross-set pair deltas: pairs (a-side, b-side) of the same match,
+    * key-normalized to (least, greatest) so each unordered pair appears
+    * exactly once. Used by the streaming incremental upsert, where a
+    * match's players may close in different micro-batches. */
+  def pairDeltasBetween(aSide: DataFrame, bSide: DataFrame): DataFrame = {
+    val a = aSide.select(col("matchId"), col("playerId").as("p1"),
+      col("teamId").as("t1"), col("delta").as("d1"))
+    val b = bSide.select(col("matchId").as("matchId2"),
+      col("playerId").as("p2"), col("teamId").as("t2"),
+      col("delta").as("d2"))
+    val sameTeam = col("t1") === col("t2")
+    val sameDir = (col("d1") > 0 && col("d2") > 0) ||
+      (col("d1") < 0 && col("d2") < 0)
+    val mag = abs((col("d1") + col("d2")) / 2)
+    a.join(b, col("matchId") === col("matchId2") && col("p1") =!= col("p2"))
+      .select(col("matchId"),
+        least(col("p1"), col("p2")).as("p1"),
+        greatest(col("p1"), col("p2")).as("p2"),
+        when(sameTeam === sameDir, mag).otherwise(-mag).as("pairDelta"))
+  }
+
   /** Running chemistry table: 0.5 + the sum of all per-match pair
     * deltas (A5 accumulate + A6-style final snapshot in one agg). */
   def chemistryTable(ratingDeltas: DataFrame): DataFrame =
-    pairDeltas(ratingDeltas)
-      .groupBy(col("p1"), col("p2"))
+    fromPairDeltas(pairDeltas(ratingDeltas))
+
+  /** Chemistry from an (incrementally appended) pair-delta table. */
+  def fromPairDeltas(pairs: DataFrame): DataFrame =
+    pairs.groupBy(col("p1"), col("p2"))
       .agg((lit(0.5) + sum(col("pairDelta"))).as("chemistry"))
 
   /** Symmetric view (both (p1,p2) and (p2,p1)) for lookup joins. */

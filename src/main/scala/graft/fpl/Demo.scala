@@ -62,13 +62,17 @@ object Demo {
     java.nio.file.Files.write(inDir.resolve("season.jsonl"),
       String.join("\n", replay: _*).getBytes)
     val streamLines = spark.readStream.text(inDir.toString)
-    val q = graft.streaming.FplStream.run(streamLines,
-        tmp.resolve("out").toString, tmp.resolve("ckpt").toString)
+    val q = graft.streaming.FplStream.runFull(streamLines,
+        tmp.resolve("state").toString, tmp.resolve("ckpt").toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(tmp.resolve("out").toString)
+    spark.read.parquet(tmp.resolve("state/closes").toString)
       .orderBy("matchId", "playerId").show(30, false)
+    println("=== incremental chemistry from streamed pair deltas ===")
+    Chemistry.fromPairDeltas(
+        spark.read.parquet(tmp.resolve("state/pair_deltas").toString))
+      .orderBy("p1", "p2").show(10, false)
 
     spark.stop()
   }

@@ -30,15 +30,15 @@ object FplStream {
   /** Per-player message: either a minutes/factor row (from a match
     * record, kind=0) or an event counter row (kind=1). */
   case class PlayerMsg(playerId: Long, matchId: Long, order: Long,
-      kind: Int, factor: Double, counters: Array[Long])
+      kind: Int, factor: Double, teamId: Long, counters: Array[Long])
 
-  case class PlayerState(matchId: Long, factor: Double,
+  case class PlayerState(matchId: Long, factor: Double, teamId: Long,
       counters: Array[Long], rating: Double,
       profFouls: Long, profGoals: Long, profOwnGoals: Long,
       profPassAcc: Double, profShots: Long, profMatches: Long)
 
   /** Emitted when a player's match closes. */
-  case class MatchClose(playerId: Long, matchId: Long,
+  case class MatchClose(playerId: Long, matchId: Long, teamId: Long,
       passAccuracy: Double, duelEffectiveness: Double,
       shotEffectiveness: Double, fouls: Long, ownGoals: Long,
       shotsOnTarget: Long, freeKickEffectiveness: Double, goals: Long,
@@ -56,6 +56,7 @@ object FplStream {
     val events = MetricsAlgebra.withCounters(Ingest.events(parsed))
       .select(col("playerId"), col("matchId"),
         col("id").as("order"), lit(1).as("kind"), lit(0.0).as("factor"),
+        col("teamId"),
         array(MetricsAlgebra.counterNames.map(c => col(c).cast("long")): _*)
           .as("counters"))
     val minutes = Flatten.playerMinutes(Ingest.matches(parsed))
@@ -64,6 +65,7 @@ object FplStream {
         when(col("neverSubstituted"), lit(1.05))
           .otherwise(col("minutesPlayed").cast("double") / 90.0)
           .as("factor"),
+        col("teamId"),
         array((0 until NumCounters).map(_ => lit(0L)): _*).as("counters"))
     events.unionByName(minutes).as[PlayerMsg]
   }
@@ -73,7 +75,7 @@ object FplStream {
   def handle(playerId: Long, msgs: Iterator[PlayerMsg],
       state: GroupState[PlayerState]): Iterator[MatchClose] = {
     var st = state.getOption.getOrElse(
-      PlayerState(-1L, 1.05, new Array[Long](NumCounters), 0.5,
+      PlayerState(-1L, 1.05, -1L, new Array[Long](NumCounters), 0.5,
         0L, 0L, 0L, 0.0, 0L, 0L))
     val out = scala.collection.mutable.ArrayBuffer.empty[MatchClose]
 
@@ -94,11 +96,12 @@ object FplStream {
       val profPassAcc =
         if (st.profMatches == 0) passAcc
         else (passAcc + st.profPassAcc) / 2
-      out += MatchClose(playerId, st.matchId, passAcc, duelEff, shotEff,
-        c(11), c(12), c(10), fkEff, c(16), contrib, nextRating,
-        nextRating - st.rating, profPassAcc, st.profMatches + 1)
-      st = PlayerState(-1L, 1.05, new Array[Long](NumCounters), nextRating,
-        st.profFouls + c(11), st.profGoals + c(16),
+      out += MatchClose(playerId, st.matchId, st.teamId, passAcc,
+        duelEff, shotEff, c(11), c(12), c(10), fkEff, c(16), contrib,
+        nextRating, nextRating - st.rating, profPassAcc,
+        st.profMatches + 1)
+      st = PlayerState(-1L, 1.05, -1L, new Array[Long](NumCounters),
+        nextRating, st.profFouls + c(11), st.profGoals + c(16),
         st.profOwnGoals + c(12), profPassAcc, st.profShots + c(10),
         st.profMatches + 1)
     }
@@ -106,13 +109,17 @@ object FplStream {
     msgs.toSeq.sortBy(m => (m.matchId, m.kind, m.order)).foreach { m =>
       if (m.matchId > st.matchId && st.matchId >= 0) close()
       if (m.kind == 0) {
-        st = st.copy(matchId = m.matchId, factor = m.factor)
+        st = st.copy(matchId = m.matchId, factor = m.factor,
+          teamId = m.teamId)
       } else {
         val cs = st.counters.clone()
         var i = 0
         while (i < NumCounters) { cs(i) += m.counters(i); i += 1 }
         st = st.copy(matchId = math.max(st.matchId, m.matchId),
-          counters = cs)
+          counters = cs,
+          // events carry teamId too — fallback when the match record
+          // (and its minutes fan-out) was lost upstream
+          teamId = if (st.teamId < 0) m.teamId else st.teamId)
       }
     }
     state.update(st)
@@ -138,6 +145,50 @@ object FplStream {
         batch.toDF.withColumn("batchId", lit(batchId))
           .write.mode("append").parquet(outDir)
         ()
+      }
+      .outputMode("append")
+  }
+
+  /** Full streaming consolidation — the reference's separate post-stream
+    * Python pass (metrics.py, SURVEY E2) collapsed into foreachBatch:
+    * match-closes append to `<dir>/closes`, and per-match chemistry
+    * pair-deltas upsert incrementally to `<dir>/pair_deltas`. A match's
+    * players can close in different micro-batches, so each batch pairs
+    * its new closes against (a) each other and (b) previously-closed
+    * rows of the same matches — every unordered pair lands exactly once.
+    * The final chemistry table is 0.5 + sum over pair_deltas
+    * (`graft.fpl.Chemistry.fromPairDeltas`). */
+  def runFull(lines: DataFrame, stateDir: String, checkpoint: String) = {
+    val closes = matchCloses(toMessages(lines))
+    val closesDir = s"$stateDir/closes"
+    val pairsDir = s"$stateDir/pair_deltas"
+    closes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[MatchClose], batchId: Long) =>
+        val spark = batch.sparkSession
+        val newDeltas = batch.toDF
+          .select(col("matchId"), col("playerId"), col("teamId"),
+            col("delta"))
+          .cache()
+        try {
+          val newPairs = graft.fpl.Chemistry.pairDeltas(newDeltas)
+          val crossPairs =
+            if (new java.io.File(closesDir).isDirectory) {
+              val prior = spark.read.parquet(closesDir)
+                .select(col("matchId"), col("playerId"), col("teamId"),
+                  col("delta"))
+                .join(newDeltas.select(col("matchId")).distinct(),
+                  Seq("matchId"), "left_semi")
+              graft.fpl.Chemistry.pairDeltasBetween(newDeltas, prior)
+            } else spark.emptyDataFrame
+          val allPairs =
+            if (crossPairs.columns.nonEmpty)
+              newPairs.unionByName(crossPairs)
+            else newPairs
+          allPairs.write.mode("append").parquet(pairsDir)
+          batch.toDF.withColumn("batchId", lit(batchId))
+            .write.mode("append").parquet(closesDir)
+        } finally { newDeltas.unpersist(); () }
       }
       .outputMode("append")
   }

@@ -83,6 +83,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental chemistry upsert (runFull) equals the batch table") {
+    implicit val sc = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-chem")
+    val stream = MemoryStream[String]
+    val q = FplStream.runFull(stream.toDF(), tmp.resolve("state").toString,
+      tmp.resolve("ckpt").toString).start()
+    try {
+      // uneven chunks: players of one match close in different batches
+      season.grouped(4).foreach { chunk =>
+        stream.addData(chunk); q.processAllAvailable()
+      }
+      val streamedChem = Chemistry.fromPairDeltas(
+        spark.read.parquet(tmp.resolve("state/pair_deltas").toString))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+      val parsed = Ingest.parse(season.toDF("value"))
+      val fm = MetricsAlgebra.playerMatchMetrics(Ingest.events(parsed))
+      val pm = Flatten.playerMinutes(Ingest.matches(parsed))
+      val batchChem = Chemistry.chemistryTable(
+        Folds.ratings(spark, fm, pm)
+          .select($"matchId", $"playerId", $"teamId", $"delta"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+      assert(batchChem.nonEmpty)
+      assert(streamedChem.keySet == batchChem.keySet,
+        s"pair sets differ: ${streamedChem.keySet} vs ${batchChem.keySet}")
+      batchChem.foreach { case (k, v) =>
+        assert(approx(streamedChem(k), v), s"chemistry mismatch at $k")
+      }
+    } finally q.stop()
+  }
+
   test("windowed aggregation with watermark over a replayed event stream") {
     implicit val sc = spark.sqlContext
     val stream = MemoryStream[(java.sql.Timestamp, String)]
