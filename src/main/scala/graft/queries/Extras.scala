@@ -159,6 +159,64 @@ object Extras {
       SELECT user_id FROM events WHERE event_type = 'error'
       ORDER BY user_id"""))
 
+  /** Ranking + offset window functions (rank over per-user spend,
+    * lead/lag deltas). */
+  val w2_rank_lag = GQuery(
+    "w2_rank_lag",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc,
+        $"o_orderkey")
+      T.orders(s, d)
+        .withColumn("rk", rank().over(w))
+        .withColumn("prev_price", lag($"o_totalprice", 1).over(w))
+        .filter($"rk" <= 3)
+        .select($"o_custkey", $"rk", $"o_orderkey", $"o_totalprice",
+          coalesce(round($"o_totalprice" - $"prev_price", 2), lit(0.0))
+            .as("gap_to_prev"))
+        .orderBy($"o_custkey", $"rk")
+    },
+    Some("""
+      SELECT o_custkey, CAST(rk AS INT) AS rk, o_orderkey, o_totalprice,
+             COALESCE(ROUND(o_totalprice - prev_price, 2), 0.0) AS gap_to_prev
+      FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               RANK() OVER w AS rk,
+               LAG(o_totalprice, 1) OVER w AS prev_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey))
+      WHERE rk <= 3 ORDER BY o_custkey, rk"""))
+
+  /** Full outer join with null-side handling. */
+  val j6_outer_join = GQuery(
+    "j6_outer_join",
+    (s, d) => {
+      import s.implicits._
+      val perCust = T.orders(s, d)
+        .filter($"o_orderpriority" === "1-URGENT")
+        .groupBy($"o_custkey").agg(count(lit(1)).as("n_urgent"))
+      T.customer(s, d)
+        .join(perCust, $"c_custkey" === $"o_custkey", "full_outer")
+        .select(
+          coalesce($"c_custkey", $"o_custkey").as("custkey"),
+          coalesce($"c_mktsegment", lit("UNKNOWN")).as("segment"),
+          coalesce($"n_urgent", lit(0L)).as("n_urgent"))
+        .orderBy($"custkey")
+    },
+    Some("""
+      SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+             COALESCE(c_mktsegment, 'UNKNOWN') AS segment,
+             COALESCE(n_urgent, 0) AS n_urgent
+      FROM customer
+      FULL OUTER JOIN (
+        SELECT o_custkey, COUNT(*) AS n_urgent
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+        GROUP BY o_custkey) o
+        ON c_custkey = o_custkey
+      ORDER BY custkey"""))
+
   val all: Seq[GQuery] = Seq(sessionize, agg_cube, mm_binary_meta,
-    agg_approx_distinct, ml_kmeans_profiles, set_ops)
+    agg_approx_distinct, ml_kmeans_profiles, set_ops, w2_rank_lag,
+    j6_outer_join)
 }
