@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (backward) join — for each left row, the most recent right row
+  * of the same key with rightTs ≤ leftTs. Spark has no native as-of
+  * join; rather than a custom physical operator, this composes
+  * built-ins the scalable way (SURVEY §2.4 "not present" row; builder
+  * preference (a)): tag and union both sides, then a single
+  * partitionBy(key).orderBy(ts) window carries the last right payload
+  * forward into left rows. ONE shuffle on the key, no range cross
+  * product, no per-key collect — at 100 TB this is a sort within each
+  * key partition, exactly what a native as-of operator would do.
+  */
+object AsOfJoin {
+
+  /** @param left      probe side
+    * @param right     reference side (its `payload` columns are carried)
+    * @param keyCols   equi-key columns (same names both sides)
+    * @param leftTs    ordering column on the left
+    * @param rightTs   ordering column on the right
+    * @param payload   right-side columns to attach (renamed as given)
+    * @return left rows + payload of the as-of match; rows with no
+    *         earlier right row are dropped (inner as-of semantics)
+    */
+  def asofBackward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+    val lAll = payload.foldLeft(l)((df, p) =>
+      df.withColumn(s"__p_$p", lit(null)))
+    val r = right
+      .withColumn("__ts", col(rightTs))
+      .withColumn("__side", lit(0))
+    val rAll = payload.foldLeft(r)((df, p) =>
+      df.withColumn(s"__p_$p", col(p)))
+    val unioned = lAll
+      .select((keyCols ++ Seq("__ts", "__side")).map(col) ++
+        leftCols.filterNot(keyCols.contains).map(c =>
+          col(c).as(s"__l_$c")) ++
+        payload.map(p => col(s"__p_$p")): _*)
+      .unionByName(
+        rAll.select((keyCols ++ Seq("__ts", "__side")).map(col) ++
+          leftCols.filterNot(keyCols.contains).map(c =>
+            lit(null).as(s"__l_$c")) ++
+          payload.map(p => col(s"__p_$p")): _*))
+    // right rows sort before left rows at equal ts → ≤ semantics
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.foldLeft(unioned)((df, p) =>
+      df.withColumn(s"__c_$p",
+        last(col(s"__p_$p"), ignoreNulls = true).over(w)))
+    carried
+      .filter(col("__side") === 1 &&
+        payload.map(p => col(s"__c_$p").isNotNull).reduce(_ && _))
+      .select(keyCols.map(col) ++
+        leftCols.filterNot(keyCols.contains).map(c =>
+          col(s"__l_$c").as(c)) ++
+        payload.map(p => col(s"__c_$p").as(p)): _*)
+  }
+}

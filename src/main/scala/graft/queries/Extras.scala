@@ -216,7 +216,72 @@ object Extras {
         ON c_custkey = o_custkey
       ORDER BY custkey"""))
 
+  /** As-of join: each purchase attributed to the user's most recent
+    * click (classic attribution). Spark side composes union+window
+    * (graft.operators.AsOfJoin); the oracle uses DuckDB's native
+    * ASOF JOIN — two entirely different implementations, same rows. */
+  val asof_attribution = GQuery(
+    "asof_attribution",
+    (s, d) => {
+      import s.implicits._
+      val e = T.events(s, d)
+      val clicks = e.filter($"event_type" === "click")
+        .groupBy($"user_id", $"ts")
+        .agg(max($"event_id").as("click_id"))
+      val purchases = e.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"event_id".as("purchase_id"), $"value")
+      graft.operators.AsOfJoin.asofBackward(purchases, clicks,
+          Seq("user_id"), "ts", "ts", Seq("click_id"))
+        .select($"user_id", $"purchase_id", $"click_id", $"value")
+        .orderBy($"purchase_id")
+    },
+    Some("""
+      WITH clicks AS (
+        SELECT user_id, ts, MAX(event_id) AS click_id
+        FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+      p AS (
+        SELECT user_id, ts, event_id AS purchase_id, value
+        FROM events WHERE event_type = 'purchase')
+      SELECT p.user_id, p.purchase_id, c.click_id, p.value
+      FROM p ASOF JOIN clicks c
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+      ORDER BY purchase_id"""))
+
+  /** Range/interval join: error events within one hour after a signup
+    * of the same user. Spark side runs the binned equi-join composition
+    * (graft.operators.RangeJoin — no nested-loop cross product); the
+    * oracle is DuckDB's plain inequality join. Times in µs (see header
+    * note). */
+  val range_join_window = GQuery(
+    "range_join_window",
+    (s, d) => {
+      import s.implicits._
+      val hourUs = 3600L * 1000 * 1000
+      val e = T.events(s, d).withColumn("us", floor($"ts" / 1000L))
+      val signups = e.filter($"event_type" === "signup")
+        .select($"user_id", $"event_id".as("signup_id"),
+          $"us".as("lo"), ($"us" + hourUs).as("hi"))
+      val errors = e.filter($"event_type" === "error")
+        .select($"user_id", $"event_id".as("error_id"), $"us")
+      graft.operators.RangeJoin.pointInInterval(errors, signups,
+          Seq("user_id"), "us", "lo", "hi", hourUs)
+        .select($"user_id", $"signup_id", $"error_id")
+        .orderBy($"signup_id", $"error_id")
+    },
+    Some("""
+      WITH s AS (
+        SELECT user_id, event_id AS signup_id, epoch_us(ts) AS lo,
+               epoch_us(ts) + 3600000000 AS hi
+        FROM events WHERE event_type = 'signup'),
+      e AS (
+        SELECT user_id, event_id AS error_id, epoch_us(ts) AS us
+        FROM events WHERE event_type = 'error')
+      SELECT s.user_id, signup_id, error_id
+      FROM e JOIN s ON e.user_id = s.user_id
+        AND e.us >= s.lo AND e.us <= s.hi
+      ORDER BY signup_id, error_id"""))
+
   val all: Seq[GQuery] = Seq(sessionize, agg_cube, mm_binary_meta,
     agg_approx_distinct, ml_kmeans_profiles, set_ops, w2_rank_lag,
-    j6_outer_join)
+    j6_outer_join, asof_attribution, range_join_window)
 }
