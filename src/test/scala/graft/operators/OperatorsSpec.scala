@@ -71,6 +71,25 @@ class OperatorsSpec extends SparkSpec {
     assert(approx(c((1L, 4L)), -1.0))
   }
 
+  test("FloatDot is bit-identical to the declarative HOF spelling") {
+    val vecs64 = (1 to 20).map { i =>
+      (i.toLong, Array.tabulate(64)(j =>
+        (math.sin(i * 64 + j) * 3).toFloat))
+    }.toDF("vec_id", "embedding")
+    val pairs = vecs64.as("a").crossJoin(vecs64.as("b"))
+    val native = pairs.select(
+      graft.functions.VectorExprs.fdot($"a.embedding", $"b.embedding")
+        .as("d")).as[Double].collect()
+    val hof = pairs.select(
+      aggregate(zip_with($"a.embedding", $"b.embedding",
+        (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v).as("d")).as[Double].collect()
+    assert(native.length == hof.length)
+    native.zip(hof).foreach { case (n, h) =>
+      assert(n == h, s"bitwise mismatch: $n vs $h") // exact, not approx
+    }
+  }
+
   test("brute-force top-k ranks by cosine desc with id tie-break") {
     val topk = Similarity.bruteForceTopK(vecs,
       vecs.filter($"vec_id" === 1), "vec_id", "embedding", 2).collect()
