@@ -80,6 +80,54 @@ object Similarity {
         col("rank"), col("cos"))
   }
 
+  /** IVF (inverted-file) ANN: a KMeans coarse quantizer assigns every
+    * vector to its nearest of `nlist` centroids; queries score only the
+    * vectors in their `nprobe` nearest cells. The scale path when
+    * sign-bucket LSH recall is too coarse: centroids adapt to the data
+    * distribution, and the per-query candidate set is |N|·nprobe/nlist
+    * in expectation. Returns (query_id, neighbor_id, rank, cos). */
+  def ivfTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 2,
+      seed: Long = 42L): DataFrame = {
+    val spark = vectors.sparkSession
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val withVec = vectors.withColumn("__v",
+      array_to_vector(col(vecCol).cast("array<double>")))
+    val km = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("__v").setPredictionCol("__cell")
+      .fit(withVec)
+    val centroids = km.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat))
+    }
+    val centDf = spark.createDataFrame(centroids.toSeq)
+      .toDF("cell", "centroid")
+    // candidate cells per query: nprobe nearest centroids (tiny cross
+    // join against nlist rows, then rank)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      fnorm(col(vecCol)).as("qn"))
+    val qCells = q.crossJoin(broadcast(centDf))
+      .withColumn("cdist", fdot(col("qv"), col("centroid")))
+      .withColumn("crank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("cdist").desc, col("cell"))))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cell"))
+    val assigned = km.transform(withVec)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        col("__cell").as("cell"), fnorm(col(vecCol)).as("cn"))
+    val scored = qCells.join(assigned,
+      Seq("cell")).filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", pairCos(fdot(col("qv"), col("cv")),
+        col("qn"), col("cn")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
   /** Embedding near-duplicate pairs: same-block cosine ≥ threshold. */
   def embeddingNearDupPairs(vectors: DataFrame, idCol: String,
       vecCol: String, blockCol: String, threshold: Double): DataFrame = {

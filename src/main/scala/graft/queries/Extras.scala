@@ -281,7 +281,97 @@ object Extras {
         AND e.us >= s.lo AND e.us <= s.hi
       ORDER BY signup_id, error_id"""))
 
+  /** Composed cleaning pipeline — the actual training-data flow in one
+    * plan: quality-filter → fingerprint dedup (keep min doc_id) →
+    * per-language survivor stats. Every stage is oracle-checked as a
+    * unit elsewhere; this checks the composition. */
+  val pipeline_e2e = GQuery(
+    "pipeline_e2e",
+    (s, d) => {
+      import s.implicits._
+      import graft.operators.{TextAnalysis => TA}
+      val scored = T.documents(s, d)
+        .withColumn("quality", TA.qualityScore($"text"))
+        .withColumn("fp", TA.fingerprint($"text"))
+        .filter($"quality" >= 0.5)
+      val deduped = scored
+        .groupBy($"fp")
+        .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      deduped
+        .join(T.documents(s, d), Seq("doc_id"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_copies").as("n_before_dedup"),
+          round(sum(dec($"n_chars", 0)).cast("double") /
+            count(lit(1)).cast("double"), 6).as("avg_chars"))
+        .orderBy($"lang")
+    },
+    Some("""
+      WITH scored AS (
+        SELECT doc_id, lang, n_chars,
+               md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        FROM documents
+        WHERE 0.25 * (CASE WHEN len(string_split(text,' ')) BETWEEN 20 AND 200
+                      THEN 1.0 ELSE 0.0 END)
+            + 0.25 * (CASE WHEN
+                CAST(len(list_filter(string_split(text,' '),
+                  t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+                / len(string_split(text,' ')) BETWEEN 0.01 AND 0.6
+                THEN 1.0 ELSE 0.0 END)
+            + 0.25 * (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+                / len(string_split(text,' ')))
+            + 0.25 * (CAST(len(regexp_extract_all(text,'[A-Za-z]')) AS DOUBLE)
+                / length(replace(text,' ',''))) >= 0.5),
+      deduped AS (
+        SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        FROM scored GROUP BY fp)
+      SELECT d.lang, COUNT(*) AS n_docs,
+             CAST(SUM(n_copies) AS BIGINT) AS n_before_dedup,
+             ROUND(CAST(SUM(CAST(d.n_chars AS DECIMAL(38,0))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE), 6) AS avg_chars
+      FROM deduped JOIN documents d ON deduped.doc_id = d.doc_id
+      GROUP BY d.lang ORDER BY d.lang"""))
+
+  /** Conversion funnel: per user, ordered signup → first later click →
+    * first later purchase; counts per stage. */
+  val funnel = GQuery(
+    "funnel",
+    (s, d) => {
+      import s.implicits._
+      val e = T.events(s, d)
+      def stage(t: String, name: String) =
+        e.filter($"event_type" === t)
+          .groupBy($"user_id").agg(min($"ts").as(name))
+      val f = stage("signup", "t_signup")
+        .join(stage("click", "t_click"), Seq("user_id"), "left_outer")
+        .join(stage("purchase", "t_purchase"), Seq("user_id"), "left_outer")
+      f.select(
+          count(lit(1)).as("n_signup"),
+          sum(when($"t_click" > $"t_signup", 1L).otherwise(0L))
+            .as("n_click_after_signup"),
+          sum(when($"t_purchase" > $"t_click" &&
+            $"t_click" > $"t_signup", 1L).otherwise(0L))
+            .as("n_full_funnel"))
+    },
+    Some("""
+      WITH s AS (SELECT user_id, MIN(ts) AS t_signup FROM events
+                 WHERE event_type = 'signup' GROUP BY user_id),
+      c AS (SELECT user_id, MIN(ts) AS t_click FROM events
+            WHERE event_type = 'click' GROUP BY user_id),
+      p AS (SELECT user_id, MIN(ts) AS t_purchase FROM events
+            WHERE event_type = 'purchase' GROUP BY user_id)
+      SELECT COUNT(*) AS n_signup,
+             CAST(SUM(CASE WHEN t_click > t_signup THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_click_after_signup,
+             CAST(SUM(CASE WHEN t_purchase > t_click AND t_click > t_signup
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+      FROM s LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)"""))
+
+  private def dec(c: org.apache.spark.sql.Column, scale: Int) =
+    c.cast(org.apache.spark.sql.types.DecimalType(38, scale))
+
   val all: Seq[GQuery] = Seq(sessionize, agg_cube, mm_binary_meta,
     agg_approx_distinct, ml_kmeans_profiles, set_ops, w2_rank_lag,
-    j6_outer_join, asof_attribution, range_join_window)
+    j6_outer_join, asof_attribution, range_join_window, pipeline_e2e,
+    funnel)
 }

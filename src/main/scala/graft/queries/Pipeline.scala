@@ -331,8 +331,22 @@ object Pipeline {
       FROM documents d JOIN rh ON d.doc_id = rh.doc_id
       ORDER BY d.doc_id"""))
 
+  /** IVF ANN top-k (KMeans coarse quantizer, nprobe=2) — model-derived
+    * cell assignment can shift with partitioning, so rows-only check;
+    * exactness at full probe is pinned in OperatorsSpec. */
+  val sim_ivf_topk = GQuery(
+    "sim_ivf_topk",
+    (s, d) => {
+      val vecs = T.embeddings(s, d)
+      Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") < 50),
+          "vec_id", "embedding", 5, nlist = 16, nprobe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    None)
+
   val all: Seq[GQuery] = Seq(
     dedup_exact, dedup_minhash_lsh, dedup_simhash, dedup_ngram_jaccard,
     dedup_embedding_cosine, sim_topk_bruteforce, sim_lsh_bucketed,
-    text_tokens, text_quality, text_langid, text_fingerprint)
+    sim_ivf_topk, text_tokens, text_quality, text_langid,
+    text_fingerprint)
 }

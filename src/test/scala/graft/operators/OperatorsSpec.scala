@@ -106,6 +106,26 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.exists { case (q, n) => Set(q, n) == Set(1L, 4L) })
   }
 
+  test("IVF top-k: full probe equals brute force; partial probe ⊆ candidates") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (1L to 60L).map(i =>
+      (i, Array.fill(8)(rnd.nextGaussian().toFloat), 0))
+      .toDF("vec_id", "embedding", "label")
+    val queries = vecs.filter($"vec_id" <= 5)
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        r.getAs[Long]("neighbor_id")).toMap
+    val brute = asMap(Similarity.bruteForceTopK(vecs, queries,
+      "vec_id", "embedding", 3))
+    val fullProbe = asMap(Similarity.ivfTopK(vecs, queries,
+      "vec_id", "embedding", 3, nlist = 4, nprobe = 4))
+    assert(fullProbe == brute) // probing every cell = exact search
+    val partial = Similarity.ivfTopK(vecs, queries, "vec_id",
+      "embedding", 3, nlist = 4, nprobe = 1).collect()
+    assert(partial.nonEmpty)
+    partial.foreach(r => assert(r.getAs[Int]("rank") <= 3))
+  }
+
   test("text analysis: quality ∈ [0,1], langid deterministic, rolling hash order-sensitive") {
     val q = docs.select(TextAnalysis.qualityScore($"text").as("q"))
       .as[Double].collect()
