@@ -18,13 +18,13 @@ object MLCapabilities {
     * Returns (playerId, cluster). Players with < minMatches matches are
     * the intended *consumers* of the fallback (their cluster centroid's
     * mean rating/chemistry substitutes for their own history). */
-  def clusterProfiles(profiles: DataFrame, k: Int = 5, seed: Long = 42L)
-      : DataFrame = {
+  def clusterProfiles(profiles: DataFrame, k: Int = 5, seed: Long = 42L,
+      maxIter: Int = 12): DataFrame = {
     val features = new VectorAssembler()
       .setInputCols(Array("fouls", "goals", "own_goals", "pass_accuracy",
         "shots_on_target"))
       .setOutputCol("features")
-    val km = new KMeans().setK(k).setSeed(seed)
+    val km = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("features").setPredictionCol("cluster")
     new Pipeline().setStages(Array(features, km))
       .fit(profiles)

@@ -94,7 +94,7 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val withVec = vectors.withColumn("__v",
       array_to_vector(col(vecCol).cast("array<double>")))
-    val km = new KMeans().setK(nlist).setSeed(seed)
+    val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("__v").setPredictionCol("__cell")
       .fit(withVec)
     val centroids = km.clusterCenters.zipWithIndex.map { case (c, i) =>
