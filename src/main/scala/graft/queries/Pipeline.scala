@@ -146,6 +146,47 @@ object Pipeline {
       WHERE ROUND(dot / (SQRT(n1) * SQRT(n2)), 6) >= 0.4
       ORDER BY d1, d2"""))
 
+  /** Cross-modal semantic dedup: embedding-cosine near-dup pairs joined
+    * back to the documents table for both sides (embedding vec_id and
+    * doc_id share the key space). */
+  val dedup_semantic = GQuery(
+    "dedup_semantic",
+    (s, d) => {
+      val pairs = Similarity.embeddingNearDupPairs(T.embeddings(s, d),
+        "vec_id", "embedding", "label", 0.4)
+      val docs = T.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"))
+      pairs
+        .join(docs.select(col("doc_id").as("d1"), col("lang").as("lang1"),
+          col("source").as("source1")), Seq("d1"))
+        .join(docs.select(col("doc_id").as("d2"), col("lang").as("lang2"),
+          col("source").as("source2")), Seq("d2"))
+        .select(col("d1"), col("d2"), col("cos"), col("lang1"),
+          col("lang2"), col("source1"), col("source2"))
+        .orderBy(col("d1"), col("d2"))
+    },
+    Some("""
+      WITH pairs AS (
+        SELECT a.vec_id AS d1, b.vec_id AS d2,
+               a.embedding AS v1, b.embedding AS v2
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id),
+      dots AS (
+        SELECT d1, d2,
+               SUM(CAST(v1[i.i+1] AS DOUBLE) * CAST(v2[i.i+1] AS DOUBLE)) AS dot,
+               SUM(CAST(v1[i.i+1] AS DOUBLE) * CAST(v1[i.i+1] AS DOUBLE)) AS n1,
+               SUM(CAST(v2[i.i+1] AS DOUBLE) * CAST(v2[i.i+1] AS DOUBLE)) AS n2
+        FROM pairs, (SELECT CAST(range AS INT) AS i FROM range(64)) i
+        GROUP BY d1, d2),
+      nd AS (
+        SELECT d1, d2, ROUND(dot / (SQRT(n1) * SQRT(n2)), 6) AS cos
+        FROM dots WHERE ROUND(dot / (SQRT(n1) * SQRT(n2)), 6) >= 0.4)
+      SELECT d1, d2, cos, a.lang AS lang1, b.lang AS lang2,
+             a.source AS source1, b.source AS source2
+      FROM nd JOIN documents a ON nd.d1 = a.doc_id
+              JOIN documents b ON nd.d2 = b.doc_id
+      ORDER BY d1, d2"""))
+
   // -------------------------------------------------------- similarity
   /** Brute-force cosine top-5 for the first 10 query vectors. */
   val sim_topk_bruteforce = GQuery(
@@ -346,7 +387,7 @@ object Pipeline {
 
   val all: Seq[GQuery] = Seq(
     dedup_exact, dedup_minhash_lsh, dedup_simhash, dedup_ngram_jaccard,
-    dedup_embedding_cosine, sim_topk_bruteforce, sim_lsh_bucketed,
-    sim_ivf_topk, text_tokens, text_quality, text_langid,
-    text_fingerprint)
+    dedup_embedding_cosine, dedup_semantic, sim_topk_bruteforce,
+    sim_lsh_bucketed, sim_ivf_topk, text_tokens, text_quality,
+    text_langid, text_fingerprint)
 }
