@@ -83,6 +83,42 @@ object Serving {
     } finally squad.unpersist()
   }
 
+  /** Full spec flow for win prediction (docs/Specs.pdf pp.7-8, SURVEY
+    * §2.8): effective ratings come from the cluster fallback for
+    * sparse players (< minMatches), then the quadratic rating-vs-age
+    * model predicts each player's rating at the request date; any
+    * squad member predicted below 0.2 is "retired" and the request is
+    * rejected with the retired names. */
+  def winPredictionFull(
+      spark: SparkSession,
+      players: DataFrame,           // name, role, Id, birthDate
+      chemistrySym: DataFrame,
+      ratings: DataFrame,           // playerId, rating (last snapshot)
+      profiles: DataFrame,          // Folds.profiles output
+      ratingHistory: DataFrame,     // playerId, rating + age training rows
+      team1: TeamRequest, team2: TeamRequest, date: String,
+      rules: RoleRules = RoleRules(), minMatches: Long = 5L)
+      : Either[Map[String, Seq[String]], Seq[TeamChance]] = {
+    import spark.implicits._
+    val effective = MLCapabilities.fallbackRatings(profiles, ratings,
+      minMatches)
+      .select($"playerId", $"effective_rating".as("rating"))
+    val scorer = MLCapabilities.ratingVsAge(ratingHistory)
+    val reqNames = (team1.players ++ team2.players).toDF("name")
+    val squadAges = reqNames.join(broadcast(players), Seq("name"))
+      .select($"name", $"Id".as("playerId"),
+        MLCapabilities.ageAt($"birthDate", to_date(lit(date))).as("age"))
+    val predicted = scorer(squadAges)
+    val retired = predicted.filter($"retired")
+      .select($"name").as[String].collect().toSeq
+    if (retired.nonEmpty) Left(Map("retired" -> retired))
+    else winPrediction(spark, players, chemistrySym, effective,
+      team1, team2, rules) match {
+      case None => Left(Map("invalid" -> Seq("Invalid Team")))
+      case Some(chances) => Right(chances)
+    }
+  }
+
   /** r_type 2 — player profile (ui.py:77-107): background from the dim ⋈
     * cumulative profile metrics. */
   def playerProfile(players: DataFrame, profiles: DataFrame,

@@ -43,6 +43,47 @@ class MLSpec extends SparkSpec {
     assert(approx(out(6L), 0.8))
   }
 
+  test("winPredictionFull: fallback ratings + age model + retired rule (§2.8)") {
+    import org.apache.spark.sql.functions._
+    val roles = Seq("GK") ++ Seq.fill(4)("DF") ++ Seq.fill(4)("MD") ++
+      Seq.fill(2)("FW")
+    def team(offset: Int, birthYear: Int) = (0 until 11).map { i =>
+      (s"Q${offset + i}", roles(i), (offset + i).toLong,
+        java.sql.Date.valueOf(s"$birthYear-01-01"))
+    }
+    val squadA = team(100, 1995)   // ~23 at request date → prime
+    val playersDim = (squadA ++ team(200, 1995))
+      .toDF("name", "role", "Id", "birthDate")
+    val profiles = playersDim.select($"Id".as("playerId"))
+      .withColumn("fouls", lit(0L)).withColumn("goals", lit(1L))
+      .withColumn("own_goals", lit(0L))
+      .withColumn("pass_accuracy", lit(0.7))
+      .withColumn("shots_on_target", lit(2L))
+      .withColumn("matches_played", lit(10L))
+    val ratings = playersDim.select($"Id".as("playerId"))
+      .withColumn("rating", lit(0.6))
+    // training curve peaks at age 23, drops below 0.2 past ~35
+    val hist = (17 to 40).map(a =>
+      (a.toDouble, math.max(0.05, 0.8 - math.pow((a - 23.0) / 8, 2))))
+      .toDF("age", "rating")
+    val t1 = Serving.TeamRequest("QA", squadA.map(_._1))
+    val t2 = Serving.TeamRequest("QB", team(200, 1995).map(_._1))
+    val ok = Serving.winPredictionFull(spark, playersDim,
+      Seq.empty[(Long, Long, Double)].toDF("p1", "p2", "chemistry"),
+      ratings, profiles, hist, t1, t2, "2018-05-20")
+    assert(ok.isRight)
+    assert(approx(ok.toOption.get.map(_.winningChance).sum, 100.0))
+
+    // same squads but born 1975 → age 43 → predicted < 0.2 → retired
+    val oldDim = playersDim.withColumn("birthDate",
+      lit(java.sql.Date.valueOf("1975-01-01")))
+    val rej = Serving.winPredictionFull(spark, oldDim,
+      Seq.empty[(Long, Long, Double)].toDF("p1", "p2", "chemistry"),
+      ratings, profiles, hist, t1, t2, "2018-05-20")
+    assert(rej.isLeft)
+    assert(rej.left.toOption.get("retired").nonEmpty)
+  }
+
   test("quadratic rating-vs-age fits a parabola; retired rule at 0.2") {
     // rating = 1 - ((age-27)/10)^2 peaks at 27
     val train = (17 to 37).map { a =>
