@@ -36,8 +36,27 @@ object RequestApp {
           Serving.TeamRequest(row.getString(0),
             (1 to 11).map(i => row.getString(i)))
         }
-        val out = Serving.winPrediction(spark, players, chemistrySym,
-          ratings, side("team1"), side("team2")) match {
+        // full §2.8 model flow when the request carries a date and the
+        // dims carry birthDate: fallback ratings + age model + retired
+        val useModel = req.columns.contains("date") &&
+          players.columns.contains("birthDate") &&
+          profiles.columns.contains("matches_played")
+        val result =
+          if (useModel) {
+            val date = req.select($"date").as[String].head()
+            val hist = ratings.join(players.select($"Id".as("playerId"),
+                MLCapabilities.ageAt($"birthDate", to_date(lit(date)))
+                  .as("age")), Seq("playerId"))
+              .select($"age", $"rating")
+            Serving.winPredictionFull(spark, players, chemistrySym,
+              ratings, profiles, hist, side("team1"), side("team2"),
+              date) match {
+              case Right(chances) => Some(chances)
+              case Left(_) => None
+            }
+          } else Serving.winPrediction(spark, players, chemistrySym,
+            ratings, side("team1"), side("team2"))
+        val out = result match {
           case None => Seq(("Invalid Team", null: String, null: String))
             .toDF("status", "_1", "_2").select($"status")
           case Some(Seq(t1, t2)) =>
