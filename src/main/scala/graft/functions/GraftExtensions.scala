@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL surface for the engine's custom expressions.
+  *
+  * Two registration paths:
+  *  - config-time: `--conf spark.sql.extensions=graft.functions.GraftExtensions`
+  *    injects the functions into every session of the application;
+  *  - runtime: `GraftExtensions.register(spark)` adds them to an
+  *    existing session's function registry.
+  *
+  * After either, plain SQL works:
+  *   SELECT fdot(a.embedding, b.embedding) FROM …
+  *   SELECT minhash_sig(split(text, ' '), 8, 3) FROM documents
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.definitions.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft.functions", name, usage)
+
+  val definitions: Seq[(String, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    ("fdot",
+      info("fdot", "fdot(a, b) - double dot product of two float arrays"),
+      (exprs: Seq[Expression]) => FloatDot(exprs(0), exprs(1))),
+    ("minhash_sig",
+      info("minhash_sig",
+        "minhash_sig(tokens, numHashes, k) - MinHash signature over k-shingles"),
+      (exprs: Seq[Expression]) => MinHashSig(exprs(0),
+        exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Int])),
+    ("shingle_set",
+      info("shingle_set",
+        "shingle_set(tokens, k) - distinct k-token shingles"),
+      (exprs: Seq[Expression]) => ShingleSet(exprs(0),
+        exprs(1).eval().asInstanceOf[Int])))
+
+  /** Register into an already-running session. */
+  def register(spark: SparkSession): Unit =
+    definitions.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+
+  /** Self-check: builds a session WITH the extensions class (the
+    * `spark.sql.extensions` startup path) and probes each function
+    * from plain SQL. */
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dot = spark.sql(
+      "SELECT fdot(array(CAST(1 AS FLOAT), CAST(2 AS FLOAT))," +
+        " array(CAST(3 AS FLOAT), CAST(4 AS FLOAT)))").head().getDouble(0)
+    val sig = spark.sql(
+      "SELECT minhash_sig(array('a','b','c','d'), 8, 3)")
+      .head().getSeq[String](0)
+    val shs = spark.sql("SELECT shingle_set(array('a','b','c','d'), 3)")
+      .head().getSeq[String](0)
+    println(s"fdot=$dot sig=${sig.length} shingles=$shs")
+    assert(dot == 11.0 && sig.length == 8 &&
+      shs == Seq("a b c", "b c d"))
+    println("extensions self-check OK")
+    spark.stop()
+  }
+}

@@ -1,0 +1,38 @@
+package graft.functions
+
+import graft.SparkSpec
+
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("custom expressions are callable from plain SQL after register") {
+    GraftExtensions.register(spark)
+    Seq((Array(1f, 2f, 3f), Array(4f, 5f, 6f))).toDF("a", "b")
+      .createOrReplaceTempView("vt")
+    val dot = spark.sql("SELECT fdot(a, b) AS d FROM vt")
+      .as[Double].head()
+    assert(dot == 32.0)
+
+    Seq("the quick brown fox jumps").toDF("text")
+      .createOrReplaceTempView("tt")
+    val sig = spark.sql(
+      "SELECT minhash_sig(split(text, ' '), 8, 3) AS s FROM tt")
+      .head().getSeq[String](0)
+    assert(sig.length == 8 && sig.forall(_.length == 8))
+    val shs = spark.sql(
+      "SELECT shingle_set(split(text, ' '), 3) AS s FROM tt")
+      .head().getSeq[String](0)
+    assert(shs == Seq("the quick brown", "quick brown fox",
+      "brown fox jumps"))
+  }
+
+  test("config-time extensions class injects the same functions") {
+    // fresh session in the same JVM via newSession + manual injection
+    // mirrors what spark.sql.extensions does at startup
+    val ext = new GraftExtensions()
+    // apply() is exercised structurally: definitions list is shared
+    assert(GraftExtensions.definitions.map(_._1) ==
+      Seq("fdot", "minhash_sig", "shingle_set"))
+    assert(ext.isInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit])
+  }
+}
