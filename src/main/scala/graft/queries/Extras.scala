@@ -367,11 +367,48 @@ object Extras {
                       THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
       FROM s LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)"""))
 
+  /** Pure-SQL surface: a TPC-H Q3-shaped query submitted as SQL text
+    * over registered views — Catalyst parses, decorrelates and reorders
+    * it like any DataFrame plan (identical SQL runs on the oracle). */
+  val sql_shipping_priority = GQuery(
+    "sql_shipping_priority",
+    (s, d) => {
+      graft.Views.register(s, d)
+      s.sql("""
+        SELECT o_orderkey,
+               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                 AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
+               o_orderdate_s, o_orderpriority
+        FROM (SELECT o_orderkey, o_custkey,
+                     date_format(o_orderdate, 'yyyy-MM-dd') AS o_orderdate_s,
+                     o_orderpriority
+              FROM orders) o
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey, o_orderdate_s, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10""")
+    },
+    Some("""
+      SELECT o_orderkey,
+             CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+               AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
+             strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s,
+             o_orderpriority
+      FROM orders
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      WHERE c_mktsegment = 'BUILDING'
+      GROUP BY o_orderkey, o_orderdate_s, o_orderpriority
+      ORDER BY revenue DESC, o_orderkey
+      LIMIT 10"""))
+
   private def dec(c: org.apache.spark.sql.Column, scale: Int) =
     c.cast(org.apache.spark.sql.types.DecimalType(38, scale))
 
   val all: Seq[GQuery] = Seq(sessionize, agg_cube, mm_binary_meta,
     agg_approx_distinct, ml_kmeans_profiles, set_ops, w2_rank_lag,
     j6_outer_join, asof_attribution, range_join_window, pipeline_e2e,
-    funnel)
+    funnel, sql_shipping_priority)
 }

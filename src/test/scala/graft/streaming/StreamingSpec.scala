@@ -153,6 +153,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static broadcast enrichment (closes ⋈ players dim)") {
+    implicit val sc = spark.sqlContext
+    val playersDim = Seq((1L, "Alice"), (3L, "Cara"))
+      .toDF("Id", "pname")
+    val stream = MemoryStream[String]
+    val enriched = FplStream.matchCloses(
+        FplStream.toMessages(stream.toDF()))
+      .toDF()
+      .join(org.apache.spark.sql.functions.broadcast(playersDim),
+        $"playerId" === $"Id", "inner")
+    val q = enriched.writeStream.format("memory")
+      .queryName("enriched_closes").outputMode("append").start()
+    try {
+      val sentinel = Fixture.matchJson
+        .replace("\"wyId\":1001", "\"wyId\":9999")
+      stream.addData(Fixture.allLines :+ sentinel)
+      q.processAllAvailable()
+      val names = spark.table("enriched_closes")
+        .select("pname").as[String].collect().toSet
+      assert(names == Set("Alice", "Cara"))
+    } finally q.stop()
+  }
+
+  test("late events beyond the watermark are dropped AND counted") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    val df = stream.toDF().toDF("ts", "event_type")
+    val q = StreamOps.windowedAgg(df, "ts", "1 minute", "10 minutes")
+      .writeStream.format("memory").queryName("late_drop")
+      .outputMode("append").start()
+    try {
+      def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      stream.addData((t(0), "a"), (t(30), "b"))  // watermark → 10:29
+      q.processAllAvailable()
+      stream.addData((t(5), "late"))             // far behind watermark
+      q.processAllAvailable()
+      val dropped = q.recentProgress
+        .flatMap(p => p.stateOperators.map(_.numRowsDroppedByWatermark))
+        .sum
+      assert(dropped >= 1, s"expected a counted drop, got $dropped")
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark") {
     implicit val sc = spark.sqlContext
     val stream = MemoryStream[(java.sql.Timestamp, String)]
