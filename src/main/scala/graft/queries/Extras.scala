@@ -407,8 +407,32 @@ object Extras {
   private def dec(c: org.apache.spark.sql.Column, scale: Int) =
     c.cast(org.apache.spark.sql.types.DecimalType(38, scale))
 
+  /** Pivot: long→wide per-user event-type counts (the DataFrame
+    * `.pivot()` operator; the oracle spells the same contract as CASE
+    * sums). */
+  val pivot_events = GQuery(
+    "pivot_events",
+    (s, d) => {
+      import s.implicits._
+      T.events(s, d)
+        .groupBy($"user_id")
+        .pivot($"event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy($"user_id")
+    },
+    Some("""
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+             CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
   val all: Seq[GQuery] = Seq(sessionize, agg_cube, mm_binary_meta,
     agg_approx_distinct, ml_kmeans_profiles, set_ops, w2_rank_lag,
     j6_outer_join, asof_attribution, range_join_window, pipeline_e2e,
-    funnel, sql_shipping_priority)
+    funnel, sql_shipping_priority, pivot_events)
 }

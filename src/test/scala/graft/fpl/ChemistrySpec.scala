@@ -37,6 +37,17 @@ class ChemistrySpec extends SparkSpec {
     assert(pairs.length == 3) // C(3,2), not 6 directed
   }
 
+  test("clamp option bounds chemistry to [0,1] (spec); default preserves reference") {
+    val pairs = Seq((1L, 10L, 20L, 0.9), (2L, 10L, 20L, 0.9))
+      .toDF("matchId", "p1", "p2", "pairDelta")
+    val raw = Chemistry.fromPairDeltas(pairs)
+      .select("chemistry").as[Double].head()
+    assert(approx(raw, 2.3))   // 0.5 + 1.8, unbounded like the reference
+    val clamped = Chemistry.fromPairDeltas(pairs, clamp = true)
+      .select("chemistry").as[Double].head()
+    assert(clamped == 1.0)
+  }
+
   test("chemistry accumulates from 0.5 across matches, symmetric view") {
     val deltas = Seq(
       (1L, 10L, 100L, 0.02), (1L, 20L, 100L, 0.06),   // match 1: +0.04
