@@ -56,13 +56,16 @@ object Flatten {
           .as("inMinute"),
         when(col("isStarter"), coalesce(subMinute("playerOut"), lit(90)))
           .otherwise(when(subMinute("playerIn").isNotNull, lit(90))
-            .otherwise(lit(-1))).as("outMinute"))
+            .otherwise(lit(-1))).as("outMinute"),
+        // "played the whole match without substitution" = absent from
+        // the substitution list entirely — a starter subbed out at
+        // exactly minute 90 does NOT qualify (spec §1c, docs/Specs.pdf
+        // p.6), so this cannot be derived from outMinute == 90.
+        (col("isStarter") && subMinute("playerOut").isNull)
+          .as("neverSubstituted"))
       .withColumn("minutesPlayed",
         when(col("inMinute") === -1, lit(0))
           .otherwise(col("outMinute") - col("inMinute")))
-      .withColumn("neverSubstituted",
-        col("isStarter") && col("outMinute") === 90 &&
-          col("inMinute") === 0)
   }
 
   /** G3: match-detail flatten — per squad member goals/own-goals/cards

@@ -29,6 +29,28 @@ object GraftExtensions {
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft.functions", name, usage)
 
+  /** Constant-integer argument extraction with proper analysis-time
+    * errors (mirroring how Spark built-ins validate constant args): a
+    * column reference or non-integral literal gets a descriptive error
+    * instead of a ClassCastException/NPE from a blind eval(). Integral
+    * widths other than INT (TINYINT/SMALLINT/BIGINT literals like 8L)
+    * are accepted and narrowed. */
+  private def constInt(fn: String, argName: String, pos: Int,
+      e: Expression): Int = {
+    def fail(got: String): Nothing = throw new IllegalArgumentException(
+      s"[$fn] argument $pos ($argName) must be a constant integer, " +
+        s"got $got")
+    if (!e.foldable) fail(s"non-constant expression ${e.sql}")
+    e.eval() match {
+      case i: Int => i
+      case l: Long if l.isValidInt => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case null => fail("NULL")
+      case _ => fail(s"${e.dataType.sql} literal ${e.sql}")
+    }
+  }
+
   val definitions: Seq[(String, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     ("fdot",
@@ -38,13 +60,13 @@ object GraftExtensions {
       info("minhash_sig",
         "minhash_sig(tokens, numHashes, k) - MinHash signature over k-shingles"),
       (exprs: Seq[Expression]) => MinHashSig(exprs(0),
-        exprs(1).eval().asInstanceOf[Int],
-        exprs(2).eval().asInstanceOf[Int])),
+        constInt("minhash_sig", "numHashes", 2, exprs(1)),
+        constInt("minhash_sig", "k", 3, exprs(2)))),
     ("shingle_set",
       info("shingle_set",
         "shingle_set(tokens, k) - distinct k-token shingles"),
       (exprs: Seq[Expression]) => ShingleSet(exprs(0),
-        exprs(1).eval().asInstanceOf[Int])))
+        constInt("shingle_set", "k", 2, exprs(1)))))
 
   /** Register into an already-running session. */
   def register(spark: SparkSession): Unit =

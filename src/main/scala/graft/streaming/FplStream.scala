@@ -107,19 +107,26 @@ object FplStream {
     }
 
     msgs.toSeq.sortBy(m => (m.matchId, m.kind, m.order)).foreach { m =>
-      if (m.matchId > st.matchId && st.matchId >= 0) close()
-      if (m.kind == 0) {
-        st = st.copy(matchId = m.matchId, factor = m.factor,
-          teamId = m.teamId)
-      } else {
-        val cs = st.counters.clone()
-        var i = 0
-        while (i < NumCounters) { cs(i) += m.counters(i); i += 1 }
-        st = st.copy(matchId = math.max(st.matchId, m.matchId),
-          counters = cs,
-          // events carry teamId too — fallback when the match record
-          // (and its minutes fan-out) was lost upstream
-          teamId = if (st.teamId < 0) m.teamId else st.teamId)
+      // A message older than the open match is a straggler from an
+      // already-closed match arriving in a later micro-batch; folding
+      // it into the open match would silently corrupt its counters.
+      // The spec's ordering guarantee makes this rare — drop it.
+      if (st.matchId >= 0 && m.matchId < st.matchId) ()
+      else {
+        if (m.matchId > st.matchId && st.matchId >= 0) close()
+        if (m.kind == 0) {
+          st = st.copy(matchId = m.matchId, factor = m.factor,
+            teamId = m.teamId)
+        } else {
+          val cs = st.counters.clone()
+          var i = 0
+          while (i < NumCounters) { cs(i) += m.counters(i); i += 1 }
+          st = st.copy(matchId = math.max(st.matchId, m.matchId),
+            counters = cs,
+            // events carry teamId too — fallback when the match record
+            // (and its minutes fan-out) was lost upstream
+            teamId = if (st.teamId < 0) m.teamId else st.teamId)
+        }
       }
     }
     state.update(st)
@@ -134,28 +141,60 @@ object FplStream {
         GroupStateTimeout.NoTimeout)(handle)
   }
 
+  /** Idempotent per-batch parquet write: the table is partitioned by
+    * batchId and each batch dynamically OVERWRITES only its own
+    * partition. foreachBatch is at-least-once — if the job dies after
+    * the write but before the checkpoint commit, the replayed batch
+    * (same batchId) replaces its partition instead of re-appending, so
+    * downstream sums never double-count. */
+  private def writeBatchPartition(df: DataFrame, batchId: Long,
+      dir: String): Unit =
+    df.withColumn("batchId", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batchId")
+      .parquet(dir)
+
+  /** Location-agnostic existence probe (java.io.File would be wrong on
+    * HDFS/object stores). */
+  private def dirExists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** End-to-end: raw line stream → match-close stream, writing parquet
-    * tables via foreachBatch (K1-K3 replacement: transactional parquet
-    * appends instead of repr-text directories). */
+    * tables via foreachBatch (K1-K3 replacement: batchId-partitioned
+    * idempotent parquet instead of repr-text directories). */
   def run(lines: DataFrame, outDir: String, checkpoint: String) = {
     val closes = matchCloses(toMessages(lines))
     closes.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[MatchClose], batchId: Long) =>
-        batch.toDF.withColumn("batchId", lit(batchId))
-          .write.mode("append").parquet(outDir)
-        ()
+        // Empty batches write nothing: under dynamic overwrite an empty
+        // frame has no partitions, leaving a schema-less directory that
+        // breaks later reads. Replay is deterministic (same offsets +
+        // versioned state), so a skipped batch stays skippable.
+        if (!batch.isEmpty) writeBatchPartition(batch.toDF, batchId, outDir)
       }
       .outputMode("append")
   }
 
   /** Full streaming consolidation — the reference's separate post-stream
     * Python pass (metrics.py, SURVEY E2) collapsed into foreachBatch:
-    * match-closes append to `<dir>/closes`, and per-match chemistry
+    * match-closes land in `<dir>/closes`, and per-match chemistry
     * pair-deltas upsert incrementally to `<dir>/pair_deltas`. A match's
     * players can close in different micro-batches, so each batch pairs
     * its new closes against (a) each other and (b) previously-closed
     * rows of the same matches — every unordered pair lands exactly once.
+    *
+    * Both sinks are batchId-partitioned with dynamic-partition
+    * overwrite, so an at-least-once replay of a batch (crash between
+    * the two writes, or after writing but before the checkpoint commit)
+    * replaces that batch's partitions rather than re-appending — no
+    * double-counted pair deltas. The prior-closes read excludes the
+    * current batchId so a partially-written previous attempt can never
+    * pair against itself.
+    *
     * The final chemistry table is 0.5 + sum over pair_deltas
     * (`graft.fpl.Chemistry.fromPairDeltas`). */
   def runFull(lines: DataFrame, stateDir: String, checkpoint: String) = {
@@ -165,31 +204,39 @@ object FplStream {
     closes.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[MatchClose], batchId: Long) =>
-        val spark = batch.sparkSession
-        val newDeltas = batch.toDF
-          .select(col("matchId"), col("playerId"), col("teamId"),
-            col("delta"))
-          .cache()
-        try {
-          val newPairs = graft.fpl.Chemistry.pairDeltas(newDeltas)
-          val crossPairs =
-            if (new java.io.File(closesDir).isDirectory) {
-              val prior = spark.read.parquet(closesDir)
-                .select(col("matchId"), col("playerId"), col("teamId"),
-                  col("delta"))
-                .join(newDeltas.select(col("matchId")).distinct(),
-                  Seq("matchId"), "left_semi")
-              graft.fpl.Chemistry.pairDeltasBetween(newDeltas, prior)
-            } else spark.emptyDataFrame
-          val allPairs =
-            if (crossPairs.columns.nonEmpty)
-              newPairs.unionByName(crossPairs)
-            else newPairs
-          allPairs.write.mode("append").parquet(pairsDir)
-          batch.toDF.withColumn("batchId", lit(batchId))
-            .write.mode("append").parquet(closesDir)
-        } finally { newDeltas.unpersist(); () }
+        consolidateBatch(batch.toDF, batchId, closesDir, pairsDir)
       }
       .outputMode("append")
+  }
+
+  /** One consolidation step of [[runFull]] — exposed so tests can replay
+    * a batchId and assert the sink is idempotent under at-least-once
+    * delivery. */
+  def consolidateBatch(batch: DataFrame, batchId: Long,
+      closesDir: String, pairsDir: String): Unit = {
+    val spark = batch.sparkSession
+    val newDeltas = batch
+      .select(col("matchId"), col("playerId"), col("teamId"),
+        col("delta"))
+      .cache()
+    try if (!newDeltas.isEmpty) {
+      val newPairs = graft.fpl.Chemistry.pairDeltas(newDeltas)
+      val crossPairs =
+        if (dirExists(spark, closesDir)) {
+          val prior = spark.read.parquet(closesDir)
+            .filter(col("batchId") =!= batchId)
+            .select(col("matchId"), col("playerId"), col("teamId"),
+              col("delta"))
+            .join(newDeltas.select(col("matchId")).distinct(),
+              Seq("matchId"), "left_semi")
+          graft.fpl.Chemistry.pairDeltasBetween(newDeltas, prior)
+        } else spark.emptyDataFrame
+      val allPairs =
+        if (crossPairs.columns.nonEmpty)
+          newPairs.unionByName(crossPairs)
+        else newPairs
+      writeBatchPartition(allPairs, batchId, pairsDir)
+      writeBatchPartition(batch, batchId, closesDir)
+    } finally { newDeltas.unpersist(); () }
   }
 }

@@ -19,7 +19,9 @@ object MkState {
     Ingest.players(spark, "/tmp/players.csv").write.mode("overwrite").parquet(s"$out/players")
     Ingest.teams(spark, "/tmp/teams.csv").write.mode("overwrite").parquet(s"$out/teams")
     Chemistry.symmetric(chem).write.mode("overwrite").parquet(s"$out/chemistry_sym")
-    ratings.groupBy($"playerId").agg(org.apache.spark.sql.functions.last($"rating").as("rating"))
+    // max_by picks the rating of the highest matchId deterministically
+    // (last() in a batch agg has no defined ordering across partitions)
+    ratings.groupBy($"playerId").agg(org.apache.spark.sql.functions.max_by($"rating", $"matchId").as("rating"))
       .write.mode("overwrite").parquet(s"$out/ratings")
     Folds.profiles(fm).write.mode("overwrite").parquet(s"$out/profiles")
     Ingest.matches(parsed).write.mode("overwrite").parquet(s"$out/matches")

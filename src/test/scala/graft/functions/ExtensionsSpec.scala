@@ -26,6 +26,26 @@ class ExtensionsSpec extends SparkSpec {
       "brown fox jumps"))
   }
 
+  test("constant-arg validation: descriptive errors, wider literals ok") {
+    GraftExtensions.register(spark)
+    Seq(Seq("a", "b", "c", "d")).toDF("toks")
+      .createOrReplaceTempView("vtoks")
+    // BIGINT literal narrows cleanly
+    assert(spark.sql("SELECT shingle_set(toks, CAST(2 AS BIGINT)) AS s " +
+      "FROM vtoks").head().getSeq[String](0).length == 3)
+    // column reference (non-foldable) → descriptive error, not a CCE
+    val e1 = intercept[Exception](
+      spark.sql("SELECT minhash_sig(toks, length(toks[0]), 2) FROM vtoks")
+        .collect())
+    assert(e1.getMessage.contains("must be a constant integer"),
+      e1.getMessage)
+    // string literal → descriptive error
+    val e2 = intercept[Exception](
+      spark.sql("SELECT shingle_set(toks, 'two') FROM vtoks").collect())
+    assert(e2.getMessage.contains("must be a constant integer"),
+      e2.getMessage)
+  }
+
   test("config-time extensions class injects the same functions") {
     // fresh session in the same JVM via newSession + manual injection
     // mirrors what spark.sql.extensions does at startup

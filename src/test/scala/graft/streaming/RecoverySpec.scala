@@ -39,6 +39,34 @@ class RecoverySpec extends SparkSpec {
     assert(approx(p1.getAs[Double]("rating"), 0.3609375))
   }
 
+  test("at-least-once replay of a consolidation batch is idempotent") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-replay")
+    val closesDir = tmp.resolve("closes").toString
+    val pairsDir = tmp.resolve("pair_deltas").toString
+    def batch(rows: (Long, Long, Long, Double)*) =
+      rows.toSeq.toDF("matchId", "playerId", "teamId", "delta")
+
+    // batch 0: two teammates of match 10 close
+    FplStream.consolidateBatch(batch((10L, 1L, 100L, 0.1),
+      (10L, 2L, 100L, 0.2)), 0L, closesDir, pairsDir)
+    // batch 1: an opponent of the same match closes later
+    FplStream.consolidateBatch(batch((10L, 3L, 200L, -0.1)),
+      1L, closesDir, pairsDir)
+    def chem = graft.fpl.Chemistry.fromPairDeltas(
+      spark.read.parquet(pairsDir)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val first = chem
+    assert(first.size == 3) // (1,2) same-team + (1,3),(2,3) cross
+
+    // crash between write and checkpoint commit → batch 1 replays
+    FplStream.consolidateBatch(batch((10L, 3L, 200L, -0.1)),
+      1L, closesDir, pairsDir)
+    assert(chem == first, "replayed batch double-counted pair deltas")
+    assert(spark.read.parquet(closesDir)
+      .filter($"playerId" === 3L).count() == 1,
+      "replayed batch re-appended closes")
+  }
+
   test("malformed lines parse to corrupt rows and are excluded cleanly") {
     val lines = (Fixture.allLines :+ "{not json at all" :+ "" :+
       """{"unknownField": 1}""").toDF("value")

@@ -117,6 +117,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("straggler event from an already-closed match is dropped") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[String]
+    val q = FplStream.matchCloses(FplStream.toMessages(stream.toDF()))
+      .writeStream.format("memory").queryName("strag_closes")
+      .outputMode("append").start()
+    try {
+      stream.addData(Fixture.allLines); q.processAllAvailable()
+      stream.addData(Seq(matchJson(1002, 2)) ++ match2Events)
+      q.processAllAvailable()
+      // a late event for closed match 1001 lands while 1002 is open —
+      // folding it in would corrupt 1002's counters; it must be dropped
+      stream.addData(Seq(ev(999, 1001, 8, 1, 100, Seq(1801))))
+      q.processAllAvailable()
+      stream.addData(Seq(matchJson(1003, 3))); q.processAllAvailable()
+
+      // batch reference over the CLEAN season (no straggler)
+      val parsed = Ingest.parse(season.toDF("value"))
+      val fm = MetricsAlgebra.playerMatchMetrics(Ingest.events(parsed))
+      val expected = fm.filter($"playerId" === 1 && $"matchId" === 1002)
+        .select("pass_accuracy").as[Double].head()
+      val got = spark.table("strag_closes")
+        .filter($"playerId" === 1 && $"matchId" === 1002)
+        .select("passAccuracy").as[Double].head()
+      assert(approx(got, expected),
+        s"straggler corrupted match-1002 counters: $got vs $expected")
+    } finally q.stop()
+  }
+
   test("windowed aggregation with watermark over a replayed event stream") {
     implicit val sc = spark.sqlContext
     val stream = MemoryStream[(java.sql.Timestamp, String)]
