@@ -4,7 +4,8 @@ package graft
   * this single list. */
 object Registry {
   def all: Seq[GQuery] =
-    queries.Core.all ++ queries.Pipeline.all ++ queries.Extras.all
+    queries.Core.all ++ queries.Pipeline.all ++ queries.Extras.all ++
+      queries.Relational.all
 
   def queryMap: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

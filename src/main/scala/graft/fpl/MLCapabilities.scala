@@ -26,8 +26,11 @@ object MLCapabilities {
       .setOutputCol("features")
     // k-means|| init kept: with tiny well-separated clusters (the unit
     // fixture) random init can collapse two centroids onto one cluster;
-    // the init passes are what guarantee the k distinct modes are found
+    // the init passes are what guarantee the k distinct modes are found.
+    // A 1e-3 tol suffices for a k=5 profile clustering — every saved
+    // Lloyd iteration is a full distributed job.
     val km = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
+      .setTol(1e-3)
       .setFeaturesCol("features").setPredictionCol("cluster")
     new Pipeline().setStages(Array(features, km))
       .fit(profiles)

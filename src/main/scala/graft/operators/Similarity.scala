@@ -80,53 +80,108 @@ object Similarity {
         col("rank"), col("cos"))
   }
 
-  /** IVF (inverted-file) ANN: a KMeans coarse quantizer assigns every
-    * vector to its nearest of `nlist` centroids; queries score only the
-    * vectors in their `nprobe` nearest cells. The scale path when
-    * sign-bucket LSH recall is too coarse: centroids adapt to the data
-    * distribution, and the per-query candidate set is |N|·nprobe/nlist
-    * in expectation. Returns (query_id, neighbor_id, rank, cos). */
+  /** Driver-side Lloyd's with k-means++ seeding over a bounded sample.
+    * Quantizer training is O(sample·k·iters·dim) — microscopic next to
+    * one distributed pass over the data — so it runs where it's free
+    * (the driver) instead of as a fleet of tiny cluster jobs. */
+  private[operators] def localLloyd(points: Array[Array[Float]], k: Int,
+      iters: Int, seed: Long): Array[Array[Float]] = {
+    val n = points.length
+    require(n > 0, "ivfTopK: empty training sample")
+    val dim = points(0).length
+    val rnd = new scala.util.Random(seed)
+    def dist2(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var j = 0
+      while (j < dim) { val t = a(j) - b(j); d += t * t; j += 1 }
+      d
+    }
+    // k-means++ (D²) seeding: balanced cells bound the per-cell join
+    // fan-out, and good seeds need few Lloyd iterations to converge
+    val kk = math.min(k, n)
+    val cents = scala.collection.mutable.ArrayBuffer(
+      points(rnd.nextInt(n)).clone)
+    val minD = Array.fill(n)(Double.MaxValue)
+    while (cents.length < kk) {
+      var i = 0
+      var total = 0.0
+      while (i < n) {
+        val d = dist2(points(i), cents.last)
+        if (d < minD(i)) minD(i) = d
+        total += minD(i); i += 1
+      }
+      var r = rnd.nextDouble() * total
+      var pick = 0
+      i = 0
+      while (i < n - 1 && r > 0) { r -= minD(i); if (r > 0) pick = i + 1; i += 1 }
+      cents += points(pick).clone
+    }
+    var centArr = cents.toArray
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(centArr.length)(new Array[Double](dim))
+      val counts = new Array[Long](centArr.length)
+      var i = 0
+      while (i < n) {
+        val p = points(i)
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < centArr.length) {
+          val d = dist2(p, centArr(c))
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        val s = sums(best); var j = 0
+        while (j < dim) { s(j) += p(j); j += 1 }
+        counts(best) += 1
+        i += 1
+      }
+      centArr = Array.tabulate(centArr.length) { c =>
+        if (counts(c) == 0) centArr(c)
+        else Array.tabulate(dim)(j => (sums(c)(j) / counts(c)).toFloat)
+      }
+    }
+    centArr
+  }
+
+  /** IVF (inverted-file) ANN: a coarse quantizer assigns every vector to
+    * its nearest of `nlist` centroids; queries score only the vectors in
+    * their `nprobe` nearest cells. The scale path when sign-bucket LSH
+    * recall is too coarse: centroids adapt to the data distribution, and
+    * the per-query candidate set is |N|·nprobe/nlist in expectation.
+    *
+    * Scale shape (FAISS-style): quantizer trained on a bounded sample
+    * (≥256 points/cell) locally on the driver; centroids broadcast as a
+    * literal; cell assignment is a pure map-side projection (argmin-L2
+    * via `array_max` over the centroid array — no shuffle, no ML jobs);
+    * the probe side is broadcast into the candidate join so the big
+    * vector table never shuffles. Returns (query_id, neighbor_id, rank,
+    * cos). */
   def ivfTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 2,
       seed: Long = 42L): DataFrame = {
-    val spark = vectors.sparkSession
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val withVec = vectors.withColumn("__v",
-      array_to_vector(col(vecCol).cast("array<double>")))
-    // Quantizer training follows IVF practice: fit on a bounded sample
-    // (≥256 points per cell is the usual rule of thumb) — at data scale
-    // the full set is far too large to iterate on, and the centroids
-    // don't improve past a few hundred points per cell. Random init with
-    // a fixed seed avoids k-means||'s extra distributed passes.
-    val train = withVec.limit(math.max(nlist * 256, 4096))
-    // k-means|| init is kept: balanced cells are what bound the
-    // per-cell join fan-out; a coarse quantizer needs few Lloyd
-    // iterations beyond a good init
-    val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(6)
-      .setFeaturesCol("__v").setPredictionCol("__cell")
-      .fit(train)
-    val centroids = km.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray.map(_.toFloat))
-    }
-    val centDf = spark.createDataFrame(centroids.toSeq)
-      .toDF("cell", "centroid")
-    // candidate cells per query: nprobe nearest centroids (tiny cross
-    // join against nlist rows, then rank)
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      fnorm(col(vecCol)).as("qn"))
-    val qCells = q.crossJoin(broadcast(centDf))
-      .withColumn("cdist", fdot(col("qv"), col("centroid")))
-      .withColumn("crank", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
-          .orderBy(col("cdist").desc, col("cell"))))
-      .filter(col("crank") <= nprobe)
-      .select(col("query_id"), col("qv"), col("qn"), col("cell"))
-    val assigned = km.transform(withVec)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-        col("__cell").as("cell"), fnorm(col(vecCol)).as("cn"))
-    val scored = qCells.join(assigned,
-      Seq("cell")).filter(col("query_id") =!= col("neighbor_id"))
+    val sample = vectors.select(col(vecCol))
+      .limit(math.max(nlist * 256, 4096))
+      .collect().map(_.getSeq[Float](0).toArray)
+    val cents = localLloyd(sample, nlist, iters = 8, seed = seed)
+    // centroid literal: array<struct<cell:int, cv:array<float>, n2:double>>
+    // where n2 = |c|²; nearest-by-L2 == argmax(2·v·c − |c|²), so struct
+    // comparison on (score, cell) picks the nearest cell deterministically
+    val centArr = array(cents.zipWithIndex.map { case (cv, i) =>
+      struct(lit(i).as("cell"), typedlit(cv).as("cv"),
+        lit(cv.foldLeft(0.0)((a, x) => a + x.toDouble * x)).as("n2"))
+    }: _*)
+    def cellScores(vec: Column): Column = transform(centArr, c =>
+      struct((fdot(vec, c.getField("cv")) * lit(2.0) - c.getField("n2"))
+        .as("score"), c.getField("cell").as("cell")))
+    val assigned = vectors.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"), fnorm(col(vecCol)).as("cn"),
+      array_max(cellScores(col(vecCol))).getField("cell").as("cell"))
+    // nprobe nearest cells per query — map-side sort of the 16-element
+    // score array, then explode; no window, no shuffle
+    val qCells = queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("qv"), fnorm(col(vecCol)).as("qn"),
+        explode(slice(reverse(array_sort(cellScores(col(vecCol)))), 1,
+          nprobe).getField("cell")).as("cell"))
+    val scored = broadcast(qCells).join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", pairCos(fdot(col("qv"), col("cv")),
         col("qn"), col("cn")))
     val w = org.apache.spark.sql.expressions.Window

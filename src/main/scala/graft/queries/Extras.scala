@@ -106,16 +106,28 @@ object Extras {
   /** HyperLogLog approximate distinct — engine-specific sketches can't
     * hash-match an oracle, so this is declared rows-only (the driver
     * records a weaker check); the exact distinct twin is agg_distinct. */
+  /** HLL approx-distinct with its accuracy contract hash-checked: the
+    * oracle pins the exact count, and the boolean asserts the ±2%-rsd
+    * sketch landed within 5% of it — so the sketch path is verified
+    * rather than merely row-counted. */
   val agg_approx_distinct = GQuery(
     "agg_approx_distinct",
     (s, d) => {
       import s.implicits._
       T.events(s, d)
         .groupBy($"event_type")
-        .agg(approx_count_distinct($"user_id", 0.02).as("approx_users"))
+        .agg(countDistinct($"user_id").as("exact_users"),
+          approx_count_distinct($"user_id", 0.02).as("approx"))
+        .select($"event_type", $"exact_users",
+          (abs($"approx" - $"exact_users") <= $"exact_users" * lit(0.05))
+            .as("approx_ok"))
         .orderBy($"event_type")
     },
-    None)
+    Some("""
+      SELECT event_type,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+             TRUE AS approx_ok
+      FROM events GROUP BY event_type ORDER BY event_type"""))
 
   /** KMeans(k=5) profile clustering (SURVEY §2.8) — model output, no
     * SQL oracle; rows-only check + ClusteringSpec pins behavior. */
@@ -374,21 +386,23 @@ object Extras {
     "sql_shipping_priority",
     (s, d) => {
       graft.Views.register(s, d)
-      // customer join first: orders shrinks through the broadcast
-      // customer join + segment filter before meeting lineitem, letting
-      // AQE broadcast the filtered side at runtime
+      // The fact table (lineitem) must be the streaming side: the
+      // orders⋈customer subquery shrinks through the segment filter to
+      // dimension size, so it is the broadcast build side (hinted —
+      // without it Spark's size estimate can pick lineitem as the build
+      // side, a plan that dies at real scale).
       s.sql("""
-        SELECT o_orderkey,
+        SELECT /*+ BROADCAST(o) */ o_orderkey,
                CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
                  AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
                o_orderdate_s, o_orderpriority
-        FROM (SELECT o_orderkey, o_custkey,
+        FROM lineitem
+        JOIN (SELECT o_orderkey,
                      date_format(o_orderdate, 'yyyy-MM-dd') AS o_orderdate_s,
                      o_orderpriority
-              FROM orders) o
-        JOIN customer ON c_custkey = o_custkey
-        JOIN lineitem ON l_orderkey = o_orderkey
-        WHERE c_mktsegment = 'BUILDING'
+              FROM orders JOIN customer ON c_custkey = o_custkey
+              WHERE c_mktsegment = 'BUILDING') o
+          ON l_orderkey = o_orderkey
         GROUP BY o_orderkey, o_orderdate_s, o_orderpriority
         ORDER BY revenue DESC, o_orderkey
         LIMIT 10""")

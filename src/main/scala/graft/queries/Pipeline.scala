@@ -385,9 +385,43 @@ object Pipeline {
     },
     None)
 
+  /** IVF with nprobe = nlist (full probe): every cell is scored, so the
+    * candidate set is all vectors and the result must equal brute force
+    * exactly — an oracle-checked proof that IVF cell assignment is a
+    * lossless partition of the corpus. */
+  val sim_ivf_fullprobe = GQuery(
+    "sim_ivf_fullprobe",
+    (s, d) => {
+      val vecs = T.embeddings(s, d)
+      Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") < 10),
+          "vec_id", "embedding", 5, nlist = 16, nprobe = 16)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                 FROM embeddings WHERE vec_id < 10),
+      c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+      dots AS (
+        SELECT query_id, neighbor_id,
+               SUM(CAST(qv[i.i+1] AS DOUBLE) * CAST(cv[i.i+1] AS DOUBLE)) AS dot,
+               SUM(CAST(qv[i.i+1] AS DOUBLE) * CAST(qv[i.i+1] AS DOUBLE)) AS nq,
+               SUM(CAST(cv[i.i+1] AS DOUBLE) * CAST(cv[i.i+1] AS DOUBLE)) AS nc
+        FROM q JOIN c ON query_id <> neighbor_id,
+             (SELECT CAST(range AS INT) AS i FROM range(64)) i
+        GROUP BY query_id, neighbor_id),
+      ranked AS (
+        SELECT query_id, neighbor_id,
+               ROUND(dot / (SQRT(nq) * SQRT(nc)), 6) AS cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY ROUND(dot / (SQRT(nq) * SQRT(nc)), 6) DESC,
+                          neighbor_id) AS rank
+        FROM dots)
+      SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos
+      FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   val all: Seq[GQuery] = Seq(
     dedup_exact, dedup_minhash_lsh, dedup_simhash, dedup_ngram_jaccard,
     dedup_embedding_cosine, dedup_semantic, sim_topk_bruteforce,
-    sim_lsh_bucketed, sim_ivf_topk, text_tokens, text_quality,
-    text_langid, text_fingerprint)
+    sim_lsh_bucketed, sim_ivf_topk, sim_ivf_fullprobe, text_tokens,
+    text_quality, text_langid, text_fingerprint)
 }

@@ -1,0 +1,205 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{GQuery, Tables => T}
+
+/** Second wave of relational surface: multidimensional grouping
+  * (rollup / grouping sets), unpivot, distribution window functions,
+  * exact interpolated percentiles, string algebra, and higher-order
+  * array functions — each hash-checked against the DuckDB oracle.
+  *
+  * NULL group-indicator columns from rollup/grouping-sets are
+  * COALESCEd to a sentinel on both sides so canonicalization never
+  * depends on engine NULL-ordering.
+  */
+object Relational {
+
+  private def dec(c: org.apache.spark.sql.Column, scale: Int) =
+    c.cast(org.apache.spark.sql.types.DecimalType(38, scale))
+
+  /** ROLLUP over (priority, status): per-group, per-priority subtotal
+    * and grand total in one pass (Expand + single shuffle — no
+    * self-union of three aggregations). */
+  val agg_rollup = GQuery(
+    "agg_rollup",
+    (s, d) => {
+      import s.implicits._
+      T.orders(s, d)
+        .rollup($"o_orderpriority", $"o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          dec(sum(dec($"o_totalprice", 4)), 4).cast("double").as("total"))
+        .select(coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+          coalesce($"o_orderstatus", lit("ALL")).as("status"),
+          $"n", $"total")
+        .orderBy($"priority", $"status")
+    },
+    Some("""
+      SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+             COALESCE(o_orderstatus, 'ALL') AS status,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+               AS DECIMAL(38,4)) AS DOUBLE) AS total
+      FROM orders
+      GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+      ORDER BY priority, status"""))
+
+  /** GROUPING SETS ((priority), (status)): two independent groupings in
+    * one Expand pass instead of two scans + union. */
+  val agg_grouping_sets = GQuery(
+    "agg_grouping_sets",
+    (s, d) => {
+      graft.Views.register(s, d)
+      s.sql("""
+        SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+               COALESCE(o_orderstatus, 'ALL') AS status,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+        ORDER BY priority, status""")
+    },
+    Some("""
+      SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+             COALESCE(o_orderstatus, 'ALL') AS status,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+      ORDER BY priority, status"""))
+
+  /** Unpivot (wide→long): four lineitem measures melted to (metric,
+    * value) rows, re-aggregated per metric. The melt is a zero-shuffle
+    * Expand; only the final 4-group agg exchanges. */
+  val unpivot_measures = GQuery(
+    "unpivot_measures",
+    (s, d) => {
+      import s.implicits._
+      T.lineitem(s, d)
+        .unpivot(Array($"l_orderkey"),
+          Array($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax"),
+          "metric", "value")
+        .groupBy($"metric")
+        .agg(count(lit(1)).as("n"),
+          dec(sum(dec($"value", 4)), 4).cast("double").as("total"))
+        .orderBy($"metric")
+    },
+    Some("""
+      SELECT metric, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(38,4)))
+               AS DECIMAL(38,4)) AS DOUBLE) AS total
+      FROM (
+        SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', l_discount FROM lineitem
+        UNION ALL
+        SELECT 'l_tax', l_tax FROM lineitem)
+      GROUP BY metric ORDER BY metric"""))
+
+  /** Distribution window functions: ntile / percent_rank / cume_dist
+    * per priority partition, deterministically tie-broken. */
+  val w3_distribution = GQuery(
+    "w3_distribution",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_orderpriority")
+        .orderBy($"o_totalprice", $"o_orderkey")
+      T.orders(s, d).select(
+        $"o_orderkey", $"o_orderpriority",
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+        .orderBy($"o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey, o_orderpriority,
+             CAST(NTILE(4) OVER w AS INT) AS quartile,
+             ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+             ROUND(CUME_DIST() OVER w, 6) AS cume
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice, o_orderkey)
+      ORDER BY o_orderkey"""))
+
+  /** Exact interpolated percentiles (p25/p50/p75 of l_quantity per
+    * return flag) — Spark `percentile` and DuckDB `quantile_cont` share
+    * the linear-interpolation definition. */
+  val agg_percentiles = GQuery(
+    "agg_percentiles",
+    (s, d) => {
+      import s.implicits._
+      val ps = expr(
+        "percentile(l_quantity, array(0.25D, 0.5D, 0.75D))")
+      T.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(round(element_at(ps, 1), 6).as("p25"),
+          round(element_at(ps, 2), 6).as("p50"),
+          round(element_at(ps, 3), 6).as("p75"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag,
+             ROUND(quantile_cont(l_quantity, 0.25), 6) AS p25,
+             ROUND(quantile_cont(l_quantity, 0.50), 6) AS p50,
+             ROUND(quantile_cont(l_quantity, 0.75), 6) AS p75
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** String algebra over documents: length / case / reverse / substring
+    * / edit distance / first-token extraction — all codegen'd
+    * built-ins, no UDFs. */
+  val str_funcs = GQuery(
+    "str_funcs",
+    (s, d) => {
+      import s.implicits._
+      T.documents(s, d).select(
+        $"doc_id",
+        length($"text").as("len"),
+        upper(substring($"text", 1, 12)).as("head_u"),
+        reverse(lower(substring($"text", 1, 8))).as("tail_r"),
+        levenshtein(substring($"text", 1, 16), lit("training data is"))
+          .as("lev"),
+        element_at(split($"text", " "), 1).as("w1"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(LENGTH(text) AS INT) AS len,
+             UPPER(substr(text, 1, 12)) AS head_u,
+             REVERSE(LOWER(substr(text, 1, 8))) AS tail_r,
+             CAST(levenshtein(substr(text, 1, 16), 'training data is')
+               AS INT) AS lev,
+             string_split(text, ' ')[1] AS w1
+      FROM documents ORDER BY doc_id"""))
+
+  /** Higher-order array functions (transform / filter / aggregate) over
+    * tokenized documents — per-row array algebra stays inside one
+    * projection, no explode+reaggregate round trip. */
+  val hof_tokens = GQuery(
+    "hof_tokens",
+    (s, d) => {
+      import s.implicits._
+      val toks = split($"text", " ")
+      T.documents(s, d).select(
+        $"doc_id",
+        size(toks).as("n_tokens"),
+        size(filter(toks, t => length(t) > 4)).as("n_long"),
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+          .as("chars_sum"),
+        array_max(transform(toks, t => length(t))).as("max_len"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+             CAST(len(list_filter(string_split(text, ' '),
+               t -> LENGTH(t) > 4)) AS INT) AS n_long,
+             CAST(list_sum(list_transform(string_split(text, ' '),
+               t -> LENGTH(t))) AS BIGINT) AS chars_sum,
+             CAST(list_max(list_transform(string_split(text, ' '),
+               t -> LENGTH(t))) AS INT) AS max_len
+      FROM documents ORDER BY doc_id"""))
+
+  val all: Seq[GQuery] = Seq(agg_rollup, agg_grouping_sets,
+    unpivot_measures, w3_distribution, agg_percentiles, str_funcs,
+    hof_tokens)
+}
