@@ -71,7 +71,9 @@ object Multimodal {
 
   /** Frame-sampling shape for video-like payloads: split the payload
     * into `frames` equal chunks and feature-extract each — the row
-    * explodes into (media_id, frame_idx, features). */
+    * explodes into (media_id, frame_idx, n_bytes, features). n_bytes is
+    * the slice length (deterministic, so the frame-slicing contract is
+    * oracle-checkable even though features come from the stub codec). */
   def sampleFrames(media: DataFrame, frames: Int, dims: Int = 8)
       : DataFrame = {
     val spark = media.sparkSession
@@ -83,9 +85,9 @@ object Multimodal {
         (0 until frames).iterator.map { f =>
           val slice = payload.slice(f * chunk,
             math.min((f + 1) * chunk, payload.length))
-          (id, f, codec.decodeToFeatures(slice, dims))
+          (id, f, slice.length, codec.decodeToFeatures(slice, dims))
         }
-      }.toDF("media_id", "frame_idx", "features")
+      }.toDF("media_id", "frame_idx", "n_bytes", "features")
   }
 
   /** Synthesize a media table from any text column (for tests/benches:

@@ -103,9 +103,49 @@ object Extras {
              sha256(text) AS sha256
       FROM documents ORDER BY media_id"""))
 
-  /** HyperLogLog approximate distinct — engine-specific sketches can't
-    * hash-match an oracle, so this is declared rows-only (the driver
-    * records a weaker check); the exact distinct twin is agg_distinct. */
+  /** Per-partition decode/feature-extract over binary payloads (the
+    * mapPartitions runtime path — codec init once per task): the
+    * deterministic fields (byte count, sha) are oracle-checked; the
+    * stub-codec feature vector itself is pinned in MultimodalSpec. */
+  val mm_feature_extract = GQuery(
+    "mm_feature_extract",
+    (s, d) => {
+      import s.implicits._
+      Multimodal.extractFeatures(
+          Multimodal.fromText(T.documents(s, d), "doc_id", "text"))
+        .select($"media_id", $"modality", $"n_bytes", $"sha256")
+        .orderBy($"media_id")
+    },
+    Some("""
+      SELECT doc_id AS media_id, 'image' AS modality,
+             CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+             sha256(text) AS sha256
+      FROM documents ORDER BY media_id"""))
+
+  /** Frame sampling: payload split into 4 equal chunks, one row per
+    * frame — the slicing contract (per-frame byte counts, including the
+    * dropped-remainder edge) is oracle-checked. */
+  val mm_frame_sample = GQuery(
+    "mm_frame_sample",
+    (s, d) => {
+      import s.implicits._
+      Multimodal.sampleFrames(
+          Multimodal.fromText(T.documents(s, d), "doc_id", "text"),
+          frames = 4)
+        .select($"media_id", $"frame_idx", $"n_bytes")
+        .orderBy($"media_id", $"frame_idx")
+    },
+    Some("""
+      WITH f AS (SELECT CAST(range AS INT) AS frame_idx FROM range(4)),
+      c AS (SELECT doc_id AS media_id,
+                   octet_length(encode(text)) AS len,
+                   GREATEST(1, octet_length(encode(text)) // 4) AS chunk
+            FROM documents)
+      SELECT media_id, frame_idx,
+             CAST(GREATEST(0, LEAST((frame_idx + 1) * chunk, len)
+               - frame_idx * chunk) AS INT) AS n_bytes
+      FROM c, f ORDER BY media_id, frame_idx"""))
+
   /** HLL approx-distinct with its accuracy contract hash-checked: the
     * oracle pins the exact count, and the boolean asserts the ±2%-rsd
     * sketch landed within 5% of it — so the sketch path is verified
@@ -449,6 +489,7 @@ object Extras {
       FROM events GROUP BY user_id ORDER BY user_id"""))
 
   val all: Seq[GQuery] = Seq(sessionize, agg_cube, mm_binary_meta,
+    mm_feature_extract, mm_frame_sample,
     agg_approx_distinct, ml_kmeans_profiles, set_ops, w2_rank_lag,
     j6_outer_join, asof_attribution, range_join_window, pipeline_e2e,
     funnel, sql_shipping_priority, pivot_events)

@@ -199,7 +199,31 @@ object Relational {
                t -> LENGTH(t))) AS INT) AS max_len
       FROM documents ORDER BY doc_id"""))
 
+  /** Salted join equivalence: the hot-key-safe salted join (big side
+    * salted by whole-row hash, small side replicated per bucket) must
+    * produce exactly the plain inner join's result — the oracle IS the
+    * plain join. */
+  val skew_salted_join = GQuery(
+    "skew_salted_join",
+    (s, d) => {
+      import s.implicits._
+      val big = T.lineitem(s, d).select($"l_orderkey".as("k"), $"l_quantity")
+      val small = T.orders(s, d)
+        .select($"o_orderkey".as("k"), $"o_orderpriority")
+      graft.operators.Skew.saltedJoin(big, small, Seq("k"), saltBuckets = 8)
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          dec(sum(dec($"l_quantity", 4)), 4).cast("double").as("qty"))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,4)))
+               AS DECIMAL(38,4)) AS DOUBLE) AS qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   val all: Seq[GQuery] = Seq(agg_rollup, agg_grouping_sets,
     unpivot_measures, w3_distribution, agg_percentiles, str_funcs,
-    hof_tokens)
+    hof_tokens, skew_salted_join)
 }
