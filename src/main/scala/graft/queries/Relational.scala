@@ -207,21 +207,21 @@ object Relational {
     "skew_salted_join",
     (s, d) => {
       import s.implicits._
-      val big = T.lineitem(s, d).select($"l_orderkey".as("k"), $"l_quantity")
-      val small = T.orders(s, d)
-        .select($"o_orderkey".as("k"), $"o_orderpriority")
+      val big = T.orders(s, d).select($"o_custkey".as("k"), $"o_totalprice")
+      val small = T.customer(s, d)
+        .select($"c_custkey".as("k"), $"c_mktsegment")
       graft.operators.Skew.saltedJoin(big, small, Seq("k"), saltBuckets = 8)
-        .groupBy($"o_orderpriority")
+        .groupBy($"c_mktsegment")
         .agg(count(lit(1)).as("n"),
-          dec(sum(dec($"l_quantity", 4)), 4).cast("double").as("qty"))
-        .orderBy($"o_orderpriority")
+          dec(sum(dec($"o_totalprice", 4)), 4).cast("double").as("total"))
+        .orderBy($"c_mktsegment")
     },
     Some("""
-      SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,4)))
-               AS DECIMAL(38,4)) AS DOUBLE) AS qty
-      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+      SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+               AS DECIMAL(38,4)) AS DOUBLE) AS total
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
   val all: Seq[GQuery] = Seq(agg_rollup, agg_grouping_sets,
     unpivot_measures, w3_distribution, agg_percentiles, str_funcs,
