@@ -42,4 +42,22 @@ object StreamOps {
       keyCols: Seq[String]): DataFrame =
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Stream-stream equi-join with an event-time interval bound: right
+    * rows match left rows with the same key whose timestamp falls in
+    * [leftTs, leftTs + bound]. Both sides carry watermarks, so buffered
+    * state is evicted once the bound + watermark horizon passes —
+    * without the time bound a stream-stream join's state grows without
+    * limit. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      key: String, leftTs: String, rightTs: String,
+      watermark: String, bound: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r, l(key) === r(key) &&
+      col(rightTs) >= col(leftTs) &&
+      col(rightTs) <= col(leftTs) + expr(s"INTERVAL $bound"),
+      "inner")
+      .drop(r(key))
+  }
 }

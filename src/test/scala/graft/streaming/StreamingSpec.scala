@@ -239,4 +239,26 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table("deduped").count() == 2)
     } finally q.stop()
   }
+
+  test("stream-stream interval join matches within the time bound only") {
+    implicit val sc = spark.sqlContext
+    val imps = MemoryStream[(java.sql.Timestamp, Long)]
+    val clicks = MemoryStream[(java.sql.Timestamp, Long)]
+    val joined = StreamOps.intervalJoin(
+      imps.toDF().toDF("imp_ts", "ad_id"),
+      clicks.toDF().toDF("click_ts", "ad_id"),
+      "ad_id", "imp_ts", "click_ts", "1 minute", "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("attributed")
+      .outputMode("append").start()
+    try {
+      def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      imps.addData((t(0), 1L), (t(0), 2L))
+      // ad 1 clicked within the 10-minute bound; ad 2 clicked after it
+      clicks.addData((t(5), 1L), (t(20), 2L))
+      q.processAllAvailable()
+      val rows = spark.table("attributed").select("ad_id")
+        .as[Long].collect().toSeq
+      assert(rows == Seq(1L), s"expected only ad 1 attributed, got $rows")
+    } finally q.stop()
+  }
 }
