@@ -61,6 +61,61 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan("j5_anti_join", "simple").contains("LeftAnti"))
   }
 
+  test("shipping priority: lineitem is never a broadcast build side") {
+    val p = plan("sql_shipping_priority")
+    // the fact table must stream; only the filtered orders⋈customer
+    // side may broadcast (a lineitem broadcast dies at real scale)
+    val lines = p.linesIterator.toVector
+    def indent(l: String) = l.indexWhere(c => c != ' ' && c != ':' &&
+      c != '+' && c != '-')
+    val scanLoc = raw"\((\d+)\) Scan parquet".r.findAllMatchIn(p).map { m =>
+      val tail = p.substring(m.start)
+      m.group(1) -> raw"Location: \S+ \[([^\]]*)\]".r
+        .findFirstMatchIn(tail).map(_.group(1)).getOrElse("")
+    }.toMap
+    val broadcastScanIds = lines.zipWithIndex
+      .filter(_._1.contains("BroadcastExchange ("))
+      .flatMap { case (bl, i) =>
+        lines.drop(i + 1)
+          .takeWhile(l => indent(l) > indent(bl))
+          .flatMap(l => raw"Scan parquet\s+\((\d+)\)".r
+            .findFirstMatchIn(l).map(_.group(1)))
+      }
+    assert(broadcastScanIds.nonEmpty, p)
+    broadcastScanIds.foreach { id =>
+      assert(!scanLoc(id).contains("lineitem"),
+        s"lineitem (scan $id) landed under a BroadcastExchange:\n" + p)
+    }
+  }
+
+  test("rollup/grouping sets: single Expand pass, no self-union") {
+    val r = plan("agg_rollup", "simple")
+    assert(r.contains("Expand"), r)
+    assert(!r.contains("Union"), "rollup as self-union:\n" + r)
+    val g = plan("agg_grouping_sets", "simple")
+    assert(g.contains("Expand"), g)
+    assert(!g.contains("Union"), g)
+  }
+
+  test("unpivot: melt is an Expand projection, not a union of scans") {
+    val p = plan("unpivot_measures", "simple")
+    assert(p.contains("Expand"), p)
+    assert(p.split("Scan parquet").length - 1 == 1,
+      "unpivot re-scanned the table:\n" + p)
+  }
+
+  test("ivf: assignment is map-side; only the probe side broadcasts") {
+    val p = plan("sim_ivf_topk", "simple")
+    // no ML job artifacts: the whole query is one Catalyst plan with a
+    // broadcast of the (tiny) exploded query-cell side
+    assert(p.contains("BroadcastHashJoin"), p)
+    // vector side: scan → project(assignment) with no exchange between
+    val scanIdx = p.lastIndexOf("Scan parquet")
+    val lastExchange = p.lastIndexOf("Exchange")
+    assert(lastExchange < scanIdx,
+      "vector-side assignment shuffled before the candidate join:\n" + p)
+  }
+
   test("minhash: signature kernel runs below the first (tiny) exchange") {
     val p = plan("dedup_minhash_lsh", "simple")
     // partial_min of the per-doc signature must happen map-side, before
