@@ -70,13 +70,27 @@ object FplStream {
     events.unionByName(minutes).as[PlayerMsg]
   }
 
-  /** The per-key state handler. Messages are replayed in (matchId,
-    * order) sequence; a matchId greater than the open one closes it. */
+  val initialState: PlayerState =
+    PlayerState(-1L, 1.05, -1L, new Array[Long](NumCounters), 0.5,
+      0L, 0L, 0L, 0.0, 0L, 0L)
+
+  /** The per-key state handler (flatMapGroupsWithState adapter over
+    * [[foldMessages]]). */
   def handle(playerId: Long, msgs: Iterator[PlayerMsg],
       state: GroupState[PlayerState]): Iterator[MatchClose] = {
-    var st = state.getOption.getOrElse(
-      PlayerState(-1L, 1.05, -1L, new Array[Long](NumCounters), 0.5,
-        0L, 0L, 0L, 0.0, 0L, 0L))
+    val (st, out) =
+      foldMessages(playerId, state.getOption.getOrElse(initialState), msgs)
+    state.update(st)
+    out.iterator
+  }
+
+  /** Pure per-key fold — ONE kernel shared by the
+    * flatMapGroupsWithState and transformWithState paths (and directly
+    * callable in tests). Messages are replayed in (matchId, order)
+    * sequence; a matchId greater than the open one closes it. */
+  def foldMessages(playerId: Long, start: PlayerState,
+      msgs: Iterator[PlayerMsg]): (PlayerState, Seq[MatchClose]) = {
+    var st = start
     val out = scala.collection.mutable.ArrayBuffer.empty[MatchClose]
 
     // Only event-producing players emit and update state (the batch
@@ -129,8 +143,7 @@ object FplStream {
         }
       }
     }
-    state.update(st)
-    out.iterator
+    (st, out.toSeq)
   }
 
   /** Streaming (or batch) messages → match-close stream. */

@@ -261,4 +261,41 @@ class StreamingSpec extends SparkSpec {
       assert(rows == Seq(1L), s"expected only ad 1 attributed, got $rows")
     } finally q.stop()
   }
+
+  test("transformWithState closes equal the flatMapGroupsWithState path") {
+    implicit val sc = spark.sqlContext
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    // transformWithState only runs on the RocksDB store
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[String]
+      val q = FplStreamTWS.matchCloses(
+          FplStream.toMessages(stream.toDF()))
+        .writeStream.format("memory").queryName("tws_closes")
+        .outputMode("append").start()
+      try {
+        season.grouped(5).foreach { chunk =>
+          stream.addData(chunk); q.processAllAvailable()
+        }
+        def key(r: org.apache.spark.sql.Row) =
+          (r.getAs[Long]("playerId"), r.getAs[Long]("matchId"))
+        val tws = spark.table("tws_closes").collect()
+          .map(r => key(r) -> r.getAs[Double]("rating")).toMap
+        // reference: the (already batch-verified) FMGWS kernel run
+        // directly over the whole replay
+        val fmgws = FplStream.matchCloses(
+            FplStream.toMessages(season.toDF("value")))
+          .collect().map(c => (c.playerId, c.matchId) -> c.rating).toMap
+        assert(tws == fmgws,
+          s"TWS/FMGWS divergence: ${tws.toSet.diff(fmgws.toSet)}")
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset(
+        "spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
