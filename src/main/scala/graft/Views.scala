@@ -10,14 +10,19 @@ import org.apache.spark.sql.SparkSession
   * same directory would re-list files and re-read footers on every SQL
   * query invocation — at object-store scale that's a metadata storm.
   * Switching sfDir re-registers so views always point at the requested
-  * data. */
+  * data. The cache records success AFTER the views exist (a failed
+  * registration stays retryable) and keys the live session weakly (no
+  * leak, no identity-hash reuse across sessions). */
 object Views {
-  private val last =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val last = new java.util.WeakHashMap[SparkSession, String]()
 
   def register(spark: SparkSession, sfDir: String): Unit =
-    if (last.put(System.identityHashCode(spark).toString, sfDir) != sfDir)
-      Tables.names.foreach { t =>
-        Tables.load(spark, sfDir, t).createOrReplaceTempView(t)
+    last.synchronized {
+      if (last.get(spark) != sfDir) {
+        Tables.names.foreach { t =>
+          Tables.load(spark, sfDir, t).createOrReplaceTempView(t)
+        }
+        last.put(spark, sfDir)
       }
+    }
 }

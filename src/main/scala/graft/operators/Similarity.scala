@@ -156,8 +156,16 @@ object Similarity {
     * cos). */
   def ivfTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 2,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, broadcastProbes: Boolean = true): DataFrame = {
+    // Training sample: top-n by content hash — a deterministic
+    // pseudo-random draw that is distribution-representative even when
+    // the table is clustered by id/time (a bare limit() would read one
+    // corner of the data). TakeOrdered keeps a 4096-row heap per
+    // partition: one pass, no full sort. Null vectors are dirty data,
+    // not trainable points.
     val sample = vectors.select(col(vecCol))
+      .where(col(vecCol).isNotNull)
+      .orderBy(xxhash64(col(vecCol)))
       .limit(math.max(nlist * 256, 4096))
       .collect().map(_.getSeq[Float](0).toArray)
     val cents = localLloyd(sample, nlist, iters = 8, seed = seed)
@@ -180,7 +188,13 @@ object Similarity {
         col(vecCol).as("qv"), fnorm(col(vecCol)).as("qn"),
         explode(slice(reverse(array_sort(cellScores(col(vecCol)))), 1,
           nprobe).getField("cell")).as("cell"))
-    val scored = broadcast(qCells).join(assigned, Seq("cell"))
+    // An ANN probe set is normally dimension-sized → broadcast it so
+    // the vector table never shuffles. For all-pairs / bulk-inference
+    // shapes (queries ≈ corpus) pass broadcastProbes=false and the
+    // planner joins on the cell key instead of collecting the probe
+    // side to every executor.
+    val probes = if (broadcastProbes) broadcast(qCells) else qCells
+    val scored = probes.join(assigned, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", pairCos(fdot(col("qv"), col("cv")),
         col("qn"), col("cn")))

@@ -248,7 +248,11 @@ object FplStream {
         if (crossPairs.columns.nonEmpty)
           newPairs.unionByName(crossPairs)
         else newPairs
-      writeBatchPartition(allPairs, batchId, pairsDir)
+      // a batch can close players without completing any pair (e.g. a
+      // single close) — writing an empty frame would leave a
+      // schema-less parquet dir that breaks later reads (same guard as
+      // run())
+      if (!allPairs.isEmpty) writeBatchPartition(allPairs, batchId, pairsDir)
       writeBatchPartition(batch, batchId, closesDir)
     } finally { newDeltas.unpersist(); () }
   }

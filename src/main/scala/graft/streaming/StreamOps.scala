@@ -54,9 +54,11 @@ object StreamOps {
       watermark: String, bound: String): DataFrame = {
     val l = left.withWatermark(leftTs, watermark)
     val r = right.withWatermark(rightTs, watermark)
+    // every column qualified through its own side — both streams may
+    // name their event-time column identically
     l.join(r, l(key) === r(key) &&
-      col(rightTs) >= col(leftTs) &&
-      col(rightTs) <= col(leftTs) + expr(s"INTERVAL $bound"),
+      r(rightTs) >= l(leftTs) &&
+      r(rightTs) <= l(leftTs) + expr(s"INTERVAL $bound"),
       "inner")
       .drop(r(key))
   }
