@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table-layout management for parquet at scale: bounded file sizes,
+  * value-clustered files, and small-file compaction.
+  *
+  * At 100 TB the two layout failure modes are (a) the small-file
+  * problem — millions of KB-sized files from over-parallel or
+  * incremental writes turn every scan into a metadata storm — and
+  * (b) unclustered files, where every file contains every key range so
+  * min/max row-group pruning never eliminates anything.
+  */
+object Layout {
+
+  /** Write `df` with at most `targetRowsPerFile` rows per file,
+    * optionally hive-partitioned by `partitionCols` and value-clustered
+    * by `clusterCols`.
+    *
+    * Clustering = repartitionByRange on the cluster key, then
+    * sortWithinPartitions: each output file covers a narrow key range,
+    * so parquet min/max statistics prune files/row-groups for selective
+    * scans — the unbucketed cousin of a bucketed layout that any
+    * reader (Spark, DuckDB, Trino) benefits from with no table
+    * metadata. */
+  def clusteredWrite(df: DataFrame, path: String,
+      targetRowsPerFile: Long,
+      partitionCols: Seq[String] = Nil,
+      clusterCols: Seq[String] = Nil): Unit = {
+    val arranged =
+      if (clusterCols.nonEmpty)
+        df.repartitionByRange(clusterCols.map(col): _*)
+          .sortWithinPartitions(
+            (partitionCols ++ clusterCols).map(col): _*)
+      else df
+    val w = arranged.write
+      .mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", targetRowsPerFile)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(path)
+  }
+
+  /** Compact a directory of (possibly many small) parquet files into
+    * ~`targetRowsPerFile`-sized files at `destPath`. Reads the source
+    * once, computes the target file count from the actual row count,
+    * and writes a fresh directory (never in-place — readers of the old
+    * path are unaffected until the swap). */
+  def compact(spark: SparkSession, srcPath: String, destPath: String,
+      targetRowsPerFile: Long): Long = {
+    require(srcPath != destPath, "compaction never rewrites in place")
+    val src = spark.read.parquet(srcPath)
+    val rows = src.count()
+    val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) /
+      targetRowsPerFile).toInt
+    src.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(destPath)
+    rows
+  }
+
+  /** Layout health report: file count, total/mean/min/max file size —
+    * the numbers that tell you a compaction pass is due. */
+  def layoutReport(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) sizes += f.getLen
+    }
+    Seq((sizes.length.toLong,
+      sizes.sum,
+      if (sizes.isEmpty) 0L else sizes.sum / sizes.length,
+      if (sizes.isEmpty) 0L else sizes.min,
+      if (sizes.isEmpty) 0L else sizes.max))
+      .toDF("n_files", "total_bytes", "mean_bytes", "min_bytes",
+        "max_bytes")
+  }
+}

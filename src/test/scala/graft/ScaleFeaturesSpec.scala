@@ -49,6 +49,40 @@ class ScaleFeaturesSpec extends SparkSpec {
   private def dec2(c: org.apache.spark.sql.Column) =
     c.cast(org.apache.spark.sql.types.DecimalType(38, 2))
 
+  test("AQE splits a skewed join partition at runtime") {
+    // a viral key owns half the fact table; with skew-join handling the
+    // oversized shuffle partition is split instead of pinning one task
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    spark.conf.set(
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    spark.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val big = spark.range(200000).select(
+        when($"id" % 2 === 0, lit(7L)).otherwise($"id").as("k"),
+        $"id".as("payload"))
+      val small = spark.range(1000).toDF("k")
+      // distribution-free global agg: a same-key groupBy downstream
+      // would pin the join's hash partitioning and forbid the split
+      val j = big.join(small, "k").agg(sum($"payload").as("s"))
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        "AQE did not mark the skewed join:\n" + plan.take(3000))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("partition pruning: only matching partitions are scanned") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part")
     Tables.orders(spark, "/root/testdata/sf0.001")
