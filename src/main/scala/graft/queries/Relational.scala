@@ -223,7 +223,54 @@ object Relational {
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
+  /** Correlated EXISTS subquery — Catalyst decorrelates it to a semi
+    * join (pinned in PlanAuditSpec); the reference's driver-side loops
+    * are the anti-pattern this replaces. */
+  val sub_exists = GQuery(
+    "sub_exists",
+    (s, d) => {
+      graft.Views.register(s, d)
+      s.sql("""
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_totalprice > 400000)
+        ORDER BY c_custkey""")
+    },
+    Some("""
+      SELECT c_custkey, c_name
+      FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey
+                      AND o_totalprice > 400000)
+      ORDER BY c_custkey"""))
+
+  /** Scalar + correlated-aggregate subqueries: orders beating the
+    * global average while also being their customer's maximum. */
+  val sub_scalar_corr = GQuery(
+    "sub_scalar_corr",
+    (s, d) => {
+      graft.Views.register(s, d)
+      s.sql("""
+        SELECT o_orderkey,
+               CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        FROM orders o
+        WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders)
+          AND o_totalprice = (SELECT MAX(o2.o_totalprice) FROM orders o2
+                              WHERE o2.o_custkey = o.o_custkey)
+        ORDER BY o_orderkey""")
+    },
+    Some("""
+      SELECT o_orderkey,
+             CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM orders o
+      WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders)
+        AND o_totalprice = (SELECT MAX(o2.o_totalprice) FROM orders o2
+                            WHERE o2.o_custkey = o.o_custkey)
+      ORDER BY o_orderkey"""))
+
   val all: Seq[GQuery] = Seq(agg_rollup, agg_grouping_sets,
     unpivot_measures, w3_distribution, agg_percentiles, str_funcs,
-    hof_tokens, skew_salted_join)
+    hof_tokens, skew_salted_join, sub_exists, sub_scalar_corr)
 }

@@ -116,6 +116,15 @@ class PlanAuditSpec extends SparkSpec {
       "vector-side assignment shuffled before the candidate join:\n" + p)
   }
 
+  test("correlated subqueries decorrelate to joins, no per-row re-plan") {
+    val e = plan("sub_exists", "simple")
+    assert(e.contains("LeftSemi"), "EXISTS not decorrelated:\n" + e)
+    val c = plan("sub_scalar_corr", "simple")
+    // correlated MAX becomes an aggregate + join, not a nested loop
+    assert(!c.contains("CartesianProduct"), c)
+    assert(c.contains("HashAggregate"), c)
+  }
+
   test("minhash: signature kernel runs below the first (tiny) exchange") {
     val p = plan("dedup_minhash_lsh", "simple")
     // partial_min of the per-doc signature must happen map-side, before
