@@ -144,6 +144,32 @@ object Relational {
              ROUND(quantile_cont(l_quantity, 0.75), 6) AS p75
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** Sketch-family percentile (percentile_approx) with its accuracy
+    * contract hash-checked, mirroring agg_approx_distinct: the oracle
+    * pins the exact interpolated quantile and a boolean asserts the
+    * sketch landed within 5% (relative). */
+  val agg_approx_percentile = GQuery(
+    "agg_approx_percentile",
+    (s, d) => {
+      import s.implicits._
+      T.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.5D)"), 6).as("p50_exact"),
+          expr("percentile_approx(l_quantity, 0.5D, 10000)")
+            .as("p50_approx"))
+        .select($"l_returnflag", $"p50_exact",
+          (abs($"p50_approx" - $"p50_exact") <=
+            greatest(abs($"p50_exact"), lit(1.0)) * lit(0.05))
+            .as("approx_ok"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag,
+             ROUND(quantile_cont(l_quantity, 0.50), 6) AS p50_exact,
+             TRUE AS approx_ok
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   /** String algebra over documents: length / case / reverse / substring
     * / edit distance / first-token extraction — all codegen'd
     * built-ins, no UDFs. */
@@ -271,6 +297,7 @@ object Relational {
       ORDER BY o_orderkey"""))
 
   val all: Seq[GQuery] = Seq(agg_rollup, agg_grouping_sets,
-    unpivot_measures, w3_distribution, agg_percentiles, str_funcs,
-    hof_tokens, skew_salted_join, sub_exists, sub_scalar_corr)
+    unpivot_measures, w3_distribution, agg_percentiles,
+    agg_approx_percentile, str_funcs, hof_tokens, skew_salted_join,
+    sub_exists, sub_scalar_corr)
 }
