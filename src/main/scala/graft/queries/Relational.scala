@@ -296,8 +296,81 @@ object Relational {
                             WHERE o2.o_custkey = o.o_custkey)
       ORDER BY o_orderkey"""))
 
+  /** Calendar algebra: truncation, day-of-week (normalized to 0=Sunday
+    * on both engines), month end, day diff to a fixed date. */
+  val c8_calendar = GQuery(
+    "c8_calendar",
+    (s, d) => {
+      import s.implicits._
+      T.orders(s, d).select(
+        $"o_orderkey",
+        date_format(date_trunc("month", $"o_orderdate"), "yyyy-MM-dd")
+          .as("month_start"),
+        (dayofweek($"o_orderdate") - 1).as("dow"),
+        date_format(last_day($"o_orderdate"), "yyyy-MM-dd")
+          .as("month_end"),
+        datediff(to_date(lit("1998-12-31")), to_date($"o_orderdate"))
+          .as("days_to_end"))
+        .orderBy($"o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey,
+             strftime(date_trunc('month', o_orderdate), '%Y-%m-%d')
+               AS month_start,
+             CAST(dayofweek(o_orderdate) AS INT) AS dow,
+             strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+               AS month_end,
+             CAST(date_diff('day', CAST(o_orderdate AS DATE),
+               DATE '1998-12-31') AS INT) AS days_to_end
+      FROM orders ORDER BY o_orderkey"""))
+
+  /** Deterministic collect: set-aggregation surfaced as a SORTED array
+    * so the result is partitioning-independent (a bare collect_list is
+    * not, and never appears in this engine's query surface). */
+  val agg_collect = GQuery(
+    "agg_collect",
+    (s, d) => {
+      import s.implicits._
+      T.events(s, d)
+        .filter($"user_id" < 50)
+        .groupBy($"event_type")
+        .agg(concat_ws(",",
+          sort_array(collect_set($"user_id"))).as("users"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      SELECT event_type,
+             array_to_string(list_sort(list(DISTINCT user_id)), ',')
+               AS users
+      FROM events WHERE user_id < 50
+      GROUP BY event_type ORDER BY event_type"""))
+
+  /** RANGE window frame: value-bounded running sum (all ties included
+    * by definition, so the frame is deterministic without a row-order
+    * tiebreak). */
+  val w4_range_frame = GQuery(
+    "w4_range_frame",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_orderpriority")
+        .orderBy($"o_totalprice").rangeBetween(-10000L, 0L)
+      T.orders(s, d).select(
+        $"o_orderkey", $"o_orderpriority",
+        sum(dec($"o_totalprice", 4)).over(w).cast("double")
+          .as("nearby_total"))
+        .orderBy($"o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey, o_orderpriority,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) OVER
+               (PARTITION BY o_orderpriority ORDER BY o_totalprice
+                RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
+               AS DOUBLE) AS nearby_total
+      FROM orders ORDER BY o_orderkey"""))
+
   val all: Seq[GQuery] = Seq(agg_rollup, agg_grouping_sets,
     unpivot_measures, w3_distribution, agg_percentiles,
     agg_approx_percentile, str_funcs, hof_tokens, skew_salted_join,
-    sub_exists, sub_scalar_corr)
+    sub_exists, sub_scalar_corr, c8_calendar, agg_collect,
+    w4_range_frame)
 }
