@@ -368,7 +368,37 @@ object Relational {
                AS DOUBLE) AS nearby_total
       FROM orders ORDER BY o_orderkey"""))
 
-  val all: Seq[GQuery] = Seq(agg_rollup, agg_grouping_sets,
+  /** Three-valued logic: null-excluding COUNT/DISTINCT/MAX, and
+    * null-safe equality (`<=>` ≡ IS NOT DISTINCT FROM) — the semantics
+    * that silently diverge between engines if unpinned. */
+  val null_semantics = GQuery(
+    "null_semantics",
+    (s, d) => {
+      import s.implicits._
+      T.orders(s, d)
+        .withColumn("st", nullif($"o_orderstatus", lit("F")))
+        .groupBy($"o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count($"st").as("n_nonnull"),
+          countDistinct($"st").as("n_distinct"),
+          sum(($"st" <=> lit(null)).cast("long")).as("n_nullsafe_eq"),
+          max($"st").as("max_st"))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(st) AS BIGINT) AS n_nonnull,
+             CAST(COUNT(DISTINCT st) AS BIGINT) AS n_distinct,
+             CAST(SUM(CASE WHEN st IS NOT DISTINCT FROM NULL
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq,
+             MAX(st) AS max_st
+      FROM (SELECT o_orderpriority, nullif(o_orderstatus, 'F') AS st
+            FROM orders)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  val all: Seq[GQuery] = Seq(null_semantics, agg_rollup, agg_grouping_sets,
     unpivot_measures, w3_distribution, agg_percentiles,
     agg_approx_percentile, str_funcs, hof_tokens, skew_salted_join,
     sub_exists, sub_scalar_corr, c8_calendar, agg_collect,

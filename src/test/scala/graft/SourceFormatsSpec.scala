@@ -20,6 +20,23 @@ class SourceFormatsSpec extends SparkSpec {
         case x => String.valueOf(x)
       })
 
+  test("schema evolution: mergeSchema unifies old and new file schemas") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-evolve")
+      .toString + "/t"
+    // v1 writer: two columns
+    spark.range(10).select($"id", lit("a").as("c1"))
+      .write.parquet(dir)
+    // v2 writer adds a column — the common incremental-pipeline event
+    spark.range(10, 20).select($"id", lit("b").as("c1"),
+        lit(1.5).as("c2"))
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq == Seq("c1", "c2", "id"))
+    assert(merged.count() == 20)
+    // old files surface the new column as NULL, not an error
+    assert(merged.filter($"c2".isNull).count() == 10)
+  }
+
   test("ORC round-trip preserves rows and types") {
     val dir = java.nio.file.Files.createTempDirectory("graft-orc")
     src.write.mode("overwrite").orc(dir.toString)
