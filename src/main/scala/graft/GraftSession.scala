@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One-stop session factory — the library's recommended configuration
+  * for both local development and cluster submission. A user switching
+  * from the reference project calls `GraftSession.local()` (or applies
+  * [[tuned]] to their own builder) and gets:
+  *
+  *  - AQE on (runtime broadcast selection, partition coalescing,
+  *    skew-join splitting),
+  *  - the graft SQL functions (`fdot`, `minhash_sig`, `shingle_set`)
+  *    registered via SparkSessionExtensions,
+  *  - the RocksDB state store for streaming state (required by
+  *    transformWithState, and the right choice for large keyed state),
+  *  - UTC session time and nano-parquet reads matching the test data.
+  *
+  * On a real cluster, master/shuffle-partitions come from spark-submit;
+  * only [[tuned]] is applied. Shuffle-partition count is a per-job
+  * decision at scale — AQE coalescing makes a high initial value safe.
+  */
+object GraftSession {
+
+  /** Library tuning applied to any builder. */
+  def tuned(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+    .config("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+  /** Local session sized to `cores` (default: all), shuffle partitions
+    * matched to cores — the local analogue of sizing partitions to the
+    * executor fleet. */
+  def local(cores: Int = Runtime.getRuntime.availableProcessors(),
+      appName: String = "graft"): SparkSession = {
+    val s = tuned(SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Smoke check: the tuned session exposes the graft SQL functions and
+    * the streaming/state configs (run as `runMain graft.GraftSession`). */
+  def main(args: Array[String]): Unit = {
+    val s = local(4, "graft-session-check")
+    val dot = s.sql("SELECT fdot(array(1.0F, 2.0F), array(3.0F, 4.0F)) v")
+      .head().getDouble(0)
+    require(dot == 11.0, s"fdot via SQL returned $dot")
+    require(s.conf.get("spark.sql.adaptive.enabled") == "true")
+    require(s.conf.get("spark.sql.streaming.stateStore.providerClass")
+      .contains("RocksDB"))
+    println(s"""{"graft_session":"ok","fdot":$dot}""")
+    s.stop()
+  }
+}
