@@ -41,6 +41,10 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
+    // getOrCreate silently ignores static confs (spark.sql.extensions)
+    // when a session already exists in the JVM — register the functions
+    // at runtime too so the advertised SQL surface always holds
+    graft.functions.GraftExtensions.register(s)
     s.sparkContext.setLogLevel("WARN")
     s
   }

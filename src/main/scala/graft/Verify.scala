@@ -7,16 +7,13 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // tuned() carries the nanosAsLong conf the driver testdata needs
+    // (events.ts is parquet TIMESTAMP(NANOS) → epoch-nano longs, which
+    // order/compare identically to DuckDB's TIMESTAMP_NS)
+    val spark = GraftSession.tuned(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // driver testdata events.ts is parquet TIMESTAMP(NANOS); Spark has
-      // no ns timestamp type — read as epoch-nano longs (orders/compares
-      // identically to DuckDB's TIMESTAMP_NS)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

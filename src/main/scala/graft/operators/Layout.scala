@@ -28,9 +28,13 @@ object Layout {
       targetRowsPerFile: Long,
       partitionCols: Seq[String] = Nil,
       clusterCols: Seq[String] = Nil): Unit = {
+    // range-partition on (partitionCols ++ clusterCols): ranging only
+    // on the cluster key would put every hive-partition value in every
+    // shuffle task — numTasks × numPartitionValues files, the exact
+    // explosion this module exists to prevent
     val arranged =
       if (clusterCols.nonEmpty)
-        df.repartitionByRange(clusterCols.map(col): _*)
+        df.repartitionByRange((partitionCols ++ clusterCols).map(col): _*)
           .sortWithinPartitions(
             (partitionCols ++ clusterCols).map(col): _*)
       else df
@@ -43,17 +47,28 @@ object Layout {
 
   /** Compact a directory of (possibly many small) parquet files into
     * ~`targetRowsPerFile`-sized files at `destPath`. Reads the source
-    * once, computes the target file count from the actual row count,
-    * and writes a fresh directory (never in-place — readers of the old
-    * path are unaffected until the swap). */
+    * once and writes a fresh directory (never in-place — readers of the
+    * old path are unaffected until the swap). For a hive-partitioned
+    * source pass its `partitionCols`: the rewrite preserves the
+    * directory layout (one shuffle task per partition value, files
+    * split by maxRecordsPerFile) instead of flattening it. */
   def compact(spark: SparkSession, srcPath: String, destPath: String,
-      targetRowsPerFile: Long): Long = {
+      targetRowsPerFile: Long, partitionCols: Seq[String] = Nil): Long = {
     require(srcPath != destPath, "compaction never rewrites in place")
     val src = spark.read.parquet(srcPath)
     val rows = src.count()
-    val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) /
-      targetRowsPerFile).toInt
-    src.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(destPath)
+    if (partitionCols.isEmpty) {
+      val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) /
+        targetRowsPerFile).toInt
+      src.repartition(nFiles).write.mode(SaveMode.Overwrite)
+        .parquet(destPath)
+    } else {
+      src.repartition(partitionCols.map(col): _*)
+        .write.mode(SaveMode.Overwrite)
+        .option("maxRecordsPerFile", targetRowsPerFile)
+        .partitionBy(partitionCols: _*)
+        .parquet(destPath)
+    }
     rows
   }
 

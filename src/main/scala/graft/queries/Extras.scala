@@ -185,10 +185,6 @@ object Extras {
           avg($"value").as("pass_accuracy"),
           sum(when($"event_type" === "click", 1L).otherwise(0L)).as("shots_on_target"),
           count(lit(1)).as("matches_played"))
-        // the KMeans fit (eager) and the transform+agg (lazy) would
-        // each recompute the events aggregation — cache the small
-        // profile frame instead
-        .cache()
       graft.fpl.MLCapabilities.clusterProfiles(profiles)
         .groupBy($"cluster").agg(count(lit(1)).as("n_players"))
         .orderBy($"cluster")

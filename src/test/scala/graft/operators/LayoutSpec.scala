@@ -43,7 +43,7 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(dest).count() == 6400)
   }
 
-  test("partitioned clustered write lays out hive partitions") {
+  test("partitioned clustered write lays out hive partitions compactly") {
     val out = tmpDir("graft-part") + "/t"
     val df = spark.range(1000).select($"id",
       (($"id" % 4).cast("int")).as("bucket"))
@@ -54,5 +54,27 @@ class LayoutSpec extends SparkSpec {
     assert(dirs.toSeq == Seq("bucket=0", "bucket=1", "bucket=2",
       "bucket=3"), dirs.toSeq.toString)
     assert(spark.read.parquet(out).count() == 1000)
+    // ranging on (partition ++ cluster) keys keeps each hive partition
+    // in few shuffle tasks — not numTasks × numPartitions tiny files
+    val nFiles = Layout.layoutReport(spark, out).collect()
+      .head.getAs[Long]("n_files")
+    assert(nFiles <= 8, s"small-file explosion: $nFiles files")
+  }
+
+  test("compact preserves hive partitioning when asked") {
+    val base = tmpDir("graft-compact-part")
+    val src = s"$base/src"; val dest = s"$base/dest"
+    spark.range(4000).select($"id", (($"id" % 2).cast("int")).as("p"))
+      .repartition(32).write.partitionBy("p").parquet(src)
+    val rows = Layout.compact(spark, src, dest,
+      targetRowsPerFile = 2000, partitionCols = Seq("p"))
+    assert(rows == 4000)
+    val dirs = new java.io.File(dest).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("p=0", "p=1"), dirs.toSeq.toString)
+    val nFiles = Layout.layoutReport(spark, dest).collect()
+      .head.getAs[Long]("n_files")
+    assert(nFiles <= 2, s"expected 1 file per partition, got $nFiles")
+    assert(spark.read.parquet(dest).count() == 4000)
   }
 }
