@@ -398,7 +398,37 @@ object Relational {
             FROM orders)
       GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
-  val all: Seq[GQuery] = Seq(null_semantics, agg_rollup, agg_grouping_sets,
+  /** Stratified sampling (df.stat.sampleBy, fixed seed) with a
+    * statistical contract oracle: per-stratum sampled counts must land
+    * within 4σ of fraction·N (binomial). Deterministic for a fixed
+    * seed, so the boolean hash-checks. */
+  val sample_stratified = GQuery(
+    "sample_stratified",
+    (s, d) => {
+      import s.implicits._
+      val f = 0.2
+      val totals = T.events(s, d).groupBy($"event_type")
+        .agg(count(lit(1)).as("n_total"))
+      val sampled = T.events(s, d)
+        .stat.sampleBy("event_type",
+          Map("click" -> f, "view" -> f, "purchase" -> f,
+            "signup" -> f, "error" -> f), 42L)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_sampled"))
+      totals.join(sampled, Seq("event_type"), "left")
+        .select($"event_type", $"n_total",
+          (abs(coalesce($"n_sampled", lit(0L)) - $"n_total" * f) <=
+            lit(4.0) * sqrt(lit(f * (1 - f)) * $"n_total"))
+            .as("within_tolerance"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_total,
+             TRUE AS within_tolerance
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  val all: Seq[GQuery] = Seq(null_semantics, sample_stratified,
+    agg_rollup, agg_grouping_sets,
     unpivot_measures, w3_distribution, agg_percentiles,
     agg_approx_percentile, str_funcs, hof_tokens, skew_salted_join,
     sub_exists, sub_scalar_corr, c8_calendar, agg_collect,
