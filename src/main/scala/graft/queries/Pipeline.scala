@@ -419,9 +419,29 @@ object Pipeline {
       SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos
       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  /** IVF recall contract: partial probe (nprobe=4 of 16 cells) must
+    * retain ≥60% of the brute-force top-5 across 50 queries. The
+    * quantizer is deterministic (hash-ordered sample, seeded Lloyd), so
+    * the boolean hash-checks — ANN quality is gated, not just row
+    * counts. */
+  val sim_ivf_recall = GQuery(
+    "sim_ivf_recall",
+    (s, d) => {
+      val vecs = T.embeddings(s, d)
+      val q = vecs.filter(col("vec_id") < 50)
+      val ivf = Similarity.ivfTopK(vecs, q, "vec_id", "embedding", 5,
+        nlist = 16, nprobe = 4)
+      val bf = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", 5)
+      ivf.join(bf, Seq("query_id", "neighbor_id"), "inner")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(50).as("n_queries"),
+          (col("n_hits") >= lit((0.6 * 50 * 5).toLong)).as("recall_ok"))
+    },
+    Some("SELECT 50 AS n_queries, TRUE AS recall_ok"))
+
   val all: Seq[GQuery] = Seq(
     dedup_exact, dedup_minhash_lsh, dedup_simhash, dedup_ngram_jaccard,
     dedup_embedding_cosine, dedup_semantic, sim_topk_bruteforce,
-    sim_lsh_bucketed, sim_ivf_topk, sim_ivf_fullprobe, text_tokens,
-    text_quality, text_langid, text_fingerprint)
+    sim_lsh_bucketed, sim_ivf_topk, sim_ivf_fullprobe, sim_ivf_recall,
+    text_tokens, text_quality, text_langid, text_fingerprint)
 }
