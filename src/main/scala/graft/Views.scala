@@ -18,7 +18,11 @@ object Views {
 
   def register(spark: SparkSession, sfDir: String): Unit =
     last.synchronized {
-      if (last.get(spark) != sfDir) {
+      // cheap catalog existence probe guards against a caller having
+      // dropped a temp view since the cached registration
+      val intact = last.get(spark) == sfDir &&
+        Tables.names.forall(spark.catalog.tableExists)
+      if (!intact) {
         Tables.names.foreach { t =>
           Tables.load(spark, sfDir, t).createOrReplaceTempView(t)
         }

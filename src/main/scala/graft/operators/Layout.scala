@@ -37,6 +37,10 @@ object Layout {
         df.repartitionByRange((partitionCols ++ clusterCols).map(col): _*)
           .sortWithinPartitions(
             (partitionCols ++ clusterCols).map(col): _*)
+      else if (partitionCols.nonEmpty)
+        // partition-only: co-locate each hive-partition value in one
+        // task, otherwise every task writes into every partition dir
+        df.repartition(partitionCols.map(col): _*)
       else df
     val w = arranged.write
       .mode(SaveMode.Overwrite)
@@ -56,20 +60,24 @@ object Layout {
       targetRowsPerFile: Long, partitionCols: Seq[String] = Nil): Long = {
     require(srcPath != destPath, "compaction never rewrites in place")
     val src = spark.read.parquet(srcPath)
-    val rows = src.count()
     if (partitionCols.isEmpty) {
+      val rows = src.count()
       val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) /
         targetRowsPerFile).toInt
       src.repartition(nFiles).write.mode(SaveMode.Overwrite)
         .parquet(destPath)
+      rows
     } else {
+      // no pre-count: maxRecordsPerFile sizes files without it, so the
+      // source is read exactly once; the returned count comes from the
+      // written footers (metadata-only scan)
       src.repartition(partitionCols.map(col): _*)
         .write.mode(SaveMode.Overwrite)
         .option("maxRecordsPerFile", targetRowsPerFile)
         .partitionBy(partitionCols: _*)
         .parquet(destPath)
+      spark.read.parquet(destPath).count()
     }
-    rows
   }
 
   /** Layout health report: file count, total/mean/min/max file size —

@@ -179,12 +179,17 @@ object Similarity {
     def cellScores(vec: Column): Column = transform(centArr, c =>
       struct((fdot(vec, c.getField("cv")) * lit(2.0) - c.getField("n2"))
         .as("score"), c.getField("cell").as("cell")))
-    val assigned = vectors.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("cv"), fnorm(col(vecCol)).as("cn"),
-      array_max(cellScores(col(vecCol))).getField("cell").as("cell"))
+    // null vectors are excluded from search entirely: left in, their
+    // null scores would tie-break into the last cell and surface as
+    // null-cos neighbors in under-full cells
+    val assigned = vectors.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("cv"), fnorm(col(vecCol)).as("cn"),
+        array_max(cellScores(col(vecCol))).getField("cell").as("cell"))
     // nprobe nearest cells per query — map-side sort of the 16-element
     // score array, then explode; no window, no shuffle
-    val qCells = queries.select(col(idCol).as("query_id"),
+    val qCells = queries.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"),
         col(vecCol).as("qv"), fnorm(col(vecCol)).as("qn"),
         explode(slice(reverse(array_sort(cellScores(col(vecCol)))), 1,
           nprobe).getField("cell")).as("cell"))

@@ -168,11 +168,24 @@ object FplStream {
       .partitionBy("batchId")
       .parquet(dir)
 
-  /** Location-agnostic existence probe (java.io.File would be wrong on
-    * HDFS/object stores). */
-  private def dirExists(spark: SparkSession, dir: String): Boolean = {
+  /** Location-agnostic probe for COMMITTED data (java.io.File would be
+    * wrong on HDFS/object stores). A bare exists() is not enough: a
+    * crash mid-first-write leaves the directory with only _temporary /
+    * _SUCCESS droppings and no parquet footer, and reading it would
+    * throw on every replay — a permanent crash loop in the exact
+    * at-least-once window the sink protects. */
+  private def dirHasData(spark: SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && {
+      val it = fs.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val name = it.next().getPath.getName
+        found = !name.startsWith("_") && !name.startsWith(".")
+      }
+      found
+    }
   }
 
   /** End-to-end: raw line stream → match-close stream, writing parquet
@@ -235,7 +248,7 @@ object FplStream {
     try if (!newDeltas.isEmpty) {
       val newPairs = graft.fpl.Chemistry.pairDeltas(newDeltas)
       val crossPairs =
-        if (dirExists(spark, closesDir)) {
+        if (dirHasData(spark, closesDir)) {
           val prior = spark.read.parquet(closesDir)
             .filter(col("batchId") =!= batchId)
             .select(col("matchId"), col("playerId"), col("teamId"),

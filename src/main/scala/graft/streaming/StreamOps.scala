@@ -52,13 +52,19 @@ object StreamOps {
   def intervalJoin(left: DataFrame, right: DataFrame,
       key: String, leftTs: String, rightTs: String,
       watermark: String, bound: String): DataFrame = {
+    // Both streams may name their event-time column identically: the
+    // right side's is renamed BEFORE the watermark (so the watermark
+    // follows the renamed column) and the output stays unambiguous.
+    val (rRenamed, rTs) =
+      if (left.columns.contains(rightTs))
+        (right.withColumnRenamed(rightTs, s"right_$rightTs"),
+          s"right_$rightTs")
+      else (right, rightTs)
     val l = left.withWatermark(leftTs, watermark)
-    val r = right.withWatermark(rightTs, watermark)
-    // every column qualified through its own side — both streams may
-    // name their event-time column identically
+    val r = rRenamed.withWatermark(rTs, watermark)
     l.join(r, l(key) === r(key) &&
-      r(rightTs) >= l(leftTs) &&
-      r(rightTs) <= l(leftTs) + expr(s"INTERVAL $bound"),
+      r(rTs) >= l(leftTs) &&
+      r(rTs) <= l(leftTs) + expr(s"INTERVAL $bound"),
       "inner")
       .drop(r(key))
   }

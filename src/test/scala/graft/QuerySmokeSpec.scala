@@ -22,7 +22,7 @@ class QuerySmokeSpec extends SparkSpec {
       try {
         q.fn(spark, sf).count(); None
       } catch {
-        case e: Throwable => Some(q.name -> e.getMessage.take(120))
+        case e: Throwable => Some(q.name -> String.valueOf(e).take(160))
       }
     }
     assert(failures.isEmpty,

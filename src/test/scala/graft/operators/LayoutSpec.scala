@@ -59,6 +59,13 @@ class LayoutSpec extends SparkSpec {
     val nFiles = Layout.layoutReport(spark, out).collect()
       .head.getAs[Long]("n_files")
     assert(nFiles <= 8, s"small-file explosion: $nFiles files")
+    // partition-only write co-locates too (no cluster key given)
+    val out2 = tmpDir("graft-part-only") + "/t"
+    Layout.clusteredWrite(df.repartition(16), out2,
+      targetRowsPerFile = 10000, partitionCols = Seq("bucket"))
+    val n2 = Layout.layoutReport(spark, out2).collect()
+      .head.getAs[Long]("n_files")
+    assert(n2 <= 4, s"partition-only write exploded: $n2 files")
   }
 
   test("compact preserves hive partitioning when asked") {

@@ -262,6 +262,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("interval join: identical timestamp names stay unambiguous") {
+    implicit val sc = spark.sqlContext
+    val a = MemoryStream[(java.sql.Timestamp, Long)]
+    val b = MemoryStream[(java.sql.Timestamp, Long)]
+    val joined = StreamOps.intervalJoin(
+      a.toDF().toDF("ts", "k"), b.toDF().toDF("ts", "k"),
+      "k", "ts", "ts", "1 minute", "10 minutes")
+    // output must expose both timestamps under distinct resolvable names
+    val q = joined.select($"ts", $"right_ts", $"k")
+      .writeStream.format("memory").queryName("same_name_join")
+      .outputMode("append").start()
+    try {
+      def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      a.addData((t(0), 1L)); b.addData((t(3), 1L))
+      q.processAllAvailable()
+      assert(spark.table("same_name_join").count() == 1)
+    } finally q.stop()
+  }
+
   test("transformWithState closes equal the flatMapGroupsWithState path") {
     implicit val sc = spark.sqlContext
     val prev = spark.conf.getOption(
