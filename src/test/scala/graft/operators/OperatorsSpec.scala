@@ -126,6 +126,36 @@ class OperatorsSpec extends SparkSpec {
     partial.foreach(r => assert(r.getAs[Int]("rank") <= 3))
   }
 
+  test("localLloyd: deterministic, k centroids, finite, separates modes") {
+    val rnd = new scala.util.Random(11)
+    def cluster(center: Float, n: Int) =
+      Array.fill(n)(Array.fill(4)(center + rnd.nextGaussian().toFloat * 0.1f))
+    val pts = cluster(0f, 50) ++ cluster(10f, 50) ++ cluster(-10f, 50)
+    val c1 = Similarity.localLloyd(pts, 3, 8, seed = 42L)
+    val c2 = Similarity.localLloyd(pts, 3, 8, seed = 42L)
+    assert(c1.length == 3)
+    assert(c1.flatten.forall(f => !f.isNaN && !f.isInfinite))
+    // deterministic for a fixed seed
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+    // three well-separated modes → one centroid near each
+    val means = c1.map(_.sum / 4)
+    assert(Set(-10f, 0f, 10f).forall(m =>
+      means.exists(c => math.abs(c - m) < 2)), means.toSeq.toString)
+    // k > n degrades gracefully to n centroids
+    assert(Similarity.localLloyd(pts.take(2), 5, 3, 1L).length == 2)
+    // null vectors excluded end-to-end: a null embedding never surfaces
+    val withNull = Seq((100L, null: Array[Float], 0))
+      .toDF("vec_id", "embedding", "label")
+    val vecs = (1L to 20L).map(i =>
+      (i, Array.fill(4)(rnd.nextGaussian().toFloat), 0))
+      .toDF("vec_id", "embedding", "label").unionByName(withNull)
+    val out = Similarity.ivfTopK(vecs, vecs.filter($"vec_id" <= 3),
+      "vec_id", "embedding", 5, nlist = 2, nprobe = 2).collect()
+    assert(out.nonEmpty)
+    assert(!out.exists(r => r.getAs[Long]("neighbor_id") == 100L ||
+      r.isNullAt(r.fieldIndex("cos"))))
+  }
+
   test("text analysis: quality ∈ [0,1], langid deterministic, rolling hash order-sensitive") {
     val q = docs.select(TextAnalysis.qualityScore($"text").as("q"))
       .as[Double].collect()
