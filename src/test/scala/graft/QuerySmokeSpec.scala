@@ -16,6 +16,29 @@ class QuerySmokeSpec extends SparkSpec {
     assert(dup.isEmpty, s"duplicate query names: $dup")
   }
 
+  test("concurrent query execution is thread-safe") {
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    val sf = "/root/testdata/sf0.001"
+    // includes SQL-text queries so the synchronized view registration
+    // races are exercised, not just pure-DataFrame plans
+    val names = Seq("q1_agg", "f5_topk", "agg_rollup", "sub_exists",
+      "j1_join_broadcast", "str_funcs", "w3_distribution", "agg_distinct")
+    val expected =
+      names.map(n => n -> Registry.queryMap(n)(spark, sf).count()).toMap
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutor(pool)
+    try {
+      val futs = (1 to 3).flatMap(_ => names.map(n =>
+        Future(n -> Registry.queryMap(n)(spark, sf).count())))
+      val res = Await.result(Future.sequence(futs), Duration("180s"))
+      res.foreach { case (n, c) =>
+        assert(c == expected(n), s"$n: $c != ${expected(n)} under concurrency")
+      }
+    } finally pool.shutdown()
+  }
+
   test("every registered query executes at sf0.001") {
     val sf = "/root/testdata/sf0.001"
     val failures = Registry.all.flatMap { q =>
