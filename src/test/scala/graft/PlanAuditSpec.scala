@@ -125,6 +125,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(c.contains("HashAggregate"), c)
   }
 
+  test("as-of / range joins avoid nested-loop plans") {
+    // binned range join = equi-join + filter, never O(n·m) comparisons
+    val r = plan("range_join_window", "simple")
+    assert(!r.contains("BroadcastNestedLoopJoin") &&
+      !r.contains("CartesianProduct"),
+      "range join fell back to a nested loop:\n" + r)
+    // as-of = union + ONE keyed window sort; no join operator at all
+    val a = plan("asof_attribution", "simple")
+    assert(!a.contains("NestedLoopJoin") && !a.contains("CartesianProduct"),
+      a)
+    assert(a.contains("RunningWindowFunction") || a.contains("Window"), a)
+  }
+
   test("minhash: signature kernel runs below the first (tiny) exchange") {
     val p = plan("dedup_minhash_lsh", "simple")
     // partial_min of the per-doc signature must happen map-side, before
