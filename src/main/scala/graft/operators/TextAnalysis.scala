@@ -93,6 +93,23 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
 
+  /** PII scrubbing — emails, IPv4 addresses, phone-shaped numbers
+    * replaced with typed placeholders. Patterns stay within the regex
+    * subset Java and RE2 agree on (char classes, bounded repeats, \b),
+    * so results are engine-portable; codegen'd regexp_replace, no UDF.
+    * Email first: an address would otherwise leave its dotted host
+    * behind for the IP pass. */
+  def scrubPii(text: Column): Column = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val phone = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, email, "<EMAIL>"),
+        ip, "<IP>"),
+      phone, "<PHONE>")
+  }
+
   /** Polynomial rolling hash over tokens (mod 2^31-1, base 131) —
     * an order-sensitive fingerprint, unlike the bag-of-words md5.
     * Computed with exact integer window arithmetic. */

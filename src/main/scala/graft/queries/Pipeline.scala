@@ -439,9 +439,54 @@ object Pipeline {
     },
     Some("SELECT 50 AS n_queries, TRUE AS recall_ok"))
 
+  /** PII scrubbing over documents with deterministic synthetic PII
+    * appended (the corpus itself is clean), hash-checked end to end —
+    * placeholder substitution, lengths and all. */
+  val text_pii_scrub = GQuery(
+    "text_pii_scrub",
+    (s, d) => {
+      val withPii = T.documents(s, d).select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or 10.0.0."), col("doc_id") % 256,
+          lit(" ph 555-123-4567")).as("t"))
+      withPii.select(col("doc_id"),
+          TA.scrubPii(col("t")).as("clean"))
+        .select(col("doc_id"), md5(col("clean")).as("clean_md5"),
+          length(col("clean")).as("clean_len"),
+          (col("clean").contains("<EMAIL>") &&
+            col("clean").contains("<IP>") &&
+            col("clean").contains("<PHONE>")).as("scrubbed"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id ||
+               '@example.com or 10.0.0.' || (doc_id % 256) ||
+               ' ph 555-123-4567' AS t
+        FROM documents),
+      c AS (
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g'),
+                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                   '<IP>', 'g'),
+                 '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b',
+                 '<PHONE>', 'g') AS clean
+        FROM p)
+      SELECT doc_id, md5(clean) AS clean_md5,
+             CAST(LENGTH(clean) AS INT) AS clean_len,
+             (contains(clean, '<EMAIL>') AND contains(clean, '<IP>')
+              AND contains(clean, '<PHONE>')) AS scrubbed
+      FROM c ORDER BY doc_id"""))
+
   val all: Seq[GQuery] = Seq(
     dedup_exact, dedup_minhash_lsh, dedup_simhash, dedup_ngram_jaccard,
     dedup_embedding_cosine, dedup_semantic, sim_topk_bruteforce,
     sim_lsh_bucketed, sim_ivf_topk, sim_ivf_fullprobe, sim_ivf_recall,
-    text_tokens, text_quality, text_langid, text_fingerprint)
+    text_tokens, text_quality, text_langid, text_fingerprint,
+    text_pii_scrub)
 }

@@ -126,6 +126,20 @@ class OperatorsSpec extends SparkSpec {
     partial.foreach(r => assert(r.getAs[Int]("rank") <= 3))
   }
 
+  test("scrubPii replaces emails, IPs, phones; leaves clean text alone") {
+    val rows = Seq(
+      (1L, "mail me at jane.doe+x@corp.example.org today"),
+      (2L, "server 192.168.10.7 responded"),
+      (3L, "call 555-867-5309 now"),
+      (4L, "no pii here, just 3.14 and v1.2.3")).toDF("id", "t")
+    val out = rows.select($"id", TextAnalysis.scrubPii($"t").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "mail me at <EMAIL> today")
+    assert(out(2L) == "server <IP> responded")
+    assert(out(3L) == "call <PHONE> now")
+    assert(out(4L) == "no pii here, just 3.14 and v1.2.3")
+  }
+
   test("localLloyd: deterministic, k centroids, finite, separates modes") {
     val rnd = new scala.util.Random(11)
     def cluster(center: Float, n: Int) =
