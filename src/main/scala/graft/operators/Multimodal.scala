@@ -90,6 +90,34 @@ object Multimodal {
       }.toDF("media_id", "frame_idx", "n_bytes", "features")
   }
 
+  /** Resize shape for image-like payloads: deterministic stride
+    * sampling of the payload down to a w×h byte grid (the stub stands
+    * in for a real scaler; per-partition iteration, output schema and
+    * size contract are the real plumbing). Rows whose payload is
+    * smaller than the target grid are dropped (can't upsample bytes). */
+  def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
+    require(w > 0 && h > 0)
+    val spark = media.sparkSession
+    import spark.implicits._
+    val n = w * h
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val codec = FakeCodec.init()
+        val _ = codec
+        rows.filter(_._2.length >= n).map { case (id, payload) =>
+          val out = new Array[Byte](n)
+          val stride = payload.length.toDouble / n
+          var i = 0
+          while (i < n) {
+            out(i) = payload(math.min((i * stride).toInt,
+              payload.length - 1))
+            i += 1
+          }
+          (id, w, h, out)
+        }
+      }.toDF("media_id", "out_w", "out_h", "resized")
+  }
+
   /** Synthesize a media table from any text column (for tests/benches:
     * payload = utf-8 bytes; deterministic). */
   def fromText(df: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -146,6 +146,25 @@ object Extras {
                - frame_idx * chunk) AS INT) AS n_bytes
       FROM c, f ORDER BY media_id, frame_idx"""))
 
+  /** Resize plumbing: stride-sampled byte grid per document payload;
+    * the size/dropout contract is oracle-checked (too-small payloads
+    * are dropped), content pinned in MultimodalSpec. */
+  val mm_resize = GQuery(
+    "mm_resize",
+    (s, d) => {
+      import s.implicits._
+      Multimodal.resize(
+          Multimodal.fromText(T.documents(s, d), "doc_id", "text"),
+          w = 8, h = 8)
+        .select($"media_id", $"out_w", $"out_h",
+          octet_length($"resized").as("n_bytes"))
+        .orderBy($"media_id")
+    },
+    Some("""
+      SELECT doc_id AS media_id, 8 AS out_w, 8 AS out_h, 64 AS n_bytes
+      FROM documents WHERE octet_length(encode(text)) >= 64
+      ORDER BY media_id"""))
+
   /** HLL approx-distinct with its accuracy contract hash-checked: the
     * oracle pins the exact count, and the boolean asserts the ±2%-rsd
     * sketch landed within 5% of it — so the sketch path is verified
@@ -489,7 +508,7 @@ object Extras {
       FROM events GROUP BY user_id ORDER BY user_id"""))
 
   val all: Seq[GQuery] = Seq(sessionize, agg_cube, mm_binary_meta,
-    mm_feature_extract, mm_frame_sample,
+    mm_feature_extract, mm_frame_sample, mm_resize,
     agg_approx_distinct, ml_kmeans_profiles, set_ops, w2_rank_lag,
     j6_outer_join, asof_attribution, range_join_window, pipeline_e2e,
     funnel, sql_shipping_priority, pivot_events)

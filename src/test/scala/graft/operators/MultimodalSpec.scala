@@ -31,6 +31,21 @@ class MultimodalSpec extends SparkSpec {
     assert(again.features.toSeq == feats(1L).features.toSeq)
   }
 
+  test("resize: stride-sampled grid is deterministic; small payloads drop") {
+    val r = Multimodal.resize(media, 2, 2).collect()
+      .map(x => x.getAs[Long]("media_id") -> x).toMap
+    // "hello world" (11 bytes) → 4 bytes at stride 2.75: indices 0,2,5,8
+    val g = r(1L).getAs[Array[Byte]]("resized")
+    assert(g.toSeq == "hello world".getBytes("UTF-8")
+      .zipWithIndex.collect { case (b, i) if Set(0, 2, 5, 8)(i) => b }.toSeq)
+    // "abc" (3 bytes) < 4 target bytes → dropped
+    assert(!r.contains(2L))
+    // deterministic across runs
+    val again = Multimodal.resize(media, 2, 2).collect()
+      .find(_.getAs[Long]("media_id") == 1L).get
+    assert(again.getAs[Array[Byte]]("resized").toSeq == g.toSeq)
+  }
+
   test("frame sampling explodes payload into per-frame features") {
     val frames = Multimodal.sampleFrames(media, frames = 3, dims = 2)
       .collect()
