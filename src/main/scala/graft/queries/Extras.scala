@@ -210,6 +210,32 @@ object Extras {
     },
     None)
 
+  /** KMeans contract: with the fixed seed, clustering must assign
+    * every profiled player to one of exactly k=5 non-degenerate
+    * clusters — the oracle predicts the player count from the raw
+    * events, so the ML path is gated beyond a bare row count. */
+  val ml_kmeans_contract = GQuery(
+    "ml_kmeans_contract",
+    (s, d) => {
+      import s.implicits._
+      val profiles = T.events(s, d)
+        .groupBy($"user_id".as("playerId"))
+        .agg(
+          sum(when($"event_type" === "error", 1L).otherwise(0L)).as("fouls"),
+          sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("goals"),
+          sum(when($"event_type" === "signup", 1L).otherwise(0L)).as("own_goals"),
+          avg($"value").as("pass_accuracy"),
+          sum(when($"event_type" === "click", 1L).otherwise(0L)).as("shots_on_target"),
+          count(lit(1)).as("matches_played"))
+      graft.fpl.MLCapabilities.clusterProfiles(profiles)
+        .agg(countDistinct($"cluster").as("n_clusters"),
+          count(lit(1)).as("n_players"))
+    },
+    Some("""
+      SELECT CAST(5 AS BIGINT) AS n_clusters,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_players
+      FROM events"""))
+
   /** Set operations (INTERSECT/EXCEPT with distinct semantics). */
   val set_ops = GQuery(
     "set_ops",
@@ -509,7 +535,8 @@ object Extras {
 
   val all: Seq[GQuery] = Seq(sessionize, agg_cube, mm_binary_meta,
     mm_feature_extract, mm_frame_sample, mm_resize,
-    agg_approx_distinct, ml_kmeans_profiles, set_ops, w2_rank_lag,
+    agg_approx_distinct, ml_kmeans_profiles, ml_kmeans_contract,
+    set_ops, w2_rank_lag,
     j6_outer_join, asof_attribution, range_join_window, pipeline_e2e,
     funnel, sql_shipping_priority, pivot_events)
 }
