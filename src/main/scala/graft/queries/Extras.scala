@@ -228,8 +228,10 @@ object Extras {
           sum(when($"event_type" === "click", 1L).otherwise(0L)).as("shots_on_target"),
           count(lit(1)).as("matches_played"))
       // 1..k non-empty clusters, not exactly k: KMeans may leave a
-      // centroid empty on unimodal data, and that is correct behavior
-      graft.fpl.MLCapabilities.clusterProfiles(profiles)
+      // centroid empty on unimodal data, and that is correct behavior.
+      // maxIter=2: the contract checks assignment totality, not
+      // centroid quality — no reason to pay full Lloyd convergence
+      graft.fpl.MLCapabilities.clusterProfiles(profiles, maxIter = 2)
         .agg(countDistinct($"cluster").as("nc"),
           count(lit(1)).as("n_players"))
         .select(($"nc" >= 1 && $"nc" <= 5).as("clusters_ok"),
