@@ -1,7 +1,7 @@
 package graft.fpl
 
 import org.apache.spark.ml.Pipeline
-import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
 import org.apache.spark.ml.feature.{PolynomialExpansion, VectorAssembler}
 import org.apache.spark.ml.regression.LinearRegression
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -19,10 +19,18 @@ object MLCapabilities {
     * the intended *consumers* of the fallback (their cluster centroid's
     * mean rating/chemistry substitutes for their own history). */
   def clusterProfiles(profiles: DataFrame, k: Int = 5, seed: Long = 42L,
-      maxIter: Int = 8): DataFrame = {
+      maxIter: Int = 8): DataFrame =
+    clusterProfilesWithCost(profiles, k, seed, maxIter)._1
+
+  /** As [[clusterProfiles]], but also surfaces the fitted model's WCSS
+    * (`summary.trainingCost`) so contract queries can gate convergence
+    * (WCSS ≤ total sum of squares around the global centroid — the
+    * variance-decomposition bound any correct k-means fit satisfies)
+    * instead of just row counts. */
+  def clusterProfilesWithCost(profiles: DataFrame, k: Int = 5,
+      seed: Long = 42L, maxIter: Int = 8): (DataFrame, Double) = {
     val features = new VectorAssembler()
-      .setInputCols(Array("fouls", "goals", "own_goals", "pass_accuracy",
-        "shots_on_target"))
+      .setInputCols(featureCols)
       .setOutputCol("features")
     // k-means|| init kept: with tiny well-separated clusters (the unit
     // fixture) random init can collapse two centroids onto one cluster;
@@ -32,11 +40,19 @@ object MLCapabilities {
     val km = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
       .setTol(1e-3)
       .setFeaturesCol("features").setPredictionCol("cluster")
-    new Pipeline().setStages(Array(features, km))
+    val model = new Pipeline().setStages(Array(features, km))
       .fit(profiles)
-      .transform(profiles)
-      .select(col("playerId"), col("cluster"))
+    val wcss = model.stages(1).asInstanceOf[KMeansModel]
+      .summary.trainingCost
+    (model.transform(profiles).select(col("playerId"), col("cluster")),
+      wcss)
   }
+
+  /** The profile feature columns the clustering trains on — exposed so
+    * contract queries compute their total-sum-of-squares bound over the
+    * exact same space. */
+  val featureCols: Array[String] =
+    Array("fouls", "goals", "own_goals", "pass_accuracy", "shots_on_target")
 
   /** Fallback rating for sparse players (< minMatches): mean final
     * rating of the player's profile cluster. */

@@ -124,22 +124,41 @@ object Dedup {
 
   /** The scale path: MinHash-LSH candidate generation followed by exact
     * n-gram Jaccard verification on the candidates only — the pair work
-    * is bounded by bucket collisions, never by N². */
+    * is bounded by bucket collisions, never by N².
+    *
+    * The expensive shingle-set projection runs only for candidate
+    * members: the candidate pairs (small by construction — bounded by
+    * LSH bucket collisions) are exploded to (pair, member, side) rows
+    * and broadcast against ONE cheap (id, tokens) scan of the corpus;
+    * the shingle sets are computed *above* that join, i.e. only for
+    * rows that survive it, then the two sides of each pair meet in a
+    * candidate-sized groupBy. The corpus is scanned once, never
+    * shuffles, and is never shingled wholesale on the verify side. */
   def verifiedNearDups(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, numHashes: Int = 8, bandSize: Int = 2,
       shingleK: Int = 3): DataFrame = {
     val cands = minhashCandidates(df, idCol, textCol, numHashes, bandSize,
       shingleK)
-    val sets = df.select(col(idCol).as("sid"),
-      graft.functions.HashExprs.shingleSet(split(col(textCol), " "),
-        shingleK).as("shset"))
+    val members = cands.select(col("d1"), col("d2"),
+        explode(array(
+          struct(col("d1").as("member"), lit(1).as("side")),
+          struct(col("d2").as("member"), lit(2).as("side")))).as("m"))
+      .select(col("d1"), col("d2"), col("m.member").as("member"),
+        col("m.side").as("side"))
+    val toks = df.select(col(idCol).as("sid"),
+      split(col(textCol), " ").as("toks"))
+    val sets = toks.join(broadcast(members), col("sid") === col("member"))
+      .select(col("d1"), col("d2"), col("side"),
+        graft.functions.HashExprs.shingleSet(col("toks"), shingleK)
+          .as("shset"))
     val inter = size(array_intersect(col("s1"), col("s2")))
     val uni = size(col("s1")) + size(col("s2")) - inter
-    cands
-      .join(sets.select(col("sid"), col("shset").as("s1")),
-        col("d1") === col("sid")).drop("sid")
-      .join(sets.select(col("sid"), col("shset").as("s2")),
-        col("d2") === col("sid")).drop("sid")
+    sets.groupBy(col("d1"), col("d2"))
+      .agg(
+        first(when(col("side") === 1, col("shset")), ignoreNulls = true)
+          .as("s1"),
+        first(when(col("side") === 2, col("shset")), ignoreNulls = true)
+          .as("s2"))
       .withColumn("jaccard",
         when(uni === 0, 0.0)
           .otherwise(inter.cast("double") / uni.cast("double")))

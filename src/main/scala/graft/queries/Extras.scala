@@ -188,8 +188,14 @@ object Extras {
              TRUE AS approx_ok
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
-  /** KMeans(k=5) profile clustering (SURVEY §2.8) — model output, no
-    * SQL oracle; rows-only check + ClusteringSpec pins behavior. */
+  /** KMeans(k=5) profile clustering contract (SURVEY §2.8). Raw
+    * assignments are model-derived (seed/partitioning-sensitive), so
+    * the oracle gates the invariants any correct fit must satisfy:
+    * totality (every profiled player assigned exactly one cluster) and
+    * Lloyd convergence (fitted WCSS ≤ total sum of squares around the
+    * global centroid — the k=1 solution — by variance decomposition).
+    * All driver-side collects are bounded single-row aggregates; raw
+    * cluster behavior is pinned in MLSpec. */
   val ml_kmeans_profiles = GQuery(
     "ml_kmeans_profiles",
     (s, d) => {
@@ -204,11 +210,31 @@ object Extras {
           avg($"value").as("pass_accuracy"),
           sum(when($"event_type" === "click", 1L).otherwise(0L)).as("shots_on_target"),
           count(lit(1)).as("matches_played"))
-      graft.fpl.MLCapabilities.clusterProfiles(profiles)
-        .groupBy($"cluster").agg(count(lit(1)).as("n_players"))
-        .orderBy($"cluster")
+        .cache()
+      try {
+        val (assigned, wcss) =
+          graft.fpl.MLCapabilities.clusterProfilesWithCost(profiles)
+        val tss = profiles.agg(
+          (graft.fpl.MLCapabilities.featureCols
+            .map(f => var_pop(col(f).cast("double"))).reduce(_ + _) *
+            count(lit(1))).as("tss")).first().getDouble(0)
+        val st = assigned.agg(
+          count(lit(1)).as("n_assigned"),
+          countDistinct($"playerId").as("n_players"),
+          min($"cluster").as("cmin"), max($"cluster").as("cmax")).first()
+        val totalityOk = st.getLong(0) == st.getLong(1) &&
+          st.getInt(2) >= 0 && st.getInt(3) < 5
+        // relative epsilon: trainingCost and the SQL TSS differ only by
+        // float-summation order
+        val wcssOk = wcss <= tss * (1 + 1e-9) + 1e-6
+        s.range(1).select(lit(st.getLong(1)).as("n_players"),
+          lit(totalityOk).as("totality_ok"), lit(wcssOk).as("wcss_ok"))
+      } finally profiles.unpersist()
     },
-    None)
+    Some("""
+      SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_players,
+             TRUE AS totality_ok, TRUE AS wcss_ok
+      FROM events"""))
 
   /** KMeans contract: with the fixed seed, clustering must assign
     * every profiled player to one of exactly k=5 non-degenerate
@@ -241,6 +267,37 @@ object Extras {
       SELECT TRUE AS clusters_ok,
              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_players
       FROM events"""))
+
+  /** Quadratic-regression contract (reference docs/Specs.pdf p.8,
+    * SURVEY §2.8): fit rating ~ β₀ + β₁·age + β₂·age² via
+    * MLCapabilities.ratingVsAge on an exactly quadratic training set
+    * (spark.range-derived, deterministic), then score one row per
+    * distinct age. The normal-equation solve must recover the
+    * generating polynomial, so predictions are gated within 1e-4 of
+    * the analytic truth, and the "retired below 0.2" rule must match
+    * truth — the nearest truth value to the 0.2 boundary is 0.0225
+    * away by construction, so the boolean cannot flap. */
+  val ml_quadfit_contract = GQuery(
+    "ml_quadfit_contract",
+    (s, _) => {
+      import s.implicits._
+      def truth(age: org.apache.spark.sql.Column) =
+        lit(0.9) - lit(0.0025) * (age - 27) * (age - 27)
+      val train = s.range(0, 300)
+        .select(($"id" % 30 + 16).cast("double").as("age"))
+        .withColumn("rating", truth($"age"))
+      val scorer = graft.fpl.MLCapabilities.ratingVsAge(train)
+      val holdout = s.range(16, 46).select($"id".cast("double").as("age"))
+      scorer(holdout)
+        .select($"age".cast("int").as("age"), $"retired",
+          (abs($"predicted_rating" - truth($"age")) < 1e-4).as("within_tol"))
+        .orderBy($"age")
+    },
+    Some("""
+      SELECT CAST(range AS INT) AS age,
+             (0.9 - 0.0025*(range-27)*(range-27)) < 0.2 AS retired,
+             TRUE AS within_tol
+      FROM range(16, 46) ORDER BY age"""))
 
   /** Set operations (INTERSECT/EXCEPT with distinct semantics). */
   val set_ops = GQuery(
@@ -542,7 +599,7 @@ object Extras {
   val all: Seq[GQuery] = Seq(sessionize, agg_cube, mm_binary_meta,
     mm_feature_extract, mm_frame_sample, mm_resize,
     agg_approx_distinct, ml_kmeans_profiles, ml_kmeans_contract,
-    set_ops, w2_rank_lag,
+    ml_quadfit_contract, set_ops, w2_rank_lag,
     j6_outer_join, asof_attribution, range_join_window, pipeline_e2e,
     funnel, sql_shipping_priority, pivot_events)
 }

@@ -104,16 +104,55 @@ class PlanAuditSpec extends SparkSpec {
       "unpivot re-scanned the table:\n" + p)
   }
 
-  test("ivf: assignment is map-side; only the probe side broadcasts") {
-    val p = plan("sim_ivf_topk", "simple")
-    // no ML job artifacts: the whole query is one Catalyst plan with a
-    // broadcast of the (tiny) exploded query-cell side
-    assert(p.contains("BroadcastHashJoin"), p)
-    // vector side: scan → project(assignment) with no exchange between
-    val scanIdx = p.lastIndexOf("Scan parquet")
-    val lastExchange = p.lastIndexOf("Exchange")
-    assert(lastExchange < scanIdx,
-      "vector-side assignment shuffled before the candidate join:\n" + p)
+  test("ivf: vector side streams unshuffled into the candidate join") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+    // sim_ivf_fullprobe is the pure ivfTopK plan (sim_ivf_topk wraps it
+    // in contract aggregation). Walk the plan tree instead of string
+    // offsets: the candidate join (on "cell") must broadcast the probe
+    // side, and its streamed (vector) side must reach the parquet scan
+    // with no shuffle — map-side assignment is the whole point.
+    val sp = Registry.queryMap("sim_ivf_fullprobe")(spark, sf)
+      .queryExecution.sparkPlan
+    val candJoins = sp.collect {
+      case j: BroadcastHashJoinExec
+          if (j.leftKeys ++ j.rightKeys)
+            .exists(_.references.exists(_.name == "cell")) => j
+    }
+    assert(candJoins.nonEmpty, "no broadcast candidate join on cell:\n" + sp)
+    candJoins.foreach { j =>
+      val streamed = j.buildSide match {
+        case BuildLeft => j.right
+        case _         => j.left
+      }
+      assert(streamed.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        "vector side shuffled before the candidate join:\n" + sp)
+      assert(streamed.collect { case s: FileSourceScanExec => s }.nonEmpty,
+        "vector side does not stream straight from its scan:\n" + sp)
+    }
+  }
+
+  test("jaccard verify: shingle sets computed only above candidate joins") {
+    import org.apache.spark.sql.execution.ProjectExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    // the expensive ShingleSet kernel must never run over the whole
+    // corpus on the verify side: every project evaluating it has to sit
+    // ABOVE a broadcast candidate join, so only candidate members are
+    // shingled (VERDICT r2 "what's wrong" #1)
+    val sp = Registry.queryMap("dedup_ngram_jaccard")(spark, sf)
+      .queryExecution.sparkPlan
+    val shProjects = sp.collect {
+      case pr: ProjectExec if pr.projectList.exists(
+        _.exists(_.isInstanceOf[graft.functions.ShingleSet])) => pr
+    }
+    assert(shProjects.nonEmpty, "shingle verify projection missing:\n" + sp)
+    shProjects.foreach { pr =>
+      assert(pr.child.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+        "shingle set computed below the candidate join (full-corpus " +
+          "shingle pass):\n" + sp)
+    }
   }
 
   test("correlated subqueries decorrelate to joins, no per-row re-plan") {
