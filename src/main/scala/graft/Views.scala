@@ -12,7 +12,16 @@ import org.apache.spark.sql.SparkSession
   * Switching sfDir re-registers so views always point at the requested
   * data. The cache records success AFTER the views exist (a failed
   * registration stays retryable) and keys the live session weakly (no
-  * leak, no identity-hash reuse across sessions). */
+  * leak, no identity-hash reuse across sessions).
+  *
+  * CONTRACT — one sfDir per session at a time: temp views are
+  * session-global mutable state, so concurrent callers of the SAME
+  * session must use the same sfDir (registration is atomic under the
+  * lock, but thread A's SQL could otherwise read thread B's data
+  * mid-flight). Sequential sfDir switches are fine. Callers that need
+  * concurrent access to different scale factors should isolate with
+  * `spark.newSession()` — temp views are per-session, so each clone
+  * gets its own namespace over the shared SparkContext. */
 object Views {
   private val last = new java.util.WeakHashMap[SparkSession, String]()
 

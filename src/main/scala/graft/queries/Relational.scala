@@ -409,10 +409,14 @@ object Relational {
       val f = 0.2
       val totals = T.events(s, d).groupBy($"event_type")
         .agg(count(lit(1)).as("n_total"))
+      // strata derived from the data, not hardcoded: an event_type
+      // outside a literal map would be sampled at 0 and silently fail
+      // the tolerance check on data-domain drift. Bounded collect: the
+      // event-type domain is a handful of values by construction.
+      val strata = totals.select($"event_type").collect()
+        .map(r => r.getString(0) -> f).toMap
       val sampled = T.events(s, d)
-        .stat.sampleBy("event_type",
-          Map("click" -> f, "view" -> f, "purchase" -> f,
-            "signup" -> f, "error" -> f), 42L)
+        .stat.sampleBy("event_type", strata, 42L)
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n_sampled"))
       totals.join(sampled, Seq("event_type"), "left")

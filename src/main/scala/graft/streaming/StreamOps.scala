@@ -55,11 +55,17 @@ object StreamOps {
     // Both streams may name their event-time column identically: the
     // right side's is renamed BEFORE the watermark (so the watermark
     // follows the renamed column) and the output stays unambiguous.
+    // The synthesized name is suffixed until it is fresh on BOTH
+    // schemas — a pre-existing right_<ts> column would otherwise make
+    // the watermark/join condition ambiguous.
     val (rRenamed, rTs) =
-      if (left.columns.contains(rightTs))
-        (right.withColumnRenamed(rightTs, s"right_$rightTs"),
-          s"right_$rightTs")
-      else (right, rightTs)
+      if (left.columns.contains(rightTs)) {
+        val fresh = Iterator.iterate(s"right_$rightTs")(_ + "_")
+          .dropWhile(n => left.columns.contains(n) ||
+            right.columns.contains(n))
+          .next()
+        (right.withColumnRenamed(rightTs, fresh), fresh)
+      } else (right, rightTs)
     val l = left.withWatermark(leftTs, watermark)
     val r = rRenamed.withWatermark(rTs, watermark)
     l.join(r, l(key) === r(key) &&

@@ -29,6 +29,26 @@ object Fixture {
       |     "bench":[{"playerId":14,"goals":"0","ownGoals":"0","yellowCards":"0","redCards":"0"}],
       |     "substitutions":[]}}}}""".stripMargin.replaceAll("\n", "")
 
+  /** Separate match (NOT in [[allLines]], so golden metric vectors are
+    * untouched) pinning the spec-§1c edge: a starter subbed out at
+    * exactly minute 90 played the whole match but does NOT count as
+    * "never substituted" — absence from the substitution list is the
+    * definition, not outMinute == 90. */
+  val minute90MatchJson: String =
+    """{"wyId":1002,"competitionId":1,"date":"May 21, 2018 at 8:45:00 PM GMT+2",
+      |"dateutc":"2018-05-21 18:45:00","duration":"Regular","gameweek":2,
+      |"label":"Gamma FC - Delta FC, 0 - 0","roundId":44,"seasonId":2018,
+      |"status":"Played","venue":"Stadio Gamma","winner":0,
+      |"teamsData":{
+      | "300":{"hasFormation":1,"score":0,"scoreET":0,"scoreHT":0,"scoreP":0,
+      |   "side":"home","teamId":300,"coachId":9003,
+      |   "formation":{
+      |     "lineup":[{"playerId":21,"goals":"0","ownGoals":"0","yellowCards":"0","redCards":"0"},
+      |               {"playerId":22,"goals":"0","ownGoals":"0","yellowCards":"0","redCards":"0"}],
+      |     "bench":[{"playerId":23,"goals":"0","ownGoals":"0","yellowCards":"0","redCards":"0"}],
+      |     "substitutions":[{"playerIn":23,"playerOut":21,"minute":90}]}}}}"""
+      .stripMargin.replaceAll("\n", "")
+
   private def ev(id: Int, eventId: Int, playerId: Int, teamId: Int,
       tags: Seq[Int], subEventId: Int = 0, matchId: Int = 1001): String = {
     val tagStr = tags.map(t => s"""{"id":$t}""").mkString(",")

@@ -28,6 +28,23 @@ class FlattenSpec extends SparkSpec {
     assert(pm(14L) == ((-1, -1, 0, false)))  // unused bench (away)
   }
 
+  test("starter subbed out at exactly minute 90 is NOT neverSubstituted") {
+    val pm = Flatten.playerMinutes(
+      Ingest.matches(Ingest.parse(Seq(Fixture.minute90MatchJson)
+        .toDF("value"))))
+      .collect()
+      .map(r => r.getAs[Long]("playerId") ->
+        ((r.getAs[Int]("inMinute"), r.getAs[Int]("outMinute"),
+          r.getAs[Int]("minutesPlayed"), r.getAs[Boolean]("neverSubstituted"))))
+      .toMap
+    // full 90 minutes played, but present in the substitution list ⇒
+    // no "never substituted" bonus (spec §1c) — outMinute alone cannot
+    // decide this
+    assert(pm(21L) == ((0, 90, 90, false)))
+    assert(pm(22L) == ((0, 90, 90, true)))   // untouched starter
+    assert(pm(23L) == ((90, 90, 0, false)))  // subbed in at 90: 0 minutes
+  }
+
   test("matchSquadStats uses real card/goal counters (G3, spec Q4)") {
     val st = Flatten.matchSquadStats(matches).collect()
       .map(r => r.getAs[Long]("playerId") ->
