@@ -2,15 +2,24 @@ package graft.fpl
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.streaming.Trigger
-import graft.streaming.FplStream
+import graft.streaming.{FplStream, LineSource}
 
 /** The reference's `spark-submit master.py` replacement: one streaming
-  * app ingesting the match+event line stream from a TCP socket
-  * (reference master.py:330, port 6100) through the full stateful
+  * app ingesting the match+event line stream through the full stateful
   * pipeline into parquet state tables (closes + incremental chemistry).
   *
   *   sbt "runMain graft.fpl.StreamApp <host> <port> <stateDir>"
   *   sbt "runMain graft.fpl.StreamApp --replay <file.jsonl> <stateDir>"
+  *   sbt "runMain graft.fpl.StreamApp --conf k=v [--conf k=v …] <stateDir>"
+  *
+  * The transport is a [[graft.streaming.LineSource]] config (SURVEY
+  * §2.1 S1: socket is the reference's dev transport, master.py:330;
+  * file/Kafka are the prod mappings), e.g.
+  *   --conf source=file --conf path=/data/in
+  *   --conf source=kafka --conf kafka.bootstrap.servers=broker:9092 \
+  *     --conf subscribe=fpl-events
+  * The two positional forms are kept for compatibility with the
+  * reference's invocation shape.
   *
   * --replay starts a local feeder socket streaming the file once (line
   * per ~0.1 ms) and terminates when the stream drains — a
@@ -20,7 +29,8 @@ object StreamApp {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 3, "usage: StreamApp <host> <port> <stateDir> " +
-      "| --replay <file.jsonl> <stateDir>")
+      "| --replay <file.jsonl> <stateDir> " +
+      "| --conf k=v [--conf k=v ...] <stateDir>")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
       .appName("graft-fpl-stream")
@@ -32,7 +42,7 @@ object StreamApp {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val (host, port, stateDir, bounded) =
+    val (srcConf, stateDir, bounded) =
       if (args(0) == "--replay") {
         val lines = java.nio.file.Files.readAllLines(
           java.nio.file.Paths.get(args(1)))
@@ -47,11 +57,20 @@ object StreamApp {
         })
         feeder.setDaemon(true)
         feeder.start()
-        ("localhost", server.getLocalPort, args(2), true)
-      } else (args(0), args(1).toInt, args(2), false)
+        (Map("source" -> "socket", "host" -> "localhost",
+          "port" -> server.getLocalPort.toString), args(2), true)
+      } else if (args(0) == "--conf") {
+        val conf = args.init.grouped(2).collect {
+          case Array("--conf", kv) if kv.contains("=") =>
+            val Array(k, v) = kv.split("=", 2)
+            k -> v
+        }.toMap
+        (conf, args.last, false)
+      } else
+        (Map("source" -> "socket", "host" -> args(0), "port" -> args(1)),
+          args(2), false)
 
-    val lines = spark.readStream.format("socket")
-      .option("host", host).option("port", port).load()
+    val lines = LineSource(spark, srcConf)
     val query = FplStream.runFull(lines, stateDir,
         s"$stateDir/checkpoint")
       .trigger(Trigger.ProcessingTime("5 seconds"))
