@@ -34,10 +34,48 @@ object Bench {
         catch { case _: Throwable => false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Streaming throughput: a fixed synthetic season (80 matches × 800
+    // events = 64k events) replayed through both stateful paths via the
+    // file transport with AvailableNow. Bench-only entries (streaming ≡
+    // batch is pinned in StreamingSpec; no oracle row) so a throughput
+    // regression in the reference's core workload shows up in BENCH
+    // round over round — see docs/PERF.md §streaming.
+    val all = results ++ streamingLegs(spark)
+    val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val total = all.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  private def streamingLegs(spark: SparkSession): Map[String, Double] = {
+    import org.apache.spark.sql.streaming.Trigger
+    val season = fpl.SeasonBench.synthSeason(80, 800)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bench-stream")
+    val inDir = tmp.resolve("in")
+    java.nio.file.Files.createDirectory(inDir)
+    java.nio.file.Files.write(inDir.resolve("season.jsonl"),
+      season.mkString("\n").getBytes)
+    def leg(name: String)(
+        mk: org.apache.spark.sql.DataFrame =>
+          org.apache.spark.sql.Dataset[_]): (String, Double) = {
+      val t0 = System.nanoTime()
+      val ok = try {
+        val q = mk(spark.readStream.text(inDir.toString))
+          .writeStream.format("noop")
+          .option("checkpointLocation", tmp.resolve(s"ckpt-$name").toString)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        true
+      } catch { case _: Throwable => false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    }
+    Map(
+      leg("stream_fmgws")(l => streaming.FplStream.matchCloses(
+        streaming.FplStream.toMessages(l))),
+      leg("stream_tws")(l => streaming.FplStreamTWS.matchCloses(
+        streaming.FplStream.toMessages(l))))
   }
 }

@@ -61,12 +61,10 @@ object SeasonBench {
   def main(args: Array[String]): Unit = {
     val nMatches = if (args.nonEmpty) args(0).toInt else 380
     val eventsPerMatch = if (args.length > 1) args(1).toInt else 1700
-    val spark = SparkSession.builder()
+    val spark = graft.GraftSession.tuned(SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
@@ -94,7 +92,8 @@ object SeasonBench {
     val nProfiles = Folds.profiles(fm).count()
     val batchSec = (System.nanoTime() - t0) / 1e9
 
-    // streaming replay (file source, AvailableNow)
+    // streaming replay, flatMapGroupsWithState path (file source,
+    // AvailableNow, parquet sink — the production shape)
     t0 = System.nanoTime()
     val q = graft.streaming.FplStream.run(
         spark.readStream.text(inDir.toString),
@@ -105,9 +104,24 @@ object SeasonBench {
     val streamSec = (System.nanoTime() - t0) / 1e9
     val nCloses = spark.read.parquet(tmp.resolve("out").toString).count()
 
+    // streaming replay, transformWithState path (RocksDB state store;
+    // same fold kernel, noop sink so only source+state cost is timed)
+    t0 = System.nanoTime()
+    val qt = graft.streaming.FplStreamTWS.matchCloses(
+        graft.streaming.FplStream.toMessages(
+          spark.readStream.text(inDir.toString)))
+      .writeStream.format("noop")
+      .option("checkpointLocation", tmp.resolve("ckpt-tws").toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    qt.awaitTermination()
+    val twsSec = (System.nanoTime() - t0) / 1e9
+
     println(f"""{"matches":$nMatches,"events":$nEvents,""" +
       f""""batch_sec":$batchSec%.2f,"batch_events_per_sec":${nEvents / batchSec}%.0f,""" +
       f""""stream_sec":$streamSec%.2f,"stream_events_per_sec":${nEvents / streamSec}%.0f,""" +
+      f""""tws_sec":$twsSec%.2f,"tws_events_per_sec":${nEvents / twsSec}%.0f,""" +
       f""""ratings":$nRatings,"chem_pairs":$nChem,"profiles":$nProfiles,"closes":$nCloses}""")
     spark.stop()
   }
