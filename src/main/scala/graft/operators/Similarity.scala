@@ -50,10 +50,39 @@ object Similarity {
 
   /** Sign-bit LSH bucket over the first `nbits` dimensions (a fixed
     * axis-aligned hyperplane family — deterministic and
-    * engine-independent; swap in random projections for production). */
+    * engine-independent, so a SQL oracle can replicate it; recall
+    * collapses on embeddings whose variance concentrates away from the
+    * leading axes — use [[randomProjectionBucket]] in production). */
   def signBucket(vec: Column, nbits: Int = 8): Column =
     concat((0 until nbits).map(i =>
       when(element_at(vec, i + 1) > 0f, lit("1")).otherwise(lit("0"))): _*)
+
+  /** Seeded random hyperplanes for sign-LSH: `nbits` unit-normalized
+    * Gaussian directions over `dim` dimensions. Deterministic in
+    * (dim, nbits, seed), generated driver-side and embedded as plan
+    * literals — no state, no fit step, broadcast-free. */
+  private[operators] def randomHyperplanes(dim: Int, nbits: Int,
+      seed: Long): Array[Array[Float]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(nbits) {
+      val h = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(h.map(x => x * x).sum)
+      h.map(x => (x / n).toFloat)
+    }
+  }
+
+  /** Production sign-LSH bucket: bit i = sign(vec · hᵢ) for a seeded
+    * random-projection family. Rotation-free-lunch vs [[signBucket]]:
+    * random directions spread bucket entropy across ALL dimensions, so
+    * recall holds on correlated/anisotropic embeddings where the
+    * axis-aligned family degenerates into one mega-bucket (e.g. an
+    * all-positive leading dimension hashing every vector identically).
+    * Same codegen'd FloatDot kernel as the scoring path. */
+  def randomProjectionBucket(vec: Column, dim: Int, nbits: Int = 8,
+      seed: Long = 42L): Column =
+    concat(randomHyperplanes(dim, nbits, seed).map(h =>
+      when(fdot(vec, typedlit(h)) > 0d, lit("1")).otherwise(lit("0")))
+      .toIndexedSeq: _*)
 
   /** Bucketed ANN top-k: queries only score same-bucket candidates.
     * Recall < 1 by construction; the candidate set per query is |bucket|
@@ -78,6 +107,53 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("qb").as("bucket"), col("neighbor_id"),
         col("rank"), col("cos"))
+  }
+
+  /** Multi-table random-projection LSH top-k: `tables` independent
+    * seeded hyperplane families of `nbits` bits each
+    * (OR-amplification). Queries score the UNION of their same-bucket
+    * candidates across tables, so candidate work per query is
+    * Σ_t |bucket_t| and recall follows 1−(1−p^nbits)^tables for
+    * per-bit agreement p = 1−θ/π — tunable to any target without
+    * scoring the whole corpus. This is the production bucketed-ANN
+    * shape for correlated/anisotropic embeddings, where the
+    * axis-aligned [[signBucket]] family degenerates (near-constant
+    * leading dimensions hash everything together, or noisy ones split
+    * true neighbors).
+    *
+    * Plan shape: bucket bits are plan literals (seeded driver-side
+    * generation, no fit step); each side explodes to (vector, bucket)
+    * rows; the join key is the bucket string; the pair-dedup groupBy
+    * and the top-k window shuffle only candidate pairs. */
+  def rpLshTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int, nbits: Int = 4, tables: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    def buckets(vec: Column): Column =
+      array((0 until tables).map { t =>
+        val planes = randomHyperplanes(dim, nbits, seed + t)
+        concat(lit(s"$t:") +: planes.toIndexedSeq.map(h =>
+          when(fdot(vec, typedlit(h)) > 0d, lit("1"))
+            .otherwise(lit("0"))): _*)
+      }: _*)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      fnorm(col(vecCol)).as("qn"), explode(buckets(col(vecCol))).as("bk"))
+    val c = vectors.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"), fnorm(col(vecCol)).as("cn"),
+      explode(buckets(col(vecCol))).as("bk"))
+    // a pair colliding in several tables must score once, not L times
+    val pairs = q.join(c, Seq("bk"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"),
+        col("qn"), col("cn"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = pairs.withColumn("cos", pairCos(fdot(col("qv"), col("cv")),
+      col("qn"), col("cn")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
   /** Driver-side Lloyd's with k-means++ seeding over a bounded sample.

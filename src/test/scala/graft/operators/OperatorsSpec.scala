@@ -106,6 +106,40 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.exists { case (q, n) => Set(q, n) == Set(1L, 4L) })
   }
 
+  test("random-projection LSH recovers neighbors the axis-aligned " +
+      "family loses on anisotropic embeddings") {
+    // adversarial-for-signBucket data: the leading 8 dims are ±0.01
+    // noise (exactly what signBucket hashes), the trailing 8 carry two
+    // tight clusters. Axis-aligned buckets split true neighbors on
+    // noise bits; seeded random projections see the cluster dims.
+    val rnd = new scala.util.Random(11)
+    val vecs = (1L to 40L).map { i =>
+      val cluster = if (i % 2 == 0) 1f else -1f
+      val noise = Array.fill(8)((rnd.nextGaussian() * 0.01).toFloat)
+      val signal = Array.fill(8)(cluster + (rnd.nextGaussian() * 0.05).toFloat)
+      (i, noise ++ signal, 0)
+    }.toDF("vec_id", "embedding", "label")
+    val queries = vecs.filter($"vec_id" <= 10)
+    def hits(df: org.apache.spark.sql.DataFrame): Long = {
+      val brute = Similarity.bruteForceTopK(vecs, queries,
+        "vec_id", "embedding", 3)
+      df.join(brute, Seq("query_id", "neighbor_id"), "inner").count()
+    }
+    val axisHits = hits(Similarity.bucketedTopK(vecs, queries,
+      "vec_id", "embedding", 3, nbits = 8))
+    val rpHits = hits(Similarity.rpLshTopK(vecs, queries,
+      "vec_id", "embedding", 3, dim = 16, nbits = 4, tables = 8))
+    // rp-LSH must recover ≥90% of the exact top-3 and strictly beat
+    // the axis-aligned family on this geometry
+    assert(rpHits >= 27, s"rp-LSH recall too low: $rpHits/30")
+    assert(rpHits > axisHits,
+      s"random projections ($rpHits) should beat axis-aligned ($axisHits)")
+    // determinism: same seed ⇒ same buckets ⇒ same result set
+    val again = hits(Similarity.rpLshTopK(vecs, queries,
+      "vec_id", "embedding", 3, dim = 16, nbits = 4, tables = 8))
+    assert(again == rpHits)
+  }
+
   test("IVF top-k: full probe equals brute force; partial probe ⊆ candidates") {
     val rnd = new scala.util.Random(7)
     val vecs = (1L to 60L).map(i =>
