@@ -166,6 +166,55 @@ object Dedup {
       .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Connected components over an undirected edge list (the clustering
+    * step after near-dup pair generation: every doc in a component is a
+    * mutual near-dup group; keep one representative per component).
+    *
+    * Iterative min-label propagation: comp(v) starts as v and each
+    * round takes the min over v and its neighbors' labels, converging
+    * in O(component diameter) rounds — near-dup components are small
+    * dense cliques (diameter 1-2), so 2-3 rounds in practice, with
+    * `maxIter` as the safety cap and early exit on fixpoint. Each round
+    * is ONE shuffle on the node key; lineage is cut per round with
+    * localCheckpoint so the plan stays constant-size instead of growing
+    * a join per iteration. For adversarial long-chain graphs at 100 TB
+    * swap in the alternating large-star/small-star algorithm
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * same per-round shuffle shape, O(log²) rounds.
+    *
+    * Returns (id, comp) for every node that appears in an edge, where
+    * comp = min node id of the component. */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 10): DataFrame = {
+    // materialize the (possibly expensive) edge derivation ONCE — every
+    // propagation round joins against sym, and without the checkpoint
+    // each round would re-run the whole upstream pair-generation plan
+    val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .localCheckpoint()
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = sym.join(labels, col("b") === col("id"))
+        .groupBy(col("a")).agg(min(col("comp")).as("ncomp"))
+      // the previous label rides along so convergence is a filter over
+      // the checkpointed round output, not an extra join
+      val next = labels
+        .join(neighborMin, col("id") === col("a"), "left")
+        .select(col("id"), col("comp").as("prev"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp")))
+            .as("comp"))
+        .localCheckpoint()
+      converged = next.filter(col("comp") =!= col("prev")).isEmpty
+      labels = next.select(col("id"), col("comp"))
+      i += 1
+    }
+    labels
+  }
+
   /** SimHash fingerprint (bits from the first bits/4 hex nibbles of each
     * token's md5; per-bit ±1 votes summed over tokens; fp bit = vote>0).
     * Near-dup candidates then join on fingerprint (or low Hamming

@@ -122,6 +122,75 @@ object Pipeline {
       SELECT d1, d2, ROUND(jaccard, 6) AS jaccard
       FROM scored WHERE jaccard >= 0.8 ORDER BY d1, d2"""))
 
+  /** Near-dup CLUSTERS: connected components over the verified
+    * Jaccard pairs (the step a real dedup pipeline runs after pair
+    * generation — one representative survives per component). Spark
+    * side is iterative min-label propagation; the oracle computes the
+    * same components with a recursive transitive-closure CTE, so the
+    * component ids (min doc_id) and sizes hash-check exactly. */
+  val dedup_clusters = GQuery(
+    "dedup_clusters",
+    (s, d) => {
+      val pairs = Dedup.verifiedNearDups(T.documents(s, d), "doc_id",
+        "text", 0.8)
+      val cc = Dedup.connectedComponents(pairs, "d1", "d2")
+      val sizes = cc.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+      cc.join(sizes, Seq("comp"))
+        .select(col("id").as("doc_id"), col("comp").as("cluster_rep"),
+          col("cluster_size"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH RECURSIVE toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      sh AS (
+        SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        FROM toks, LATERAL (SELECT UNNEST(range(1, len(t) - 1)) AS i) u),
+      hx AS (
+        SELECT doc_id, sh, md5(sh) || md5(reverse(sh)) AS m FROM sh),
+      sig AS (
+        SELECT doc_id,
+               MIN(substr(m, 1, 8)) AS h0, MIN(substr(m, 9, 8)) AS h1,
+               MIN(substr(m, 17, 8)) AS h2, MIN(substr(m, 25, 8)) AS h3,
+               MIN(substr(m, 33, 8)) AS h4, MIN(substr(m, 41, 8)) AS h5,
+               MIN(substr(m, 49, 8)) AS h6, MIN(substr(m, 57, 8)) AS h7
+        FROM hx GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, md5('0:' || h0 || ':' || h1) AS bk FROM sig
+        UNION ALL SELECT doc_id, md5('1:' || h2 || ':' || h3) FROM sig
+        UNION ALL SELECT doc_id, md5('2:' || h4 || ':' || h5) FROM sig
+        UNION ALL SELECT doc_id, md5('3:' || h6 || ':' || h7) FROM sig),
+      cands AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+      sets AS (
+        SELECT doc_id, list_distinct(list(sh)) AS shset
+        FROM sh GROUP BY doc_id),
+      pairs AS (
+        SELECT d1, d2
+        FROM cands JOIN sets x ON d1 = x.doc_id
+                   JOIN sets y ON d2 = y.doc_id
+        WHERE len(x.shset) + len(y.shset)
+              - len(list_intersect(x.shset, y.shset)) > 0
+          AND CAST(len(list_intersect(x.shset, y.shset)) AS DOUBLE) /
+              CAST(len(x.shset) + len(y.shset)
+                   - len(list_intersect(x.shset, y.shset)) AS DOUBLE)
+              >= 0.8),
+      sym AS (
+        SELECT d1 AS a, d2 AS b FROM pairs
+        UNION SELECT d2, d1 FROM pairs),
+      reach AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+      comp AS (
+        SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_rep
+        FROM reach GROUP BY a),
+      sizes AS (
+        SELECT cluster_rep, COUNT(*) AS n FROM comp GROUP BY cluster_rep)
+      SELECT doc_id, cluster_rep, CAST(n AS BIGINT) AS cluster_size
+      FROM comp JOIN sizes USING (cluster_rep) ORDER BY doc_id"""))
+
   /** Embedding-cosine near-dup pairs within label blocks. */
   val dedup_embedding_cosine = GQuery(
     "dedup_embedding_cosine",
@@ -547,7 +616,8 @@ object Pipeline {
 
   val all: Seq[GQuery] = Seq(
     dedup_exact, dedup_minhash_lsh, dedup_simhash, dedup_ngram_jaccard,
-    dedup_embedding_cosine, dedup_semantic, sim_topk_bruteforce,
+    dedup_clusters, dedup_embedding_cosine, dedup_semantic,
+    sim_topk_bruteforce,
     sim_lsh_bucketed, sim_ivf_topk, sim_ivf_fullprobe, sim_ivf_recall,
     sim_rplsh_recall, text_tokens, text_quality, text_langid,
     text_fingerprint, text_pii_scrub)

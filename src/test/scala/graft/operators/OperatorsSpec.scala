@@ -106,6 +106,30 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.exists { case (q, n) => Set(q, n) == Set(1L, 4L) })
   }
 
+  test("connected components: chains merge, islands stay apart") {
+    // component {1..5} as a CHAIN (diameter 4 — forces multi-round
+    // propagation, not just one-hop), component {10,11} as an edge,
+    // and 20-20 self-loop (a doc paired with itself upstream would be
+    // a bug, but the operator must not corrupt on it)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L),
+      (20L, 20L)).toDF("d1", "d2")
+    val cc = Dedup.connectedComponents(edges, "d1", "d2").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("comp")).toMap
+    assert((1L to 5L).forall(cc(_) == 1L), cc.toString)
+    assert(cc(10L) == 10L && cc(11L) == 10L)
+    assert(cc(20L) == 20L)
+    assert(cc.size == 8)
+    // maxIter smaller than the diameter must still terminate (capped),
+    // and full run must be deterministic
+    val capped = Dedup.connectedComponents(edges, "d1", "d2", maxIter = 1)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("comp"))
+      .toMap
+    assert(capped(2L) == 1L) // one round: direct-neighbor min
+    val again = Dedup.connectedComponents(edges, "d1", "d2").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("comp")).toMap
+    assert(again == cc)
+  }
+
   test("random-projection LSH recovers neighbors the axis-aligned " +
       "family loses on anisotropic embeddings") {
     // adversarial-for-signBucket data: the leading 8 dims are ±0.01
