@@ -110,6 +110,56 @@ object TextAnalysis {
       phone, "<PHONE>")
   }
 
+  /** Gopher-style repetition / symbol quality signals (Rae et al. 2021
+    * §A1.1 use character-fraction variants; these are the token-count
+    * analogues, deterministic and engine-portable):
+    *
+    *  - `top_bigram_frac`  — occurrences of the most frequent word
+    *    bigram / total bigrams (boilerplate detector);
+    *  - `dup_5gram_frac`   — fraction of 5-gram instances that are
+    *    repeats of an earlier 5-gram in the same doc;
+    *  - `symbol_ratio`     — non-alphanumeric-non-space chars / tokens;
+    *  - `repetition_pass`  — all three under their thresholds
+    *    (0.20 / 0.30 / 0.10).
+    *
+    * The bigram mode is computed by explode → (doc, bigram) count →
+    * per-doc max: two keyed aggregations with map-side partial combine,
+    * never a per-doc O(n²) array scan — per-doc work stays linear in
+    * doc length, so a 100 TB corpus costs two shuffles of the n-gram
+    * stream keyed by doc id. The 5-gram duplicate fraction needs no
+    * explode at all (array size vs distinct size). */
+  def repetitionMetrics(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val g5 = Dedup.shingles(col(textCol), 5)
+    val base = df.select(
+      col(idCol),
+      tokenCount(col(textCol)).as("n_tokens"),
+      size(regexp_extract_all(col(textCol),
+        lit("[^A-Za-z0-9\\s]"), lit(0))).as("n_symbols"),
+      size(g5).as("n_5grams"),
+      (size(g5) - size(array_distinct(g5))).as("n_dup_5grams"))
+    val topBigram = df
+      .select(col(idCol),
+        explode(Dedup.shingles(col(textCol), 2)).as("bg"))
+      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(max(col("c")).as("top_bigram_n"),
+        sum(col("c")).as("n_bigrams"))
+    val frac = (n: Column, d: Column) =>
+      when(d > 0, round(n.cast("double") / d.cast("double"), 6))
+        .otherwise(lit(0.0))
+    base.join(topBigram, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        frac(coalesce(col("top_bigram_n"), lit(0L)),
+          coalesce(col("n_bigrams"), lit(0L))).as("top_bigram_frac"),
+        frac(col("n_dup_5grams"), col("n_5grams")).as("dup_5gram_frac"),
+        frac(col("n_symbols"), col("n_tokens")).as("symbol_ratio"))
+      .withColumn("repetition_pass",
+        col("top_bigram_frac") <= 0.20 && col("dup_5gram_frac") <= 0.30 &&
+          col("symbol_ratio") <= 0.10)
+  }
+
   /** Polynomial rolling hash over tokens (mod 2^31-1, base 131) —
     * an order-sensitive fingerprint, unlike the bag-of-words md5.
     * Computed with exact integer window arithmetic. */

@@ -2,7 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.{GQuery, Tables => T}
-import graft.operators.{Dedup, Similarity, TextAnalysis => TA}
+import graft.operators.{Contamination, Dedup, Mix, Pack, Similarity,
+  TextAnalysis => TA}
 
 /** LLM-training-data pipeline operator surface (builder prompt §extras):
   * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding
@@ -614,11 +615,170 @@ object Pipeline {
               AND contains(clean, '<PHONE>')) AS scrubbed
       FROM c ORDER BY doc_id"""))
 
+  /** Gopher-style repetition/symbol quality gates (token-count
+    * analogues of Rae et al. 2021 §A1.1), explode-based bigram mode —
+    * per-doc work linear in doc length. */
+  val text_repetition = GQuery(
+    "text_repetition",
+    (s, d) => TA.repetitionMetrics(T.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+      bg AS (
+        SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+        FROM toks, LATERAL (SELECT UNNEST(range(1, len(t))) AS i) u),
+      bgc AS (
+        SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg),
+      bga AS (
+        SELECT doc_id, MAX(c) AS top_n, CAST(SUM(c) AS BIGINT) AS n_bg
+        FROM bgc GROUP BY doc_id),
+      base AS (
+        SELECT doc_id,
+               CAST(len(t) AS BIGINT) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+                 AS BIGINT) AS n_symbols,
+               CAST(GREATEST(len(t) - 4, 0) AS BIGINT) AS n_5g,
+               CAST(GREATEST(len(t) - 4, 0) -
+                 len(list_distinct(list_transform(range(1, len(t) - 3),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                        t[i+3] || ' ' || t[i+4]))) AS BIGINT) AS n_dup_5g
+        FROM toks),
+      m AS (
+        SELECT b.doc_id,
+               CASE WHEN COALESCE(n_bg, 0) > 0
+                 THEN ROUND(CAST(COALESCE(top_n, 0) AS DOUBLE) /
+                            CAST(n_bg AS DOUBLE), 6) ELSE 0.0
+               END AS top_bigram_frac,
+               CASE WHEN n_5g > 0
+                 THEN ROUND(CAST(n_dup_5g AS DOUBLE) /
+                            CAST(n_5g AS DOUBLE), 6) ELSE 0.0
+               END AS dup_5gram_frac,
+               CASE WHEN n_tokens > 0
+                 THEN ROUND(CAST(n_symbols AS DOUBLE) /
+                            CAST(n_tokens AS DOUBLE), 6) ELSE 0.0
+               END AS symbol_ratio
+        FROM base b LEFT JOIN bga USING (doc_id))
+      SELECT doc_id, top_bigram_frac, dup_5gram_frac, symbol_ratio,
+             (top_bigram_frac <= 0.20 AND dup_5gram_frac <= 0.30
+              AND symbol_ratio <= 0.10) AS repetition_pass
+      FROM m ORDER BY doc_id"""))
+
+  /** Benchmark decontamination: docs with doc_id % 10 = 0 stand in for
+    * the held-out eval set; every other (train) doc is scored by 5-gram
+    * overlap against the broadcast eval n-gram set. */
+  val decontaminate = GQuery(
+    "decontaminate",
+    (s, d) => {
+      val docs = T.documents(s, d)
+      Contamination.overlapReport(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", 5)
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      sh AS (
+        SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+               t[i+3] || ' ' || t[i+4] AS ng
+        FROM toks, LATERAL (SELECT UNNEST(range(1, len(t) - 3)) AS i) u),
+      evalg AS (
+        SELECT DISTINCT ng FROM sh WHERE doc_id % 10 = 0),
+      traing AS (
+        SELECT DISTINCT doc_id, ng FROM sh WHERE doc_id % 10 <> 0),
+      hits AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+        FROM traing JOIN evalg USING (ng) GROUP BY doc_id),
+      base AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams
+        FROM traing GROUP BY doc_id
+        UNION ALL
+        SELECT doc_id, CAST(0 AS BIGINT) FROM toks
+        WHERE doc_id % 10 <> 0 AND len(t) < 5)
+      SELECT b.doc_id, b.n_ngrams,
+             COALESCE(h.n_overlap, 0) AS n_overlap,
+             CASE WHEN b.n_ngrams > 0
+               THEN ROUND(CAST(COALESCE(h.n_overlap, 0) AS DOUBLE) /
+                          CAST(b.n_ngrams AS DOUBLE), 6) ELSE 0.0
+             END AS overlap_frac,
+             COALESCE(h.n_overlap, 0) > 0 AS contaminated
+      FROM base b LEFT JOIN hits h USING (doc_id)
+      ORDER BY b.doc_id"""))
+
+  /** Deterministic hash split + seeded global shuffle order. The rank
+    * is a two-phase distributed prefix sum (Pack.withGlobalRank), not a
+    * partition-less window — the oracle's ROW_NUMBER() is the semantic
+    * spec, not the physical plan. */
+  val split_shuffle = GQuery(
+    "split_shuffle",
+    (s, d) => {
+      val labeled = T.documents(s, d).select(
+        col("doc_id"),
+        Mix.split(col("doc_id"), "graft-r3").as("split"),
+        Mix.shuffleKey(col("doc_id"), "graft-r3").as("shuffle_key"))
+      Pack.withGlobalRank(labeled, "shuffle_key", "shuffle_pos")
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH s AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5('graft-r3:' ||
+                 CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b,
+               md5('graft-r3#' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        FROM documents)
+      SELECT doc_id,
+             CASE WHEN b < 5 THEN 'val' WHEN b < 10 THEN 'test'
+                  ELSE 'train' END AS split,
+             shuffle_key,
+             CAST(ROW_NUMBER() OVER (ORDER BY shuffle_key) - 1 AS BIGINT)
+               AS shuffle_pos
+      FROM s ORDER BY doc_id"""))
+
+  /** Concat-then-chunk sequence packing at seqLen=256: per-sequence
+    * fill report. Every sequence except the ragged tail must be exactly
+    * full — the oracle checks the whole fill geometry. */
+  val pack_sequences = GQuery(
+    "pack_sequences",
+    (s, d) => {
+      val docs = T.documents(s, d).select(col("doc_id"),
+        TA.tokenCount(col("text")).as("n_tok"))
+      Pack.sequenceFill(
+          Pack.packSequences(docs, "doc_id", "n_tok", 256), 256)
+        .orderBy(col("seq_id"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        FROM documents WHERE len(string_split(text, ' ')) > 0),
+      o AS (
+        SELECT doc_id, n,
+               CAST(SUM(n) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) - n AS s
+        FROM d),
+      x AS (
+        SELECT o.doc_id, u.seq_id,
+               GREATEST(s, u.seq_id * 256) AS tok_start,
+               LEAST(s + n, (u.seq_id + 1) * 256) AS tok_end
+        FROM o, LATERAL (SELECT UNNEST(range(s // 256,
+               (s + n - 1) // 256 + 1)) AS seq_id) u)
+      SELECT seq_id,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(tok_end - tok_start) AS BIGINT) AS n_tokens,
+             MIN(tok_start) AS tok_start,
+             MAX(tok_end) AS tok_end,
+             CAST(SUM(tok_end - tok_start) AS BIGINT) = 256 AS full
+      FROM x GROUP BY seq_id ORDER BY seq_id"""))
+
   val all: Seq[GQuery] = Seq(
     dedup_exact, dedup_minhash_lsh, dedup_simhash, dedup_ngram_jaccard,
     dedup_clusters, dedup_embedding_cosine, dedup_semantic,
     sim_topk_bruteforce,
     sim_lsh_bucketed, sim_ivf_topk, sim_ivf_fullprobe, sim_ivf_recall,
     sim_rplsh_recall, text_tokens, text_quality, text_langid,
-    text_fingerprint, text_pii_scrub)
+    text_fingerprint, text_pii_scrub, text_repetition, decontaminate,
+    split_shuffle, pack_sequences)
 }
