@@ -186,12 +186,14 @@ object Dedup {
     * comp = min node id of the component. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 10): DataFrame = {
-    // materialize the (possibly expensive) edge derivation ONCE — every
-    // propagation round joins against sym, and without the checkpoint
-    // each round would re-run the whole upstream pair-generation plan
-    val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
-      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+    // materialize the (possibly expensive) edge derivation ONCE — and
+    // BEFORE the symmetrization union, which would otherwise evaluate
+    // the whole upstream pair-generation plan once per branch (Spark
+    // does not dedupe common subplans outside exchange reuse). Every
+    // propagation round then joins against the cheap checkpointed rows.
+    val e0 = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .localCheckpoint()
+    val sym = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint()
