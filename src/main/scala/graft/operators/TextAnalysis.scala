@@ -160,6 +160,45 @@ object TextAnalysis {
           col("symbol_ratio") <= 0.10)
   }
 
+  /** Per-document salient terms by a tf-idf-shaped score, engine-exact
+    * by construction: score = (n_in_doc · (D+1)) / (doc_len · (df+1)),
+    * a SINGLE double division of two exact integer products (both far
+    * under 2^53), so every engine rounds it identically — unlike
+    * log-based idf, where libm ulp differences across engines can flip
+    * a rounded 6th decimal. The score is monotone in term frequency and
+    * anti-monotone in document frequency, which is all the ranking
+    * uses. Ties break on token order. Top `topN` per doc.
+    *
+    * Shape at scale: per-(doc,token) counts and doc lengths shuffle on
+    * doc id; document frequency shuffles on token; the rank window
+    * partitions by doc id — every stage is keyed, nothing global. `D`
+    * is a driver-side scalar (one count job). */
+  def topTfIdf(df: DataFrame, idCol: String, textCol: String,
+      topN: Int = 3): DataFrame = {
+    val d = df.count()
+    val perDocTok = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("n_in_doc"))
+    val docLen = df.select(col(idCol),
+      tokenCount(col(textCol)).cast("long").as("doc_len"))
+    val docFreq = perDocTok.groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("tok"))
+    perDocTok
+      .join(docLen, Seq(idCol))
+      .join(docFreq, Seq("tok"))
+      .withColumn("score",
+        round((col("n_in_doc") * lit(d + 1)).cast("double") /
+          (col("doc_len") * (col("df") + 1)).cast("double"), 6))
+      .withColumn("term_rank", row_number().over(w))
+      .filter(col("term_rank") <= topN)
+      .select(col(idCol), col("term_rank"), col("tok").as("token"),
+        col("score"))
+  }
+
   /** Polynomial rolling hash over tokens (mod 2^31-1, base 131) —
     * an order-sensitive fingerprint, unlike the bag-of-words md5.
     * Computed with exact integer window arithmetic. */

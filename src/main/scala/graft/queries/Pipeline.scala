@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.{GQuery, Tables => T}
 import graft.operators.{Contamination, Dedup, Mix, Pack, Similarity,
-  TextAnalysis => TA}
+  Sketch, TextAnalysis => TA}
 
 /** LLM-training-data pipeline operator surface (builder prompt §extras):
   * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding
@@ -773,6 +773,56 @@ object Pipeline {
              CAST(SUM(tok_end - tok_start) AS BIGINT) = 256 AS full
       FROM x GROUP BY seq_id ORDER BY seq_id"""))
 
+  /** Exact heavy hitters via Misra–Gries sketch-then-recount: the
+    * result is sketch-error-free (candidates recounted exactly, integer
+    * threshold count·(k+1) > N), so a plain exact-SQL oracle applies —
+    * the sketch only bounds the shuffle, never the answer. */
+  val heavy_hitters = GQuery(
+    "heavy_hitters",
+    (s, d) => Sketch.heavyHitters(T.documents(s, d), "text", 32)
+      .orderBy(col("token")),
+    Some("""
+      WITH toks AS (
+        SELECT UNNEST(string_split(text, ' ')) AS token FROM documents),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks)
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      FROM toks, tot GROUP BY token, tot.n
+      HAVING CAST(COUNT(*) AS BIGINT) * 33 > tot.n
+      ORDER BY token"""))
+
+  /** Per-doc salient terms, log-free tf-idf (single exact-integer
+    * double division → engine-identical rounding), top 3 per doc. */
+  val text_tfidf = GQuery(
+    "text_tfidf",
+    (s, d) => TA.topTfIdf(T.documents(s, d), "doc_id", "text", 3)
+      .orderBy(col("doc_id"), col("term_rank")),
+    Some("""
+      WITH pdt AS (
+        SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS n_in_doc
+        FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+              FROM documents)
+        GROUP BY doc_id, token),
+      dl AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+               AS doc_len
+        FROM documents),
+      dfreq AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+        FROM pdt GROUP BY token),
+      d AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+      sc AS (
+        SELECT p.doc_id, p.token,
+               ROUND(CAST(p.n_in_doc * (d.nd + 1) AS DOUBLE) /
+                     CAST(dl.doc_len * (f.df + 1) AS DOUBLE), 6) AS score
+        FROM pdt p JOIN dl USING (doc_id) JOIN dfreq f USING (token), d),
+      r AS (
+        SELECT doc_id, token, score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, token) AS term_rank
+        FROM sc)
+      SELECT doc_id, CAST(term_rank AS INT) AS term_rank, token, score
+      FROM r WHERE term_rank <= 3 ORDER BY doc_id, term_rank"""))
+
   val all: Seq[GQuery] = Seq(
     dedup_exact, dedup_minhash_lsh, dedup_simhash, dedup_ngram_jaccard,
     dedup_clusters, dedup_embedding_cosine, dedup_semantic,
@@ -780,5 +830,5 @@ object Pipeline {
     sim_lsh_bucketed, sim_ivf_topk, sim_ivf_fullprobe, sim_ivf_recall,
     sim_rplsh_recall, text_tokens, text_quality, text_langid,
     text_fingerprint, text_pii_scrub, text_repetition, decontaminate,
-    split_shuffle, pack_sequences)
+    split_shuffle, pack_sequences, heavy_hitters, text_tfidf)
 }
