@@ -60,10 +60,16 @@ object StreamApp {
         (Map("source" -> "socket", "host" -> "localhost",
           "port" -> server.getLocalPort.toString), args(2), true)
       } else if (args(0) == "--conf") {
-        val conf = args.init.grouped(2).collect {
+        // strict pair walk: positional grouped(2) would silently
+        // desynchronize on one stray token and drop later options,
+        // surfacing as a misleading "missing option" error downstream
+        val conf = args.init.grouped(2).map {
           case Array("--conf", kv) if kv.contains("=") =>
             val Array(k, v) = kv.split("=", 2)
             k -> v
+          case bad => throw new IllegalArgumentException(
+            s"expected '--conf key=value' pairs before the state dir, " +
+              s"got: ${bad.mkString(" ")}")
         }.toMap
         (conf, args.last, false)
       } else

@@ -133,10 +133,18 @@ object Dedup {
     * the shingle sets are computed *above* that join, i.e. only for
     * rows that survive it, then the two sides of each pair meet in a
     * candidate-sized groupBy. The corpus is scanned once, never
-    * shuffles, and is never shingled wholesale on the verify side. */
+    * shuffles, and is never shingled wholesale on the verify side.
+    *
+    * `broadcastCandidates = false` is the escape hatch for near-dup-
+    * heavy corpora: LSH collisions are quadratic in bucket size, so a
+    * boilerplate-dominated corpus can blow the candidate set past the
+    * broadcast limit — the flag degrades to a shuffled member join
+    * (corpus shuffles on id) instead of failing on the 8 GB
+    * broadcast ceiling / driver OOM. */
   def verifiedNearDups(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, numHashes: Int = 8, bandSize: Int = 2,
-      shingleK: Int = 3): DataFrame = {
+      shingleK: Int = 3, broadcastCandidates: Boolean = true)
+      : DataFrame = {
     val cands = minhashCandidates(df, idCol, textCol, numHashes, bandSize,
       shingleK)
     val members = cands.select(col("d1"), col("d2"),
@@ -147,7 +155,9 @@ object Dedup {
         col("m.side").as("side"))
     val toks = df.select(col(idCol).as("sid"),
       split(col(textCol), " ").as("toks"))
-    val sets = toks.join(broadcast(members), col("sid") === col("member"))
+    val memberSide =
+      if (broadcastCandidates) broadcast(members) else members
+    val sets = toks.join(memberSide, col("sid") === col("member"))
       .select(col("d1"), col("d2"), col("side"),
         graft.functions.HashExprs.shingleSet(col("toks"), shingleK)
           .as("shset"))
@@ -185,7 +195,7 @@ object Dedup {
     * Returns (id, comp) for every node that appears in an edge, where
     * comp = min node id of the component. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 10): DataFrame = {
+      maxIter: Int = 20): DataFrame = {
     // materialize the (possibly expensive) edge derivation ONCE — and
     // BEFORE the symmetrization union, which would otherwise evaluate
     // the whole upstream pair-generation plan once per branch (Spark
@@ -214,6 +224,15 @@ object Dedup {
       labels = next.select(col("id"), col("comp"))
       i += 1
     }
+    if (!converged)
+      // labels are still changing: some component's propagation
+      // distance exceeds maxIter and its nodes carry SPLIT labels.
+      // Surface it loudly — a silently wrong clustering is the worst
+      // failure mode a dedup pipeline can have.
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents did not converge within maxIter=$maxIter " +
+          "rounds; long-chain components are split. Raise maxIter or " +
+          "switch to the large-star/small-star algorithm for this graph.")
     labels
   }
 

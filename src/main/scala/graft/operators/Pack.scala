@@ -31,47 +31,57 @@ import org.apache.spark.sql.functions._
   */
 object Pack {
 
+  /** Internal column name guaranteed absent from `cols` — same-named
+    * caller columns must never be clobbered/dropped (the collision
+    * class StreamOps.intervalJoin guards against). */
+  private def fresh(cols: Seq[String], base: String): String =
+    Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
+      .find(n => !cols.contains(n)).get
+
   /** Adds `outCol` = EXCLUSIVE prefix sum of `valueCol` over the total
     * order of `orderCol` (i.e. sum of all strictly-preceding rows).
     * Requires distinct `orderCol` values for a well-defined total
     * order; `valueCol` must be castable to long and non-negative. */
   def withGlobalPrefixSum(df: DataFrame, orderCol: String,
       valueCol: String, outCol: String, numParts: Int = 32): DataFrame = {
+    val pid = fresh(df.columns :+ outCol, "_pid")
     // localCheckpoint pins BOTH the range bounds (sampled, so not
     // stable across recomputes) and the pid column: the totals job and
     // the output job must see identical partitioning or offsets lie.
     val parts = df
       .repartitionByRange(numParts, col(orderCol))
       .sortWithinPartitions(orderCol)
-      .withColumn("_pid", spark_partition_id())
+      .withColumn(pid, spark_partition_id())
       .localCheckpoint()
-    val totals = parts.groupBy(col("_pid"))
+    val totals = parts.groupBy(col(pid))
       .agg(sum(col(valueCol).cast("long")).as("t"))
       .collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     // exclusive per-partition offsets, in pid order
     val offsets = (0 until numParts).scanLeft(0L) {
-      case (acc, pid) => acc + totals.getOrElse(pid, 0L)
+      case (acc, p) => acc + totals.getOrElse(p, 0L)
     }
     val offsetOf = element_at(
       map((0 until numParts).flatMap(p =>
         Seq(lit(p), lit(offsets(p)))): _*),
-      col("_pid"))
-    val w = Window.partitionBy(col("_pid")).orderBy(col(orderCol))
+      col(pid))
+    val w = Window.partitionBy(col(pid)).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     parts
       .withColumn(outCol,
         sum(col(valueCol).cast("long")).over(w) -
           col(valueCol).cast("long") + offsetOf)
-      .drop("_pid")
+      .drop(pid)
   }
 
   /** Global 0-based rank of `orderCol` without a single-partition
     * window: a prefix sum of ones. */
   def withGlobalRank(df: DataFrame, orderCol: String, outCol: String,
-      numParts: Int = 32): DataFrame =
-    withGlobalPrefixSum(df.withColumn("_one", lit(1L)), orderCol,
-      "_one", outCol, numParts).drop("_one")
+      numParts: Int = 32): DataFrame = {
+    val one = fresh(df.columns :+ outCol, "_one")
+    withGlobalPrefixSum(df.withColumn(one, lit(1L)), orderCol,
+      one, outCol, numParts).drop(one)
+  }
 
   /** Packs documents into fixed-`seqLen` training sequences by
     * concatenation order of `idCol`. Returns one row per
@@ -84,19 +94,21 @@ object Pack {
   def packSequences(docs: DataFrame, idCol: String, nTokCol: String,
       seqLen: Int, numParts: Int = 32): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
+    val start = fresh(docs.columns, "_start")
+    val end = fresh(docs.columns :+ start, "_end")
     val withStart = withGlobalPrefixSum(
-      docs.filter(col(nTokCol) > 0), idCol, nTokCol, "_start", numParts)
+      docs.filter(col(nTokCol) > 0), idCol, nTokCol, start, numParts)
     val L = lit(seqLen.toLong)
     withStart
-      .withColumn("_end", col("_start") + col(nTokCol).cast("long"))
+      .withColumn(end, col(start) + col(nTokCol).cast("long"))
       .withColumn("seq_id",
-        explode(sequence(floor(col("_start") / L),
-          floor((col("_end") - 1) / L))))
+        explode(sequence(floor(col(start) / L),
+          floor((col(end) - 1) / L))))
       .select(
         col("seq_id"),
         col(idCol),
-        greatest(col("_start"), col("seq_id") * L).as("tok_start"),
-        least(col("_end"), (col("seq_id") + 1) * L).as("tok_end"))
+        greatest(col(start), col("seq_id") * L).as("tok_start"),
+        least(col(end), (col("seq_id") + 1) * L).as("tok_end"))
       .withColumn("n_tok_in_seq", col("tok_end") - col("tok_start"))
   }
 

@@ -16,16 +16,24 @@ import org.apache.spark.sql.functions._
   * deletes. Readers reconstruct with [[snapshot]]: one keyed
   * aggregation taking the max-version row per key — the merge-on-read
   * shape whose cost is one shuffle of base+log, independent of how many
-  * deltas accumulated. [[compact]] folds the log into a new base via a
-  * Hadoop-`FileSystem` two-phase swap (write `base.tmp`, rename over
-  * `base`, truncate log) — object-store-safe API, no `java.io.File`.
+  * deltas accumulated.
+  *
+  * Idempotence across compaction: the compacted base RETAINS each row's
+  * winning version and RETAINS tombstone rows (they are filtered from
+  * the read view, not from storage). Resetting versions or dropping
+  * tombstones would let an at-least-once replay of a pre-compaction
+  * batch beat the compacted row and silently regress or resurrect data;
+  * retained watermarks make the replay lose by version comparison,
+  * exactly as it did before compaction. `purgeTombstones = true` drops
+  * delete markers for space — only safe once upstream replays of older
+  * batches are impossible.
   *
   * Scale posture: append never reads existing data (O(delta)); snapshot
   * is one max_by groupBy keyed on the merge key; compaction cost equals
-  * one snapshot + clustered write, amortized across the appends since
-  * the last compact. Same-key-same-version duplicate rows (an
-  * at-least-once replay) collapse to one deterministic winner because
-  * max_by ties on the full (version, payload) struct. */
+  * one snapshot + write, amortized across the appends since the last
+  * compact. Same-key-same-version duplicate rows (an at-least-once
+  * replay) collapse to one deterministic winner because max_by ties on
+  * the full (version, payload) struct. */
 object Upsert {
 
   private def fs(spark: SparkSession, p: Path) =
@@ -39,30 +47,39 @@ object Upsert {
     }
   }
 
-  /** Initialize (or replace) the base snapshot. */
+  /** Initialize (or replace) the base snapshot. Rows without a version
+    * column participate in merges at version -1 (any delta wins). */
   def writeBase(df: DataFrame, dir: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(s"$dir/base")
 
-  /** Append a delta batch: upserts and (if `tombstoneCol` is set on a
+  /** Append a delta batch: upserts and (if `tombstoneCol` is true on a
     * row) deletes. Never reads existing data. */
   def appendDelta(df: DataFrame, dir: String): Unit =
     df.write.mode(SaveMode.Append).parquet(s"$dir/log")
 
-  /** Merge-on-read reconstruction: the highest-`versionCol` row per
-    * `keyCols`, tombstoned keys dropped. Base rows participate at
-    * version -1 (any logged version wins over base). `tombstoneCol`
-    * must be a boolean column present in both base and log (use
-    * `lit(false)` when writing if deletes aren't used). */
-  def snapshot(spark: SparkSession, dir: String, keyCols: Seq[String],
-      versionCol: String, tombstoneCol: String = "_deleted")
+  /** Winner-per-key reconstruction INCLUDING tombstone rows — the
+    * storage view compaction persists. Base rows keep their stored
+    * versions (a compacted base carries real watermarks); a base
+    * written without `versionCol` joins at -1. */
+  private def winners(spark: SparkSession, dir: String,
+      keyCols: Seq[String], versionCol: String, tombstoneCol: String)
       : DataFrame = {
     val basePath = new Path(s"$dir/base")
+    val tmpPath = new Path(s"$dir/base.tmp")
     val logPath = new Path(s"$dir/log")
+    // crash/race recovery: between compact's two renames only base.tmp
+    // exists, and it is always a COMPLETE snapshot (written before any
+    // destructive step) — read it as the base
+    val baseData =
+      if (hasData(spark, basePath)) Some(basePath)
+      else if (hasData(spark, tmpPath)) Some(tmpPath)
+      else None
     val parts = Seq(
-      if (hasData(spark, basePath))
-        Some(spark.read.parquet(basePath.toString)
-          .withColumn(versionCol, lit(-1L)))
-      else None,
+      baseData.map { p =>
+        val b = spark.read.parquet(p.toString)
+        if (b.columns.contains(versionCol)) b
+        else b.withColumn(versionCol, lit(-1L))
+      },
       if (hasData(spark, logPath))
         Some(spark.read.parquet(logPath.toString))
       else None).flatten
@@ -71,40 +88,65 @@ object Upsert {
     // lacks the tombstone column — null-filled, coalesced to false
     val all = parts.reduce(_.unionByName(_, allowMissingColumns = true))
     val payload = all.columns.filterNot(keyCols.contains)
+    val w = Iterator.from(0).map(i => if (i == 0) "_w" else s"_w$i")
+      .find(n => !all.columns.contains(n)).get
     // max_by over the (version, payload…) struct: version decides,
     // payload breaks exact-duplicate ties deterministically
     val winner = all
       .groupBy(keyCols.map(col): _*)
       .agg(max(struct((versionCol +: payload.filterNot(_ == versionCol))
-        .map(col): _*)).as("_w"))
+        .map(col): _*)).as(w))
     payload.foldLeft(winner) { case (d, c) =>
-      d.withColumn(c, col("_w").getField(c))
-    }.drop("_w")
-      .filter(!coalesce(col(tombstoneCol), lit(false)))
+      d.withColumn(c, col(w).getField(c))
+    }.drop(w)
   }
 
-  /** Fold the log into a fresh base (copy-on-write compaction):
-    * write `base.tmp`, swap via rename, drop the log. After compact,
-    * [[snapshot]] reads only the new base. The rename-swap is the
-    * standard object-store-safe two-phase commit; a reader racing the
-    * swap sees either the old base+log or the new base — both yield
-    * the same snapshot. Returns the compacted row count. */
+  /** Merge-on-read read view: the highest-`versionCol` row per
+    * `keyCols`, tombstoned keys dropped. `tombstoneCol` must be a
+    * boolean column on delta batches (use `lit(false)` when writing if
+    * deletes aren't used). */
+  def snapshot(spark: SparkSession, dir: String, keyCols: Seq[String],
+      versionCol: String, tombstoneCol: String = "_deleted")
+      : DataFrame =
+    winners(spark, dir, keyCols, versionCol, tombstoneCol)
+      .filter(!coalesce(col(tombstoneCol), lit(false)))
+
+  /** Fold the log into a fresh base (copy-on-write compaction).
+    * Swap protocol, object-store-safe Hadoop `FileSystem` calls only:
+    * write the complete new base to `base.tmp` → rename `base` aside →
+    * rename `base.tmp` into place → drop log → drop the old base.
+    * Every crash/race window leaves a readable, consistent table:
+    * before the swap readers see old base + log (the same merged
+    * content); mid-swap [[snapshot]] falls back to the complete
+    * `base.tmp`; after the swap but before log deletion the log rows
+    * re-merge over the new base and win by their own versions —
+    * yielding the values they already contributed. A compact that finds
+    * a half-finished predecessor completes its swap first. Returns the
+    * number of rows written (live + retained tombstones). */
   def compact(spark: SparkSession, dir: String, keyCols: Seq[String],
-      versionCol: String, tombstoneCol: String = "_deleted"): Long = {
-    val snap = snapshot(spark, dir, keyCols, versionCol, tombstoneCol)
-      // compacted base re-enters future snapshots at version -1; the
-      // stored version values are meaningless there, so reset to -1
-      // and keep the tombstone column's shape for the next merge
-      .withColumn(versionCol, lit(-1L))
+      versionCol: String, tombstoneCol: String = "_deleted",
+      purgeTombstones: Boolean = false): Long = {
     val tmp = new Path(s"$dir/base.tmp")
     val base = new Path(s"$dir/base")
+    val old = new Path(s"$dir/base.old")
     val log = new Path(s"$dir/log")
-    snap.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    val n = spark.read.parquet(tmp.toString).count()
     val f = fs(spark, base)
-    if (f.exists(base)) f.delete(base, true)
+    // finish a predecessor's interrupted swap, clear its leftovers
+    if (!hasData(spark, base) && hasData(spark, tmp)) f.rename(tmp, base)
+    if (f.exists(old)) f.delete(old, true)
+    if (f.exists(tmp)) f.delete(tmp, true)
+    val snap = winners(spark, dir, keyCols, versionCol, tombstoneCol)
+    val kept =
+      if (purgeTombstones)
+        snap.filter(!coalesce(col(tombstoneCol), lit(false)))
+      else snap
+    kept.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val n = spark.read.parquet(tmp.toString).count()
+    if (f.exists(base)) require(f.rename(base, old),
+      s"rename $base -> $old failed")
     require(f.rename(tmp, base), s"rename $tmp -> $base failed")
     if (f.exists(log)) f.delete(log, true)
+    if (f.exists(old)) f.delete(old, true)
     n
   }
 }

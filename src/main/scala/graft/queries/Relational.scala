@@ -407,14 +407,17 @@ object Relational {
     (s, d) => {
       import s.implicits._
       val f = 0.2
-      val totals = T.events(s, d).groupBy($"event_type")
-        .agg(count(lit(1)).as("n_total"))
       // strata derived from the data, not hardcoded: an event_type
       // outside a literal map would be sampled at 0 and silently fail
       // the tolerance check on data-domain drift. Bounded collect: the
-      // event-type domain is a handful of values by construction.
-      val strata = totals.select($"event_type").collect()
-        .map(r => r.getString(0) -> f).toMap
+      // event-type domain is a handful of values by construction — and
+      // the collected rows also REBUILD the totals side locally, so the
+      // events aggregation executes once, not again inside the join.
+      val totalRows = T.events(s, d).groupBy($"event_type")
+        .agg(count(lit(1)).as("n_total")).collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+      val strata = totalRows.map { case (t, _) => t -> f }.toMap
+      val totals = totalRows.toSeq.toDF("event_type", "n_total")
       val sampled = T.events(s, d)
         .stat.sampleBy("event_type", strata, 42L)
         .groupBy($"event_type")

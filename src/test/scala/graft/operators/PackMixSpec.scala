@@ -103,8 +103,7 @@ class PackMixSpec extends SparkSpec {
       1L -> (3L, 1L, true), 2L -> (3L, 0L, false),
       3L -> (0L, 0L, false)))
     val plan = rep.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin") &&
-      plan.contains("LeftSemi"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
   test("repetition metrics: degenerate repeats fail the gate, varied " +

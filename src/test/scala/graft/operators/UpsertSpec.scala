@@ -46,8 +46,10 @@ class UpsertSpec extends SparkSpec {
     Upsert.appendDelta(Seq(("a", 10L, 1L, false), ("b", 0L, 1L, true))
       .toDF("k", "x", "v", "_deleted"), dir)
     val before = snapMap(dir)
+    // live a + RETAINED tombstone b (delete markers persist so older
+    // replayed batches cannot resurrect the key)
     val n = Upsert.compact(spark, dir, Seq("k"), "v")
-    assert(n == 1 && snapMap(dir) == before)
+    assert(n == 2 && snapMap(dir) == before)
     assert(before == Map("a" -> 10L))
     // log truncated: base-only read path
     val fs = new org.apache.hadoop.fs.Path(dir)
@@ -57,6 +59,46 @@ class UpsertSpec extends SparkSpec {
     Upsert.appendDelta(Seq(("b", 7L, 3L, false))
       .toDF("k", "x", "v", "_deleted"), dir)
     assert(snapMap(dir) == Map("a" -> 10L, "b" -> 7L))
+  }
+
+  test("replay of a PRE-compaction batch after compact is still a " +
+      "no-op: versions and tombstones survive compaction") {
+    val dir = tmpDir("graft-upsert") + "/t"
+    Upsert.writeBase(Seq(("a", 1L, false)).toDF("k", "x", "_deleted"), dir)
+    Upsert.appendDelta(Seq(("a", 5L, 1L, false), ("a", 9L, 2L, false),
+      ("b", 3L, 1L, false), ("b", 0L, 2L, true))
+      .toDF("k", "x", "v", "_deleted"), dir)
+    Upsert.compact(spark, dir, Seq("k"), "v")
+    // at-least-once source redelivers the v=1 batch
+    Upsert.appendDelta(Seq(("a", 5L, 1L, false), ("b", 3L, 1L, false))
+      .toDF("k", "x", "v", "_deleted"), dir)
+    // a must NOT regress to 5; deleted b must NOT resurrect
+    assert(snapMap(dir) == Map("a" -> 9L))
+    // purge variant drops the marker (documented as replay-unsafe)
+    assert(Upsert.compact(spark, dir, Seq("k"), "v",
+      purgeTombstones = true) == 1)
+    assert(snapMap(dir) == Map("a" -> 9L))
+  }
+
+  test("mid-swap crash state (base renamed aside, tmp complete) is " +
+      "readable and the next compact recovers it") {
+    val dir = tmpDir("graft-upsert") + "/t"
+    Upsert.writeBase(Seq(("a", 1L, false)).toDF("k", "x", "_deleted"), dir)
+    Upsert.appendDelta(Seq(("b", 2L, 1L, false))
+      .toDF("k", "x", "v", "_deleted"), dir)
+    val fsys = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate: compact wrote tmp, renamed base aside, then crashed
+    spark.read.parquet(s"$dir/base").write
+      .parquet(s"$dir/base.tmp")   // stand-in complete tmp
+    fsys.rename(new org.apache.hadoop.fs.Path(s"$dir/base"),
+      new org.apache.hadoop.fs.Path(s"$dir/base.old"))
+    assert(snapMap(dir) == Map("a" -> 1L, "b" -> 2L))  // tmp fallback
+    Upsert.compact(spark, dir, Seq("k"), "v")          // completes swap
+    assert(fsys.exists(new org.apache.hadoop.fs.Path(s"$dir/base")) &&
+      !fsys.exists(new org.apache.hadoop.fs.Path(s"$dir/base.tmp")) &&
+      !fsys.exists(new org.apache.hadoop.fs.Path(s"$dir/base.old")))
+    assert(snapMap(dir) == Map("a" -> 1L, "b" -> 2L))
   }
 
   test("base written without a tombstone column merges (null-filled)") {
