@@ -169,26 +169,34 @@ object TextAnalysis {
     * anti-monotone in document frequency, which is all the ranking
     * uses. Ties break on token order. Top `topN` per doc.
     *
-    * Shape at scale: per-(doc,token) counts and doc lengths shuffle on
-    * doc id; document frequency shuffles on token; the rank window
-    * partitions by doc id — every stage is keyed, nothing global. `D`
-    * is a driver-side scalar (one count job). */
+    * Shape at scale: the corpus is tokenized ONCE — doc length is the
+    * per-doc sum of the (doc,token) counts (a window over the doc-id
+    * partition, co-partitioned with the groupBy that produced them, so
+    * no extra shuffle and no second text scan); document frequency
+    * shuffles on token; the rank window partitions by doc id — every
+    * stage is keyed, nothing global. `D` is a driver-side scalar (one
+    * count job over ids only, column-pruned). */
   def topTfIdf(df: DataFrame, idCol: String, textCol: String,
       topN: Int = 3): DataFrame = {
     val d = df.count()
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+    // localCheckpoint: both the df-branch and the score-branch consume
+    // these rows; without it each branch re-runs the tokenize + explode
+    // + groupBy over the whole corpus (no common-subplan reuse across
+    // diverging aggregations — verified in the executed plan)
     val perDocTok = df
       .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
       .groupBy(col(idCol), col("tok"))
       .agg(count(lit(1)).as("n_in_doc"))
-    val docLen = df.select(col(idCol),
-      tokenCount(col(textCol)).cast("long").as("doc_len"))
+      .withColumn("doc_len", sum(col("n_in_doc")).over(wDoc))
+      .localCheckpoint()
     val docFreq = perDocTok.groupBy(col("tok"))
       .agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol))
       .orderBy(col("score").desc, col("tok"))
     perDocTok
-      .join(docLen, Seq(idCol))
       .join(docFreq, Seq("tok"))
       .withColumn("score",
         round((col("n_in_doc") * lit(d + 1)).cast("double") /
