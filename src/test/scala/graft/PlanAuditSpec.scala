@@ -188,4 +188,32 @@ class PlanAuditSpec extends SparkSpec {
       "plan prints top-down, so map-side partial_min must appear BELOW " +
         "(after) the exchange that consumes it:\n" + p)
   }
+
+  test("decontaminate: one shingling pass — the doc re-attach scan is " +
+      "pruned to the id column") {
+    val p = plan("decontaminate", "formatted")
+    // three documents scans: eval n-grams, train n-grams, id re-attach.
+    // The re-attach scan must read ONLY doc_id (column pruning) — if it
+    // reads text, the corpus is being tokenized twice.
+    val reads = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+      .filter(_.contains("doc_id"))
+    assert(reads.exists(r => !r.contains("text")),
+      "no id-only documents scan — corpus re-tokenized?\n" + p)
+    assert(reads.count(_.contains("text")) <= 2,
+      "more than two text scans:\n" + p)
+  }
+
+  test("heavy hitters recount: candidate filter is applied before the " +
+      "aggregation shuffle (map-side), never after") {
+    val q = Registry.queryMap("heavy_hitters")(spark, sf)
+    val p = q.queryExecution.executedPlan.toString
+    // the isin(candidates) filter must sit below the hashpartitioning
+    // exchange of the count aggregation: plan prints top-down, so the
+    // Filter node appears AFTER (deeper than) the Exchange consuming it
+    val ex = p.indexOf("Exchange hashpartitioning(tok")
+    val flt = p.indexOf("Filter tok")
+    assert(ex >= 0 && flt > ex,
+      "candidate filter not map-side below the agg exchange:\n" + p)
+  }
 }

@@ -72,4 +72,78 @@ object OperatorProperties extends Properties("operators") {
       val twice = once.select(TextAnalysis.scrubPii($"c").as("c"))
       once.head.getString(0) == twice.head.getString(0)
     }
+
+  property("connected components agree with a union-find reference " +
+      "on random graphs") =
+    forAll(Gen.choose(2, 10), Gen.choose(1, 12),
+      Gen.choose(1L, 10000L)) { (nodes, nEdges, seed) =>
+      import spark.implicits._
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(nEdges)(
+        (rnd.nextInt(nodes).toLong, rnd.nextInt(nodes).toLong))
+      // reference: driver-side union-find with path compression
+      val parent = Array.tabulate(nodes)(identity)
+      def find(x: Int): Int = {
+        if (parent(x) != x) parent(x) = find(parent(x)); parent(x)
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> find(v.toInt).toLong).toMap
+      // expect labels = min node id of each component RESTRICTED to
+      // nodes that appear in edges; union-find roots are mins because
+      // unions always point the larger root at the smaller, and every
+      // root here appears in some edge
+      val got = Dedup.connectedComponents(
+          edges.toDF("d1", "d2"), "d1", "d2")
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("comp"))
+        .toMap
+      got == expect
+    }
+
+  property("misra-gries (pure JVM): every item above N/(k+1) survives " +
+      "any chunking and merge order, and counts never overshoot") =
+    forAll(Gen.choose(1, 8), Gen.choose(1L, 10000L),
+      Gen.choose(20, 400)) { (k, seed, n) =>
+      val rnd = new scala.util.Random(seed)
+      // zipf-ish stream over 10 words (> any k, so decrements fire)
+      val stream = Seq.fill(n)("w" + (math.sqrt(
+        rnd.nextInt(100 * 100)).toInt / 10))
+      val exact = stream.groupBy(identity).view.mapValues(_.size.toLong)
+      val mg = new Sketch.MisraGries(k)
+      // random chunking, fold chunks, merge in shuffled order
+      val chunks = stream.grouped(1 + rnd.nextInt(50)).toSeq
+      val partials = chunks.map(_.foldLeft(mg.zero)(mg.reduce))
+      val (m, total) = rnd.shuffle(partials).reduce(mg.merge)
+      val threshold = n.toDouble / (k + 1)
+      total == n.toLong &&
+        exact.forall { case (w, c) =>
+          c <= threshold || m.contains(w) } &&
+        m.forall { case (w, c) => c <= exact.getOrElse(w, 0L) } &&
+        m.size <= k
+    }
+
+  property("packSequences: token-conserving exact partition into " +
+      "full sequences plus one ragged tail") =
+    forAll(Gen.choose(1, 15), Gen.choose(2, 40),
+      Gen.choose(1L, 10000L)) { (nDocs, seqLen, seed) =>
+      import spark.implicits._
+      val rnd = new scala.util.Random(seed)
+      val docs = (1 to nDocs)
+        .map(i => (i.toLong, rnd.nextInt(3 * seqLen)))
+      val total = docs.map(_._2.toLong).sum
+      val packed = Pack.packSequences(docs.toDF("doc_id", "n_tok"),
+        "doc_id", "n_tok", seqLen, numParts = 4).collect()
+      val bySeq = packed.groupBy(_.getAs[Long]("seq_id")).view
+        .mapValues(_.map(r => r.getAs[Long]("tok_end") -
+          r.getAs[Long]("tok_start")).sum).toMap
+      val nSeqs = (total + seqLen - 1) / seqLen
+      total == 0 || (
+        bySeq.values.sum == total &&
+        bySeq.keySet == (0L until nSeqs).toSet &&
+        (0L until nSeqs - 1).forall(s => bySeq(s) == seqLen.toLong) &&
+        bySeq(nSeqs - 1) == total - (nSeqs - 1) * seqLen)
+    }
 }
