@@ -112,11 +112,19 @@ object OperatorProperties extends Properties("operators") {
       val stream = Seq.fill(n)("w" + (math.sqrt(
         rnd.nextInt(100 * 100)).toInt / 10))
       val exact = stream.groupBy(identity).view.mapValues(_.size.toLong)
-      val mg = new Sketch.MisraGries(k)
+      import org.apache.spark.unsafe.types.UTF8String
       // random chunking, fold chunks, merge in shuffled order
       val chunks = stream.grouped(1 + rnd.nextInt(50)).toSeq
-      val partials = chunks.map(_.foldLeft(mg.zero)(mg.reduce))
-      val (m, total) = rnd.shuffle(partials).reduce(mg.merge)
+      val partials = chunks.map { chunk =>
+        val st = Sketch.MGState.empty()
+        chunk.foreach(t =>
+          Sketch.MGState.add(st, UTF8String.fromString(t), k))
+        st
+      }
+      val merged = rnd.shuffle(partials)
+        .reduce((a, b) => Sketch.MGState.merge(a, b, k))
+      val m = Sketch.MGState.toMap(merged)
+      val total = merged.n
       val threshold = n.toDouble / (k + 1)
       total == n.toLong &&
         exact.forall { case (w, c) =>
