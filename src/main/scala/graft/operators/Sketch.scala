@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
@@ -76,7 +76,14 @@ object Sketch {
     /** Merge `from` into `into` (mutating `into`): sum counters, then
       * if more than k survive subtract the (k+1)-th largest count from
       * everything — the merged-summary analogue of the streaming
-      * decrement (Agarwal et al., PODS'12, mergeable summaries). */
+      * decrement (Agarwal et al., PODS'12, mergeable summaries).
+      *
+      * OWNERSHIP INVARIANT: `from` keys are stored into `into` WITHOUT
+      * cloning. That is safe only because every `from` buffer reaching
+      * a [[TypedImperativeAggregate.merge]] comes from `deserialize()`
+      * (heap-owned byte arrays), and `add` already clones before
+      * admitting a page-backed input UTF8String. If this merge is ever
+      * reused outside that contract, clone `e.getKey` on insert. */
     def merge(into: MGState, from: MGState, k: Int): MGState = {
       val it = from.counters.entrySet().iterator()
       while (it.hasNext) {
@@ -119,9 +126,14 @@ object Sketch {
     * struct(candidates map<string,bigint>, n bigint). */
   case class MisraGriesAgg(child: Expression, k: Int,
       mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-      extends TypedImperativeAggregate[MGState] with UnaryLike[Expression] {
+      extends TypedImperativeAggregate[MGState] with UnaryLike[Expression]
+      with ExpectsInputTypes {
     require(k > 0)
 
+    // Non-string children fail at ANALYSIS time (the ApproximatePercentile
+    // pattern), not with a ClassCastException inside update(). Return type
+    // inferred: AbstractDataType is private[sql] and cannot be named here.
+    override def inputTypes = Seq(StringType)
     override def nullable: Boolean = false
     override def dataType: DataType = StructType(Seq(
       StructField("candidates",
