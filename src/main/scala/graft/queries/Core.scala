@@ -518,10 +518,155 @@ object Core {
              COUNT(*) AS n_events
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  // ------------------------------------------------------------ stream_fold
+  /** The reference's CORE workload — the per-player stateful season fold
+    * (master.py:330-378 `updateStateByKey` chain) — run through the REAL
+    * production operator: `FplStream.matchCloses` is the same
+    * flatMapGroupsWithState pipeline the streaming job executes, and
+    * Spark runs FMGWS on batch Datasets (empty initial state, all of a
+    * key's messages in one group), so the exact handler + fold kernel
+    * sits under the driver's hash gate instead of ScalaTest only.
+    *
+    * A deterministic season is derived from `events`: each player's
+    * events in (ts, event_id) order are chunked 3-per-match; the 17
+    * counters are exact integer functions of event_id (c2 ≥ 1 so a match
+    * never has all-zero counters and the pass denominator is never 0);
+    * every match gets a minutes message with factor 0.5 (45 of 90
+    * minutes — exact in IEEE754, so the rating chain stays bit-stable).
+    *
+    * The oracle replays the SAME recurrences step by step in a recursive
+    * CTE — rating r' = 0.5·((contrib + r)/2), profile p' = (x + p)/2 —
+    * with an identical floating-op tree, so the doubles match
+    * BIT-FOR-BIT and are emitted unrounded. (ROUND(…,6) was tried and
+    * reverted: the integer counter construction yields rationals whose
+    * decimal expansion terminates at ≤7 digits, and Spark's HALF_UP on
+    * the exact BigDecimal expansion disagrees with DuckDB's round() on
+    * those ties — rounding introduced the only mismatches.) A match
+    * closes when the next match's first message arrives, so the last
+    * match per player stays open on both sides (mn < nm). */
+  val stream_fold = GQuery(
+    "stream_fold",
+    (s, d) => {
+      import s.implicits._
+      val nc = graft.streaming.FplStream.NumCounters
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val seq = T.events(s, d)
+        .select($"user_id", $"ts", $"event_id")
+        .withColumn("rn", row_number().over(w))
+      def cmod(m: Int): Column = pmod($"event_id", lit(m)).cast("long")
+      val counters: Seq[Column] = (0 until nc).map {
+        case 0  => cmod(7)            // accurate passes
+        case 2  => (cmod(7) + 1L)     // pass attempts (≥1 per event)
+        case 4  => cmod(4)            // duels won
+        case 6  => cmod(6)            // duels
+        case 7  => cmod(3)            // shots
+        case 8  => cmod(2)            // shots effective
+        case 10 => cmod(9)            // shots on target
+        case 11 => cmod(11)           // fouls
+        case 16 => cmod(5)            // goals
+        case _  => lit(0L)
+      }
+      val evMsgs = seq.select(
+        $"user_id".as("playerId"),
+        floor(($"rn" - 1) / 3).cast("long").as("matchId"),
+        $"rn".cast("long").as("order"),
+        lit(1).as("kind"), lit(0.0).as("factor"),
+        pmod($"user_id", lit(10)).cast("long").as("teamId"),
+        array(counters: _*).as("counters"))
+      val minMsgs = evMsgs.select($"playerId", $"matchId").distinct()
+        .select($"playerId", $"matchId", lit(0L).as("order"),
+          lit(0).as("kind"), lit(0.5).as("factor"),
+          pmod($"playerId", lit(10)).cast("long").as("teamId"),
+          array((0 until nc).map(_ => lit(0L)): _*).as("counters"))
+      graft.streaming.FplStream.matchCloses(
+        evMsgs.unionByName(minMsgs)
+          .as[graft.streaming.FplStream.PlayerMsg])
+        .toDF()
+        .select($"playerId", $"matchId", $"teamId",
+          $"passAccuracy".as("pass_acc"),
+          $"duelEffectiveness".as("duel_eff"),
+          $"shotEffectiveness".as("shot_eff"),
+          $"fouls", $"shotsOnTarget".as("shots_on_target"), $"goals",
+          $"contribution",
+          $"rating",
+          $"delta",
+          $"profilePassAccuracy".as("profile_pass_acc"),
+          $"matchesPlayed".as("matches_played"))
+        .orderBy($"playerId", $"matchId")
+    },
+    Some("""
+      WITH RECURSIVE
+      seq AS (
+        SELECT user_id AS playerId, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events),
+      ev AS (
+        SELECT playerId,
+               CAST(FLOOR((rn - 1) / 3) AS BIGINT) AS matchId,
+               event_id % 7 AS c0, event_id % 7 + 1 AS c2,
+               event_id % 4 AS c4, event_id % 6 AS c6,
+               event_id % 3 AS c7, event_id % 2 AS c8,
+               event_id % 9 AS c10, event_id % 11 AS c11,
+               event_id % 5 AS c16
+        FROM seq),
+      m AS (
+        SELECT playerId, matchId,
+               CAST(SUM(c0) AS BIGINT) AS s0, CAST(SUM(c2) AS BIGINT) AS s2,
+               CAST(SUM(c4) AS BIGINT) AS s4, CAST(SUM(c6) AS BIGINT) AS s6,
+               CAST(SUM(c7) AS BIGINT) AS s7, CAST(SUM(c8) AS BIGINT) AS s8,
+               CAST(SUM(c10) AS BIGINT) AS s10,
+               CAST(SUM(c11) AS BIGINT) AS s11,
+               CAST(SUM(c16) AS BIGINT) AS s16
+        FROM ev GROUP BY playerId, matchId),
+      scored AS (
+        SELECT playerId, matchId, s10, s11, s16,
+               ROW_NUMBER() OVER (PARTITION BY playerId
+                                  ORDER BY matchId) AS mn,
+               COUNT(*) OVER (PARTITION BY playerId) AS nm,
+               CAST(s0 AS DOUBLE) / CAST(s2 AS DOUBLE) AS pass_acc,
+               CASE WHEN s6 = 0 THEN 0.0
+                    ELSE CAST(s4 AS DOUBLE) / CAST(s6 AS DOUBLE)
+               END AS duel_eff,
+               CASE WHEN s7 = 0 THEN 0.0
+                    ELSE CAST(s8 AS DOUBLE) / CAST(s7 AS DOUBLE)
+               END AS shot_eff
+        FROM m),
+      contribed AS (
+        SELECT *,
+               ((pass_acc + duel_eff + shot_eff + CAST(s10 AS DOUBLE)) / 4)
+                 - (0.005 * CAST(s11 AS DOUBLE))
+                   * ((pass_acc + duel_eff + shot_eff
+                       + CAST(s10 AS DOUBLE)) / 4) AS contrib
+        FROM scored),
+      chain AS (
+        SELECT playerId, matchId, mn, nm, s10, s11, s16,
+               pass_acc, duel_eff, shot_eff, contrib,
+               0.5 * ((contrib + 0.5) / 2) AS rating,
+               0.5 * ((contrib + 0.5) / 2) - 0.5 AS delta,
+               pass_acc AS prof
+        FROM contribed WHERE mn = 1
+        UNION ALL
+        SELECT s.playerId, s.matchId, s.mn, s.nm, s.s10, s.s11, s.s16,
+               s.pass_acc, s.duel_eff, s.shot_eff, s.contrib,
+               0.5 * ((s.contrib + c.rating) / 2),
+               0.5 * ((s.contrib + c.rating) / 2) - c.rating,
+               (s.pass_acc + c.prof) / 2
+        FROM contribed s JOIN chain c
+          ON s.playerId = c.playerId AND s.mn = c.mn + 1)
+      SELECT playerId, matchId, playerId % 10 AS teamId,
+             pass_acc, duel_eff, shot_eff,
+             s11 AS fouls, s10 AS shots_on_target, s16 AS goals,
+             contrib AS contribution, rating, delta,
+             prof AS profile_pass_acc,
+             mn AS matches_played
+      FROM chain WHERE mn < nm
+      ORDER BY playerId, matchId"""))
+
   val all: Seq[GQuery] = Seq(
     q1_agg, f1_filter_project, f3_point_lookup, f5_topk, g1_explode,
     j1_join_broadcast, j2_multi_join, j4_theta_selfjoin, j5_semi_join,
     j5_anti_join, a2_ratios, a6_last_value, w1_running_sum,
     a3_fold_avg_of_avgs, a4_fold_ewma, c1_json_extract, c7_date_agg,
-    a7_group_strength, agg_distinct)
+    a7_group_strength, agg_distinct, stream_fold)
 }
