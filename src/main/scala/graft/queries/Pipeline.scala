@@ -823,6 +823,82 @@ object Pipeline {
       SELECT doc_id, CAST(term_rank AS INT) AS term_rank, token, score
       FROM r WHERE term_rank <= 3 ORDER BY doc_id, term_rank"""))
 
+  // --------------------------------------------------------- upsert_snapshot
+  /** Keyed MERGE semantics under the driver's hash gate (VERDICT r3 #5):
+    * a full upsert-table lifecycle — base load, three delta versions
+    * (update / delete / resurrect), copy-on-write COMPACTION, then an
+    * at-least-once REPLAY of an already-compacted batch plus one more
+    * delta — reconstructed with [[graft.operators.Upsert.snapshot]].
+    * Every batch is a deterministic function of `customer`, so DuckDB
+    * can rebuild the identical base+log row set with UNION ALL and pick
+    * winners with a version-desc window. The replay of delta v1 AFTER
+    * compaction is the load-bearing part: it must lose to the compacted
+    * rows' retained version watermarks (the invariant compaction
+    * preserves), and tombstoned-then-resurrected keys (k%21: deleted at
+    * v2, reborn at v3; k%35: deleted at v2, re-upserted at v4) prove
+    * deletes are markers, not physical drops. */
+  val upsert_snapshot = GQuery(
+    "upsert_snapshot",
+    (s, d) => {
+      import s.implicits._
+      import graft.operators.Upsert
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-upsert-q").toString
+      val cust = T.customer(s, d).select($"c_custkey".as("k"),
+        $"c_name".as("name"))
+      def batch(ver: Long, keep: org.apache.spark.sql.Column,
+          nm: org.apache.spark.sql.Column, off: Long, del: Boolean) =
+        cust.filter(keep).select($"k", nm.as("name"),
+          ($"k" * 13 + off).as("val"), lit(ver).as("v"),
+          lit(del).as("_deleted"))
+      Upsert.writeBase(batch(0L, lit(true), $"name", 0L, del = false), dir)
+      val d1 = batch(1L, $"k" % 3 === 0, $"name", 1000L, del = false)
+      Upsert.appendDelta(d1, dir)
+      Upsert.appendDelta(
+        batch(2L, $"k" % 7 === 0, $"name", 0L, del = true), dir)
+      Upsert.appendDelta(
+        batch(3L, $"k" % 21 === 0, concat(lit("r"), $"k".cast("string")),
+          3000L, del = false), dir)
+      Upsert.compact(s, dir, Seq("k"), "v")
+      Upsert.appendDelta(d1, dir) // at-least-once replay, post-compaction
+      Upsert.appendDelta(
+        batch(4L, $"k" % 5 === 0, $"name", 4000L, del = false), dir)
+      Upsert.snapshot(s, dir, Seq("k"), "v")
+        .select($"k", $"name", $"val", $"v")
+        .orderBy($"k")
+    },
+    Some("""
+      WITH deltas AS (
+        SELECT c_custkey AS k, c_name AS name,
+               c_custkey * 13 AS val, CAST(0 AS BIGINT) AS v, FALSE AS del
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, c_name, c_custkey * 13 + 1000,
+               CAST(1 AS BIGINT), FALSE
+        FROM customer WHERE c_custkey % 3 = 0
+        UNION ALL
+        SELECT c_custkey, c_name, c_custkey * 13,
+               CAST(2 AS BIGINT), TRUE
+        FROM customer WHERE c_custkey % 7 = 0
+        UNION ALL
+        SELECT c_custkey, 'r' || CAST(c_custkey AS VARCHAR),
+               c_custkey * 13 + 3000, CAST(3 AS BIGINT), FALSE
+        FROM customer WHERE c_custkey % 21 = 0
+        UNION ALL
+        SELECT c_custkey, c_name, c_custkey * 13 + 1000,
+               CAST(1 AS BIGINT), FALSE
+        FROM customer WHERE c_custkey % 3 = 0
+        UNION ALL
+        SELECT c_custkey, c_name, c_custkey * 13 + 4000,
+               CAST(4 AS BIGINT), FALSE
+        FROM customer WHERE c_custkey % 5 = 0),
+      picked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY v DESC) AS rn
+        FROM deltas)
+      SELECT k, name, val, v
+      FROM picked WHERE rn = 1 AND NOT del
+      ORDER BY k"""))
+
   val all: Seq[GQuery] = Seq(
     dedup_exact, dedup_minhash_lsh, dedup_simhash, dedup_ngram_jaccard,
     dedup_clusters, dedup_embedding_cosine, dedup_semantic,
@@ -830,5 +906,6 @@ object Pipeline {
     sim_lsh_bucketed, sim_ivf_topk, sim_ivf_fullprobe, sim_ivf_recall,
     sim_rplsh_recall, text_tokens, text_quality, text_langid,
     text_fingerprint, text_pii_scrub, text_repetition, decontaminate,
-    split_shuffle, pack_sequences, heavy_hitters, text_tfidf)
+    split_shuffle, pack_sequences, heavy_hitters, text_tfidf,
+    upsert_snapshot)
 }
