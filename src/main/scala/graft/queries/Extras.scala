@@ -103,67 +103,104 @@ object Extras {
              sha256(text) AS sha256
       FROM documents ORDER BY media_id"""))
 
-  /** Per-partition decode/feature-extract over binary payloads (the
-    * mapPartitions runtime path — codec init once per task): the
-    * deterministic fields (byte count, sha) are oracle-checked; the
-    * stub-codec feature vector itself is pinned in MultimodalSpec. */
+  /** Per-partition decode + feature extraction over REAL binary-PPM
+    * payloads (Multimodal.toPpm synthesizes a decodable image per
+    * document; PpmCodec genuinely parses the header grammar and raster).
+    * The decoded width/height/pixel-count and the exact pixel byte sum
+    * are oracle-checked — the oracle rebuilds the raster arithmetic
+    * (pixel j = (7j + 13·id) mod 256) with a range() join. Channel-mean
+    * feature floats are pinned in MultimodalSpec. */
   val mm_feature_extract = GQuery(
     "mm_feature_extract",
     (s, d) => {
       import s.implicits._
       Multimodal.extractFeatures(
-          Multimodal.fromText(T.documents(s, d), "doc_id", "text"))
-        .select($"media_id", $"modality", $"n_bytes", $"sha256")
+          Multimodal.toPpm(T.documents(s, d), "doc_id", "text"))
+        .select($"media_id", $"n_bytes", $"width", $"height",
+          $"n_pixels", $"pixel_sum")
         .orderBy($"media_id")
     },
     Some("""
-      SELECT doc_id AS media_id, 'image' AS modality,
-             CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-             sha256(text) AS sha256
-      FROM documents ORDER BY media_id"""))
+      WITH c AS (
+        SELECT doc_id AS media_id,
+               CAST(8 + doc_id % 8 AS BIGINT) AS w,
+               CAST(8 + octet_length(encode(text)) % 5 AS BIGINT) AS h,
+               13 * doc_id AS seed
+        FROM documents)
+      SELECT c.media_id,
+             CAST(9 + length(CAST(MIN(c.w) AS VARCHAR))
+                    + length(CAST(MIN(c.h) AS VARCHAR))
+                    + 3 * MIN(c.w) * MIN(c.h) AS INT) AS n_bytes,
+             CAST(MIN(c.w) AS INT) AS width,
+             CAST(MIN(c.h) AS INT) AS height,
+             MIN(c.w) * MIN(c.h) AS n_pixels,
+             CAST(SUM((7 * j.range + c.seed) % 256) AS BIGINT) AS pixel_sum
+      FROM c, range(540) j
+      WHERE j.range < 3 * c.w * c.h
+      GROUP BY c.media_id ORDER BY media_id"""))
 
-  /** Frame sampling: payload split into 4 equal chunks, one row per
-    * frame — the slicing contract (per-frame byte counts, including the
-    * dropped-remainder edge) is oracle-checked. */
+  /** Frame sampling over the DECODED raster: frame f = pixel row
+    * f·h/4, emitted with its 3·w bytes and exact checksum — the
+    * even-spacing row selection and the per-row byte sum are both
+    * oracle-rebuilt from the raster arithmetic. */
   val mm_frame_sample = GQuery(
     "mm_frame_sample",
     (s, d) => {
       import s.implicits._
       Multimodal.sampleFrames(
-          Multimodal.fromText(T.documents(s, d), "doc_id", "text"),
+          Multimodal.toPpm(T.documents(s, d), "doc_id", "text"),
           frames = 4)
-        .select($"media_id", $"frame_idx", $"n_bytes")
+        .select($"media_id", $"frame_idx", $"row_idx", $"n_bytes",
+          $"checksum")
         .orderBy($"media_id", $"frame_idx")
     },
     Some("""
-      WITH f AS (SELECT CAST(range AS INT) AS frame_idx FROM range(4)),
-      c AS (SELECT doc_id AS media_id,
-                   octet_length(encode(text)) AS len,
-                   GREATEST(1, octet_length(encode(text)) // 4) AS chunk
-            FROM documents)
-      SELECT media_id, frame_idx,
-             CAST(GREATEST(0, LEAST((frame_idx + 1) * chunk, len)
-               - frame_idx * chunk) AS INT) AS n_bytes
-      FROM c, f ORDER BY media_id, frame_idx"""))
+      WITH c AS (
+        SELECT doc_id AS media_id,
+               CAST(8 + doc_id % 8 AS BIGINT) AS w,
+               CAST(8 + octet_length(encode(text)) % 5 AS BIGINT) AS h,
+               13 * doc_id AS seed
+        FROM documents),
+      f AS (SELECT CAST(range AS BIGINT) AS fi FROM range(4))
+      SELECT c.media_id, CAST(f.fi AS INT) AS frame_idx,
+             CAST((f.fi * MIN(c.h)) // 4 AS INT) AS row_idx,
+             CAST(3 * MIN(c.w) AS INT) AS n_bytes,
+             CAST(SUM((7 * (3 * ((f.fi * c.h) // 4) * c.w + j.range)
+                       + c.seed) % 256) AS BIGINT) AS checksum
+      FROM c, f, range(45) j
+      WHERE j.range < 3 * c.w
+      GROUP BY c.media_id, f.fi
+      ORDER BY media_id, frame_idx"""))
 
-  /** Resize plumbing: stride-sampled byte grid per document payload;
-    * the size/dropout contract is oracle-checked (too-small payloads
-    * are dropped), content pinned in MultimodalSpec. */
+  /** Real nearest-neighbor resize on the decoded raster to 8×8: target
+    * (x, y) samples source (x·w/8, y·h/8); the oracle recomputes every
+    * sampled pixel's arithmetic value and checks the output checksum —
+    * a wrong stride, axis swap, or channel interleave all break it. */
   val mm_resize = GQuery(
     "mm_resize",
     (s, d) => {
       import s.implicits._
       Multimodal.resize(
-          Multimodal.fromText(T.documents(s, d), "doc_id", "text"),
+          Multimodal.toPpm(T.documents(s, d), "doc_id", "text"),
           w = 8, h = 8)
         .select($"media_id", $"out_w", $"out_h",
-          octet_length($"resized").as("n_bytes"))
+          octet_length($"resized").as("n_bytes"), $"checksum")
         .orderBy($"media_id")
     },
     Some("""
-      SELECT doc_id AS media_id, 8 AS out_w, 8 AS out_h, 64 AS n_bytes
-      FROM documents WHERE octet_length(encode(text)) >= 64
-      ORDER BY media_id"""))
+      WITH c AS (
+        SELECT doc_id AS media_id,
+               CAST(8 + doc_id % 8 AS BIGINT) AS w,
+               CAST(8 + octet_length(encode(text)) % 5 AS BIGINT) AS h,
+               13 * doc_id AS seed
+        FROM documents)
+      SELECT c.media_id, 8 AS out_w, 8 AS out_h, 192 AS n_bytes,
+             CAST(SUM((7 * (3 * ((((g.range // 8) * c.h) // 8) * c.w
+                                 + (((g.range % 8) * c.w) // 8))
+                            + ch.range)
+                       + c.seed) % 256) AS BIGINT) AS checksum
+      FROM c, range(64) g, range(3) ch
+      GROUP BY c.media_id ORDER BY media_id"""))
 
   /** HLL approx-distinct with its accuracy contract hash-checked: the
     * oracle pins the exact count, and the boolean asserts the ±2%-rsd
