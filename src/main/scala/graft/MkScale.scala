@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Generate a ~sf1 tier for the data-sensitive pipeline tail (VERDICT
+  * r3 item 7): 10× `documents` and `embeddings` derived from sf0.1,
+  * DISTRIBUTION-preserving rather than row-cloning — naive replication
+  * would hand every document ten exact twins and turn the blocked-pair
+  * dedups into an adversarial 100× clique benchmark that says nothing
+  * about natural growth.
+  *
+  *  - documents: replica r rotates each text's word sequence by r and
+  *    rewrites every 5th word from the corpus vocabulary (seeded by
+  *    (doc_id, r, position)) — same vocabulary, same length
+  *    distribution, but replicas are far below any near-dup threshold,
+  *    so pair structure grows ~linearly like fresh data would.
+  *  - embeddings: replica r>0 gets an INDEPENDENT seeded unit gaussian
+  *    vector (64-dim, like the originals) — near-orthogonal to
+  *    everything else, as fresh embeddings are; labels keep the 0–9
+  *    range so label-blocked queries see the same fan-out.
+  *
+  * Usage: sbt "runMain graft.MkScale /root/testdata/sf0.1 /tmp/sf1 10" */
+object MkScale {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dst = args.lift(1).getOrElse("/tmp/sf1")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = GraftSession.local(appName = "graft-mkscale")
+    import spark.implicits._
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val nDocs = docs.count()
+    val vocab = docs.select(explode(split($"text", " ")).as("w"))
+      .distinct().orderBy($"w").as[String].collect()
+    val vocabB = spark.sparkContext.broadcast(vocab)
+    val replicas = spark.range(factor).select($"id".cast("int").as("r"))
+    docs.crossJoin(replicas)
+      .as[(Long, String, String, String, Long, Int)]
+      .map { case (id, text, lang, source, _, r) =>
+        val out =
+          if (r == 0) text
+          else {
+            val v = vocabB.value
+            val words = text.split(" ")
+            val rot = if (words.isEmpty) 0 else r % words.length
+            val rotated = words.drop(rot) ++ words.take(rot)
+            var i = 0
+            while (i < rotated.length) {
+              if ((i + r) % 5 == 0) {
+                val h = id * 1000003L + r * 7919L + i * 31L
+                rotated(i) = v((Math.floorMod(h, v.length)).toInt)
+              }
+              i += 1
+            }
+            rotated.mkString(" ")
+          }
+        (id + r * nDocs, out, lang, source, out.length.toLong)
+      }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val nVecs = emb.count()
+    val dim = emb.select(size($"embedding")).head().getInt(0)
+    emb.crossJoin(replicas)
+      .as[(Long, Array[Float], Int, Int)]
+      .map { case (id, vec, label, r) =>
+        val out =
+          if (r == 0) vec
+          else {
+            val rnd = new java.util.Random(id * 1000003L + r * 7919L)
+            val g = Array.fill(dim)(rnd.nextGaussian())
+            val norm = math.sqrt(g.map(x => x * x).sum)
+            g.map(x => (x / norm).toFloat)
+          }
+        (id + r * nVecs, out, label)
+      }
+      .toDF("vec_id", "embedding", "label")
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+
+    println(s"wrote $dst: documents=${nDocs * factor} " +
+      s"embeddings=${nVecs * factor}")
+    spark.stop()
+  }
+}

@@ -8,8 +8,12 @@ object Prof {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val d = "/root/testdata/sf0.1"
-    for (name <- args) {
+    // optional leading arg: a data dir (e.g. /tmp/sf1) instead of sf0.1
+    val (d, names) =
+      if (args.nonEmpty && args.head.startsWith("/"))
+        (args.head, args.tail)
+      else ("/root/testdata/sf0.1", args)
+    for (name <- names) {
       val fn = Registry.queryMap(name)
       for (round <- 1 to 3) {
         val t0 = System.nanoTime()

@@ -66,7 +66,14 @@ object GraftExtensions {
       info("shingle_set",
         "shingle_set(tokens, k) - distinct k-token shingles"),
       (exprs: Seq[Expression]) => ShingleSet(exprs(0),
-        constInt("shingle_set", "k", 2, exprs(1)))))
+        constInt("shingle_set", "k", 2, exprs(1)))),
+    ("rp_buckets",
+      info("rp_buckets",
+        "rp_buckets(vec, tables, bits) - integer-exact sign-LSH bucket" +
+          " ids, one per table"),
+      (exprs: Seq[Expression]) => RpBuckets(exprs(0),
+        constInt("rp_buckets", "tables", 2, exprs(1)),
+        constInt("rp_buckets", "bits", 3, exprs(2)))))
 
   /** Register into an already-running session. */
   def register(spark: SparkSession): Unit =

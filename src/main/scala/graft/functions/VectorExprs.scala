@@ -65,6 +65,104 @@ case class FloatDot(left: Expression, right: Expression)
       newRight: Expression): FloatDot = copy(newLeft, newRight)
 }
 
+/** Random-hyperplane sign buckets for multi-table LSH, EXACTLY
+  * reproducible by an external SQL engine: the vector is quantized to
+  * integers (q_i = round(1000·v_i) — a float32 times 1000 can never be
+  * an exact .5, so every rounding mode agrees), and the hyperplanes are
+  * small-integer lattice vectors from a fixed formula
+  * h(t,j,i) = ((7j + 13i + 29t) mod 17) − 8, so every sign decision is
+  * exact integer arithmetic — no float dot whose near-zero sign could
+  * differ between engines. Evaluates to array<int> of length `tables`;
+  * bucket_t = Σ_j [⟨q, h(t,j,·)⟩ > 0] · 2^j.
+  *
+  * A lattice of (2·8+1)^d directions is plenty for sign-LSH: what
+  * matters is that the family is fixed, diverse across (t, j), and
+  * independent of the data — the classic seeded-gaussian family is kept
+  * in Similarity.randomHyperplanes for recall experiments; this one
+  * trades a bit of isotropy for cross-engine exactness. */
+case class RpBuckets(child: Expression, tables: Int, bits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(tables > 0 && bits > 0 && bits < 31, "bad RpBuckets geometry")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure("rp_buckets expects an array<float> input")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val q = new Array[Long](n)
+    var i = 0
+    while (i < n) { q(i) = Math.round(v.getFloat(i) * 1000.0); i += 1 }
+    val out = new Array[Int](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0
+      var j = 0
+      while (j < bits) {
+        var dot = 0L
+        var k = 0
+        while (k < n) {
+          dot += q(k) * (((7 * j + 13 * k + 29 * t) % 17) - 8)
+          k += 1
+        }
+        if (dot > 0) bucket |= (1 << j)
+        j += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.map(x => x: Any))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val q = ctx.freshName("q")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val t = ctx.freshName("t")
+      val j = ctx.freshName("j")
+      val k = ctx.freshName("k")
+      val dot = ctx.freshName("dot")
+      val bucket = ctx.freshName("bucket")
+      s"""
+        int $n = $v.numElements();
+        long[] $q = new long[$n];
+        for (int $i = 0; $i < $n; $i++) {
+          $q[$i] = java.lang.Math.round(((double) $v.getFloat($i)) * 1000.0);
+        }
+        int[] $out = new int[$tables];
+        for (int $t = 0; $t < $tables; $t++) {
+          int $bucket = 0;
+          for (int $j = 0; $j < $bits; $j++) {
+            long $dot = 0L;
+            for (int $k = 0; $k < $n; $k++) {
+              $dot += $q[$k] * (long) (((7 * $j + 13 * $k + 29 * $t) % 17) - 8);
+            }
+            if ($dot > 0) $bucket |= (1 << $j);
+          }
+          $out[$t] = $bucket;
+        }
+        ${ev.value} =
+          new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : RpBuckets = copy(child = newChild)
+}
+
 object VectorExprs {
   /** dot(a, b) over array<float> columns, double accumulation. */
   def fdot(a: Column, b: Column): Column =
@@ -73,4 +171,8 @@ object VectorExprs {
   /** |a| — L2 norm. */
   def fnorm(a: Column): Column =
     org.apache.spark.sql.functions.sqrt(fdot(a, a))
+
+  /** Multi-table sign-LSH bucket ids (array<int>, one per table). */
+  def rpBuckets(a: Column, tables: Int, bits: Int): Column =
+    Bridge.column(RpBuckets(Bridge.expression(a), tables, bits))
 }

@@ -287,6 +287,53 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
+  /** Embedding near-duplicate pairs with LSH blocking — the 100 TB
+    * variant of [[embeddingNearDupPairs]]. Blocking by a FIXED-
+    * cardinality column (label) makes block sizes grow ∝ N and pair
+    * work ∝ N²; here candidates must also share a sign-LSH bucket in
+    * at least one of `tables` hash tables (integer-exact
+    * [[graft.functions.RpBuckets]], so an external SQL engine
+    * reproduces the bucketing bit-for-bit). Expected bucket occupancy
+    * is N/2^bits per table — bits scales with log N, keeping pair work
+    * near-linear. OR-amplification over `tables` tables recovers the
+    * recall a single table loses. Candidates are deduped BEFORE
+    * scoring (a pair colliding in several tables is scored once), and
+    * vectors are re-attached by key afterwards so the wide embedding
+    * column never rides through the multi-table explode. */
+  def embeddingNearDupPairsLsh(vectors: DataFrame, idCol: String,
+      vecCol: String, blockCol: String, threshold: Double,
+      tables: Int = 4, bits: Int = 6): DataFrame = {
+    val keyed = vectors.select(col(idCol).as("id"),
+      col(vecCol).as("v"), col(blockCol).as("blk"),
+      fnorm(col(vecCol)).as("nrm"))
+    lshCandidatePairs(keyed, tables, bits)
+      .join(keyed.select(col("id").as("d1"), col("v").as("v1"),
+        col("nrm").as("n1")), Seq("d1"))
+      .join(keyed.select(col("id").as("d2"), col("v").as("v2"),
+        col("nrm").as("n2")), Seq("d2"))
+      .withColumn("cos", pairCos(fdot(col("v1"), col("v2")),
+        col("n1"), col("n2")))
+      .filter(col("cos") >= threshold)
+      .select(col("d1"), col("d2"), col("cos"))
+  }
+
+  /** Distinct same-block multi-table LSH candidate pairs (d1 < d2) for
+    * a frame keyed as (id, v, blk). A pair colliding in several tables
+    * appears once. */
+  def lshCandidatePairs(keyed: DataFrame, tables: Int, bits: Int)
+      : DataFrame = {
+    import graft.functions.VectorExprs.rpBuckets
+    val buckets = keyed
+      .select(col("id"), col("blk"),
+        posexplode(rpBuckets(col("v"), tables, bits)).as(Seq("t", "bkt")))
+    buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.t") === col("b.t") && col("a.bkt") === col("b.bkt") &&
+          col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("d1"), col("b.id").as("d2"))
+      .distinct()
+  }
+
   /** Embedding near-duplicate pairs: same-block cosine ≥ threshold. */
   def embeddingNearDupPairs(vectors: DataFrame, idCol: String,
       vecCol: String, blockCol: String, threshold: Double): DataFrame = {

@@ -257,6 +257,92 @@ object Pipeline {
               JOIN documents b ON nd.d2 = b.doc_id
       ORDER BY d1, d2"""))
 
+  /** The 100 TB embedding-dedup shape: label blocking alone makes pair
+    * work quadratic (block size ∝ N — dedup_embedding_cosine's sf0.1→sf1
+    * wall grew 7× for 10× rows, docs/PERF.md §round-5), so candidates
+    * must ALSO collide in one of 4 sign-LSH tables (6 bits each).
+    * Bucketing is integer-exact (RpBuckets: quantized vector × lattice
+    * hyperplanes), so the oracle reproduces every bucket id bit-for-bit
+    * and the driver hash-checks the full candidate pipeline EXACTLY:
+    * the output row carries the label-blocked pair count, the surviving
+    * LSH candidate count, and the verified count, plus the pruning
+    * contract (candidates at most a third of label pairs). A per-pair
+    * listing would be vacuous on this corpus — the synthetic embeddings
+    * have no high-cosine pairs (max ≈ 0.475, i.e. random 64-dim tails),
+    * which is also why recall experiments live in sim_rplsh_recall. */
+  val dedup_embedding_lsh = GQuery(
+    "dedup_embedding_lsh",
+    (s, d) => {
+      import graft.functions.VectorExprs.rpBuckets
+      val keyed = T.embeddings(s, d).select(col("vec_id").as("id"),
+        col("embedding").as("v"), col("label").as("blk"))
+      val nVec = keyed.agg(count(lit(1)).as("n_vectors"))
+      val labelPairs = keyed.groupBy(col("blk"))
+        .agg(count(lit(1)).as("n"))
+        .agg(sum(col("n") * (col("n") - 1) / 2).cast("long")
+          .as("n_label_pairs"))
+      val cand = Similarity.lshCandidatePairs(keyed, tables = 4, bits = 6)
+      val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+      val nVerified = Similarity
+        .embeddingNearDupPairsLsh(T.embeddings(s, d), "vec_id",
+          "embedding", "label", 0.4, tables = 4, bits = 6)
+        .agg(count(lit(1)).as("n_verified"))
+      nVec.crossJoin(labelPairs).crossJoin(nCand).crossJoin(nVerified)
+        .select(lit(4).as("tables"), lit(6).as("bits"),
+          col("n_vectors"), col("n_label_pairs"), col("n_candidates"),
+          col("n_verified"),
+          (col("n_candidates") * 3 <= col("n_label_pairs"))
+            .as("pruning_ok"))
+    },
+    Some("""
+      WITH v AS (SELECT vec_id, label, embedding FROM embeddings),
+      comp AS (
+        SELECT vec_id, i.range AS i,
+               CAST(ROUND(CAST(embedding[i.range + 1] AS DOUBLE) * 1000)
+                    AS BIGINT) AS q
+        FROM v, range(64) i),
+      sdots AS (
+        SELECT c.vec_id, t.range AS t, j.range AS j,
+               SUM(c.q * ((7 * j.range + 13 * c.i + 29 * t.range) % 17
+                          - 8)) AS sdot
+        FROM comp c, range(4) t, range(6) j
+        GROUP BY c.vec_id, t.range, j.range),
+      buckets AS (
+        SELECT vec_id, t,
+               SUM(CASE WHEN sdot > 0
+                   THEN CAST(1 AS BIGINT) << CAST(j AS INTEGER)
+                   ELSE 0 END) AS bkt
+        FROM sdots GROUP BY vec_id, t),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+        FROM buckets a JOIN buckets b ON a.t = b.t AND a.bkt = b.bkt
+        JOIN v va ON va.vec_id = a.vec_id
+        JOIN v vb ON vb.vec_id = b.vec_id
+        WHERE a.vec_id < b.vec_id AND va.label = vb.label),
+      pairs AS (
+        SELECT d1, d2, va.embedding AS v1, vb.embedding AS v2
+        FROM cand JOIN v va ON cand.d1 = va.vec_id
+                  JOIN v vb ON cand.d2 = vb.vec_id),
+      dots AS (
+        SELECT d1, d2,
+               SUM(CAST(v1[i.i+1] AS DOUBLE) * CAST(v2[i.i+1] AS DOUBLE)) AS dot,
+               SUM(CAST(v1[i.i+1] AS DOUBLE) * CAST(v1[i.i+1] AS DOUBLE)) AS n1,
+               SUM(CAST(v2[i.i+1] AS DOUBLE) * CAST(v2[i.i+1] AS DOUBLE)) AS n2
+        FROM pairs, (SELECT CAST(range AS INT) AS i FROM range(64)) i
+        GROUP BY d1, d2),
+      verified AS (
+        SELECT COUNT(*) AS n_verified FROM dots
+        WHERE ROUND(dot / (SQRT(n1) * SQRT(n2)), 6) >= 0.4),
+      nv AS (SELECT COUNT(*) AS n_vectors FROM v),
+      lp AS (
+        SELECT CAST(SUM(n * (n - 1) / 2) AS BIGINT) AS n_label_pairs
+        FROM (SELECT COUNT(*) AS n FROM v GROUP BY label)),
+      nc AS (SELECT COUNT(*) AS n_candidates FROM cand)
+      SELECT 4 AS tables, 6 AS bits, n_vectors, n_label_pairs,
+             n_candidates, n_verified,
+             n_candidates * 3 <= n_label_pairs AS pruning_ok
+      FROM nv, lp, nc, verified"""))
+
   // -------------------------------------------------------- similarity
   /** Brute-force cosine top-5 for the first 10 query vectors. */
   val sim_topk_bruteforce = GQuery(
@@ -902,6 +988,7 @@ object Pipeline {
   val all: Seq[GQuery] = Seq(
     dedup_exact, dedup_minhash_lsh, dedup_simhash, dedup_ngram_jaccard,
     dedup_clusters, dedup_embedding_cosine, dedup_semantic,
+    dedup_embedding_lsh,
     sim_topk_bruteforce,
     sim_lsh_bucketed, sim_ivf_topk, sim_ivf_fullprobe, sim_ivf_recall,
     sim_rplsh_recall, text_tokens, text_quality, text_langid,

@@ -90,6 +90,67 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("RpBuckets matches a pure-Scala reference and is codegen-stable") {
+    val vecs64 = (1 to 30).map { i =>
+      (i.toLong, Array.tabulate(64)(j =>
+        (math.sin(i * 64 + j) * 3).toFloat))
+    }.toDF("vec_id", "embedding")
+    val got = vecs64.select($"vec_id",
+      graft.functions.VectorExprs.rpBuckets($"embedding", 4, 6).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    def ref(v: Array[Float]): Seq[Int] = {
+      val q = v.map(x => Math.round(x * 1000.0))
+      (0 until 4).map { t =>
+        (0 until 6).map { j =>
+          val dot = q.indices.map(k =>
+            q(k) * (((7 * j + 13 * k + 29 * t) % 17) - 8)).sum
+          if (dot > 0) 1 << j else 0
+        }.sum
+      }
+    }
+    (1 to 30).foreach { i =>
+      val v = Array.tabulate(64)(j => (math.sin(i * 64 + j) * 3).toFloat)
+      assert(got(i.toLong) == ref(v), s"vec $i")
+    }
+    // nearby vectors share buckets; far ones (mostly) don't
+    val a = Array.tabulate(64)(j => math.sin(j).toFloat)
+    val near = a.clone(); near(0) = (near(0) + 0.001).toFloat
+    val far = a.map(-_)
+    val trio = Seq((1L, a), (2L, near), (3L, far))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id",
+        graft.functions.VectorExprs.rpBuckets($"embedding", 4, 6).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(trio(1L) == trio(2L), "epsilon-perturbed vector changed buckets")
+    assert(trio(1L).zip(trio(3L)).forall { case (x, y) => x != y },
+      "negated vector kept a bucket (signs should all flip)")
+  }
+
+  test("LSH near-dup pairs are a verified subset of label-blocked pairs") {
+    val base = Array.tabulate(64)(j => math.sin(j).toFloat)
+    val nearDup = base.map(x => (x * 1.001f))
+    val other = Array.tabulate(64)(j => math.cos(3 * j + 1).toFloat)
+    val df = Seq(
+      (1L, base, 0), (2L, nearDup, 0), (3L, other, 0),
+      (4L, base.map(-_), 1))
+      .toDF("vec_id", "embedding", "label")
+    val lsh = Similarity.embeddingNearDupPairsLsh(df, "vec_id",
+      "embedding", "label", 0.9).collect()
+    val full = Similarity.embeddingNearDupPairs(df, "vec_id",
+      "embedding", "label", 0.9).collect()
+    // the colinear near-dup pair survives LSH; nothing else qualifies
+    assert(lsh.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 2L)))
+    assert(full.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 2L)))
+    // candidate pairs never cross labels
+    val keyed = df.select($"vec_id".as("id"), $"embedding".as("v"),
+      $"label".as("blk"))
+    val cand = Similarity.lshCandidatePairs(keyed, 4, 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(!cand.contains((1L, 4L)) && !cand.contains((2L, 4L)))
+  }
+
   test("brute-force top-k ranks by cosine desc with id tie-break") {
     val topk = Similarity.bruteForceTopK(vecs,
       vecs.filter($"vec_id" === 1), "vec_id", "embedding", 2).collect()
