@@ -100,9 +100,13 @@ object GraftExtensions {
       .head().getSeq[String](0)
     val shs = spark.sql("SELECT shingle_set(array('a','b','c','d'), 3)")
       .head().getSeq[String](0)
-    println(s"fdot=$dot sig=${sig.length} shingles=$shs")
+    val bkts = spark.sql(
+      "SELECT rp_buckets(array(CAST(1 AS FLOAT), CAST(-2 AS FLOAT))," +
+        " 4, 6)").head().getSeq[Int](0)
+    println(s"fdot=$dot sig=${sig.length} shingles=$shs buckets=$bkts")
     assert(dot == 11.0 && sig.length == 8 &&
-      shs == Seq("a b c", "b c d"))
+      shs == Seq("a b c", "b c d") &&
+      bkts.length == 4 && bkts.forall(b => b >= 0 && b < 64))
     println("extensions self-check OK")
     spark.stop()
   }

@@ -67,8 +67,11 @@ case class FloatDot(left: Expression, right: Expression)
 
 /** Random-hyperplane sign buckets for multi-table LSH, EXACTLY
   * reproducible by an external SQL engine: the vector is quantized to
-  * integers (q_i = round(1000·v_i) — a float32 times 1000 can never be
-  * an exact .5, so every rounding mode agrees), and the hyperplanes are
+  * integers with an unambiguous tie rule, q_i = ⌊1000·v_i + 0.5⌋ —
+  * float32 × 1000 CAN land on an exact .5 (any odd multiple of 1/16,
+  * e.g. -0.0625f → -62.5), and half-up (Java Math.round) vs
+  * half-away-from-zero (SQL ROUND) then disagree on negatives, so both
+  * engines spell the same floor(x + 0.5) — and the hyperplanes are
   * small-integer lattice vectors from a fixed formula
   * h(t,j,i) = ((7j + 13i + 29t) mod 17) − 8, so every sign decision is
   * exact integer arithmetic — no float dot whose near-zero sign could
@@ -101,7 +104,9 @@ case class RpBuckets(child: Expression, tables: Int, bits: Int)
     val n = v.numElements()
     val q = new Array[Long](n)
     var i = 0
-    while (i < n) { q(i) = Math.round(v.getFloat(i) * 1000.0); i += 1 }
+    while (i < n) {
+      q(i) = Math.floor(v.getFloat(i) * 1000.0 + 0.5).toLong; i += 1
+    }
     val out = new Array[Int](tables)
     var t = 0
     while (t < tables) {
@@ -140,7 +145,8 @@ case class RpBuckets(child: Expression, tables: Int, bits: Int)
         int $n = $v.numElements();
         long[] $q = new long[$n];
         for (int $i = 0; $i < $n; $i++) {
-          $q[$i] = java.lang.Math.round(((double) $v.getFloat($i)) * 1000.0);
+          $q[$i] = (long) java.lang.Math.floor(
+            ((double) $v.getFloat($i)) * 1000.0 + 0.5);
         }
         int[] $out = new int[$tables];
         for (int $t = 0; $t < $tables; $t++) {

@@ -113,7 +113,8 @@ object Multimodal {
     * One codec/digest init per partition; rows stream through without
     * materializing the partition. Undecodable payloads keep their
     * envelope stats (bytes, sha) with null image fields and an empty
-    * feature vector — corrupt blobs are data to route, not crashes. */
+    * feature vector; a NULL payload gets a zero-byte envelope row —
+    * corrupt blobs are data to route, not crashes. */
   def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -123,31 +124,37 @@ object Multimodal {
         val codec = PpmCodec.init()
         val digest = java.security.MessageDigest.getInstance("SHA-256")
         rows.map { case (id, modality, payload) =>
-          val sha = digest.digest(payload).map(b => f"$b%02x").mkString
-          digest.reset()
-          codec.decode(payload) match {
-            case Some(img) =>
-              val px = img.pixels
-              var sumAll = 0L
-              val chan = new Array[Long](3)
-              var j = 0
-              while (j < px.length) {
-                val v = px(j) & 0xff
-                sumAll += v
-                chan(j % 3) += v
-                j += 1
-              }
-              val nPix = img.width.toLong * img.height
-              MediaFeatures(id, modality, payload.length, sha,
-                Some(img.width), Some(img.height), Some(nPix),
-                Some(sumAll),
-                Array((chan(0).toDouble / nPix).toFloat,
-                  (chan(1).toDouble / nPix).toFloat,
-                  (chan(2).toDouble / nPix).toFloat,
-                  (sumAll.toDouble / (3 * nPix)).toFloat))
-            case None =>
-              MediaFeatures(id, modality, payload.length, sha,
-                None, None, None, None, Array.empty[Float])
+          if (payload == null)
+            // null blob: envelope row with zero bytes, no sha, no raster
+            MediaFeatures(id, modality, 0, "", None, None, None, None,
+              Array.empty[Float])
+          else {
+            val sha = digest.digest(payload).map(b => f"$b%02x").mkString
+            digest.reset()
+            codec.decode(payload) match {
+              case Some(img) =>
+                val px = img.pixels
+                var sumAll = 0L
+                val chan = new Array[Long](3)
+                var j = 0
+                while (j < px.length) {
+                  val v = px(j) & 0xff
+                  sumAll += v
+                  chan(j % 3) += v
+                  j += 1
+                }
+                val nPix = img.width.toLong * img.height
+                MediaFeatures(id, modality, payload.length, sha,
+                  Some(img.width), Some(img.height), Some(nPix),
+                  Some(sumAll),
+                  Array((chan(0).toDouble / nPix).toFloat,
+                    (chan(1).toDouble / nPix).toFloat,
+                    (chan(2).toDouble / nPix).toFloat,
+                    (sumAll.toDouble / (3 * nPix)).toFloat))
+              case None =>
+                MediaFeatures(id, modality, payload.length, sha,
+                  None, None, None, None, Array.empty[Float])
+            }
           }
         }
       }

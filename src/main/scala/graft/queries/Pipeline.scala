@@ -298,8 +298,8 @@ object Pipeline {
       WITH v AS (SELECT vec_id, label, embedding FROM embeddings),
       comp AS (
         SELECT vec_id, i.range AS i,
-               CAST(ROUND(CAST(embedding[i.range + 1] AS DOUBLE) * 1000)
-                    AS BIGINT) AS q
+               CAST(FLOOR(CAST(embedding[i.range + 1] AS DOUBLE) * 1000
+                          + 0.5) AS BIGINT) AS q
         FROM v, range(64) i),
       sdots AS (
         SELECT c.vec_id, t.range AS t, j.range AS j,
@@ -949,9 +949,25 @@ object Pipeline {
       Upsert.appendDelta(d1, dir) // at-least-once replay, post-compaction
       Upsert.appendDelta(
         batch(4L, $"k" % 5 === 0, $"name", 4000L, del = false), dir)
-      Upsert.snapshot(s, dir, Seq("k"), "v")
-        .select($"k", $"name", $"val", $"v")
-        .orderBy($"k")
+      // Materialize the snapshot on the driver (bounded: |customer| rows,
+      // 15k at sf0.1 — this query IS the table-lifecycle demo, not a
+      // scale path), then reclaim the temp table: harnesses execute each
+      // query several times (warm-up + timed rounds) and a leaked dir
+      // per execution accumulates unboundedly in the temp filesystem.
+      try {
+        val rows = Upsert.snapshot(s, dir, Seq("k"), "v")
+          .select($"k", $"name", $"val", $"v")
+          .orderBy($"k")
+        val local = rows.collect().toIndexedSeq
+        s.createDataFrame(s.sparkContext.parallelize(local, 4),
+          rows.schema)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val root = java.nio.file.Paths.get(dir)
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
     },
     Some("""
       WITH deltas AS (

@@ -24,6 +24,9 @@ class ExtensionsSpec extends SparkSpec {
       .head().getSeq[String](0)
     assert(shs == Seq("the quick brown", "quick brown fox",
       "brown fox jumps"))
+    val bkts = spark.sql(
+      "SELECT rp_buckets(a, 4, 6) AS b FROM vt").head().getSeq[Int](0)
+    assert(bkts.length == 4 && bkts.forall(b => b >= 0 && b < 64))
   }
 
   test("constant-arg validation: descriptive errors, wider literals ok") {
@@ -52,7 +55,7 @@ class ExtensionsSpec extends SparkSpec {
     val ext = new GraftExtensions()
     // apply() is exercised structurally: definitions list is shared
     assert(GraftExtensions.definitions.map(_._1) ==
-      Seq("fdot", "minhash_sig", "shingle_set"))
+      Seq("fdot", "minhash_sig", "shingle_set", "rp_buckets"))
     assert(ext.isInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit])
   }
 }

@@ -71,6 +71,19 @@ class MultimodalSpec extends SparkSpec {
     assert(g.n_bytes == 11 && g.width.isEmpty && g.features.isEmpty)
     assert(g.sha256 ==
       "b94d27b9934d3e08a52e52d7da7dabfac484efe37a5380ee9088f7ace2efcde9")
+    // a NULL payload: zero-byte envelope row, not a task-killing NPE
+    val withNull = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(99L, "image", null))),
+      new org.apache.spark.sql.types.StructType()
+        .add("media_id", "long", nullable = false)
+        .add("modality", "string").add("payload", "binary"))
+    val h = Multimodal.extractFeatures(withNull).collect().head
+    assert(h.media_id == 99L && h.n_bytes == 0 && h.sha256 == "" &&
+      h.width.isEmpty && h.features.isEmpty)
+    // null payloads drop from the raster paths, same as undecodable
+    assert(Multimodal.resize(withNull, 2, 2).count() == 0)
+    assert(Multimodal.sampleFrames(withNull, 2).count() == 0)
   }
 
   test("resize is true nearest-neighbor (up- and down-sampling)") {

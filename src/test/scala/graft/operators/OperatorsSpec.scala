@@ -91,15 +91,20 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("RpBuckets matches a pure-Scala reference and is codegen-stable") {
-    val vecs64 = (1 to 30).map { i =>
+    // vec 31 is all rounding ties: ±odd/16 × 1000 = exact ±.5 halfway
+    // points, where half-up and half-away-from-zero disagree — pins the
+    // floor(x·1000 + 0.5) tie rule shared with the DuckDB oracle
+    val vecs64 = ((1 to 30).map { i =>
       (i.toLong, Array.tabulate(64)(j =>
         (math.sin(i * 64 + j) * 3).toFloat))
-    }.toDF("vec_id", "embedding")
+    } :+ (31L, Array.tabulate(64)(j =>
+      (if (j % 2 == 0) 1 else -1) * (2 * j + 1) / 16.0f)))
+      .toDF("vec_id", "embedding")
     val got = vecs64.select($"vec_id",
       graft.functions.VectorExprs.rpBuckets($"embedding", 4, 6).as("b"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
     def ref(v: Array[Float]): Seq[Int] = {
-      val q = v.map(x => Math.round(x * 1000.0))
+      val q = v.map(x => math.floor(x * 1000.0 + 0.5).toLong)
       (0 until 4).map { t =>
         (0 until 6).map { j =>
           val dot = q.indices.map(k =>
@@ -112,6 +117,9 @@ class OperatorsSpec extends SparkSpec {
       val v = Array.tabulate(64)(j => (math.sin(i * 64 + j) * 3).toFloat)
       assert(got(i.toLong) == ref(v), s"vec $i")
     }
+    val ties = Array.tabulate(64)(j =>
+      (if (j % 2 == 0) 1 else -1) * (2 * j + 1) / 16.0f)
+    assert(got(31L) == ref(ties), "tie-valued vector")
     // nearby vectors share buckets; far ones (mostly) don't
     val a = Array.tabulate(64)(j => math.sin(j).toFloat)
     val near = a.clone(); near(0) = (near(0) + 0.001).toFloat
