@@ -1001,14 +1001,138 @@ object Pipeline {
       FROM picked WHERE rn = 1 AND NOT del
       ORDER BY k"""))
 
+  /** Recall contract for the LSH dedup path itself (VERDICT r5 item 7):
+    * the harness corpus has no high-cosine pairs (max ≈ 0.475), so
+    * dedup_embedding_lsh gates plumbing + pruning while retrieval is
+    * structurally vacuous there. Here every 10th vector gets a planted
+    * near-twin — components deterministically scaled by 0.97–1.03
+    * (cos ≥ 0.999), same block label, id + 1_000_000 — and the full
+    * candidate→verify path at threshold 0.9 must recover ≥ 90% of the
+    * planted pairs (sign-LSH misses a cos-0.999 pair in all 4 tables
+    * with probability ~1e-5) while finding NOTHING else, 0.9 being far
+    * above the corpus cosine ceiling. The plant is deterministic, so
+    * n_planted is exact and both booleans hash-check. */
+  val dedup_lsh_recall = GQuery(
+    "dedup_lsh_recall",
+    (s, d) => {
+      val base = T.embeddings(s, d)
+      val planted = base.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            (x.cast("double") * (lit(1.0) +
+              lit(0.01) * (i % 7 - lit(3)).cast("double")))
+              .cast("float")).as("embedding"),
+          col("label"))
+      val corpus = base.unionByName(planted)
+      val found = Similarity.embeddingNearDupPairsLsh(corpus, "vec_id",
+        "embedding", "label", 0.9, tables = 4, bits = 6)
+      val nPlanted = planted.agg(count(lit(1)).as("n_planted"))
+      val nFound = found
+        .filter(col("d2") === col("d1") + lit(1000000L))
+        .agg(count(lit(1)).as("n_found"))
+      val nStray = found
+        .filter(col("d2") =!= col("d1") + lit(1000000L))
+        .agg(count(lit(1)).as("n_stray"))
+      nPlanted.crossJoin(nFound).crossJoin(nStray)
+        .select(col("n_planted"),
+          (col("n_found") * 10 >= col("n_planted") * 9).as("recall_ok"),
+          (col("n_stray") === 0L).as("no_false_pairs"))
+    },
+    Some("""
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_planted, TRUE AS recall_ok,
+             TRUE AS no_false_pairs
+      FROM embeddings WHERE vec_id % 10 = 0"""))
+
+  // ---------------------------------------------------------- layout
+  /** Layout management under the driver hash gate (VERDICT r5 item 5):
+    * hive-partitioned + range-clustered write of the documents table,
+    * read back file-by-file to verify the clustering contract, then a
+    * partition-preserving compaction whose file count is an exact
+    * function of the per-partition row counts — rebuilt by the oracle
+    * from pure SQL over the source table (compact() hash-partitions on
+    * lang and rolls files every 200 rows, so it writes exactly
+    * Σ_lang ⌈n_lang/200⌉ files). File sizes in bytes are
+    * encoder-dependent and not cross-engine reproducible, so the
+    * byte-level layoutReport enters as internal-consistency booleans;
+    * row counts, partition counts, and file counts are exact columns.
+    *
+    * Bounded driver work: the lag-window and aggregates run over file
+    * METADATA (≤ dozens of rows at any SF); the temp table is deleted
+    * in a finally, upsert_snapshot-style, so repeated harness
+    * executions don't leak. */
+  val layout_report = GQuery(
+    "layout_report",
+    (s, d) => {
+      import graft.operators.Layout
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-layout-q").toString
+      try {
+        val src = T.documents(s, d).select(col("doc_id"), col("lang"),
+          col("source"), col("n_chars"))
+        val base = s"$dir/base"
+        Layout.clusteredWrite(src, base, targetRowsPerFile = 40L,
+          partitionCols = Seq("lang"), clusterCols = Seq("doc_id"))
+        val perFile = s.read.parquet(base)
+          .select(col("lang"), col("doc_id"),
+            input_file_name().as("file"))
+          .groupBy(col("lang"), col("file"))
+          .agg(count(lit(1)).as("rows"), min(col("doc_id")).as("lo"),
+            max(col("doc_id")).as("hi"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("lo"))
+        val clustered = perFile
+          .withColumn("prev_hi", lag(col("hi"), 1).over(w))
+          .agg(
+            sum(col("rows")).as("total_rows"),
+            countDistinct(col("lang")).as("n_langs"),
+            max(col("rows")).as("max_file_rows"),
+            min(when(col("prev_hi").isNull ||
+                col("prev_hi") < col("lo"), 1L).otherwise(0L))
+              .as("disjoint_flag"))
+        val compacted = s"$dir/compacted"
+        val compactRows = Layout.compact(s, base, compacted,
+          targetRowsPerFile = 200L, partitionCols = Seq("lang"))
+        val report = Layout.layoutReport(s, compacted)
+        val out = clustered.crossJoin(report)
+          .select(col("total_rows"), col("n_langs"),
+            col("n_files").as("n_files_compacted"),
+            (col("max_file_rows") <= 40L).as("file_rows_bounded"),
+            (col("disjoint_flag") === 1L).as("clustered_disjoint"),
+            (lit(compactRows) === col("total_rows"))
+              .as("compact_rows_ok"),
+            (col("total_bytes") > 0L && col("min_bytes") > 0L &&
+              col("min_bytes") <= col("mean_bytes") &&
+              col("mean_bytes") <= col("max_bytes")).as("report_ok"))
+        val local = out.collect().toIndexedSeq
+        s.createDataFrame(s.sparkContext.parallelize(local, 1),
+          out.schema)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val root = java.nio.file.Paths.get(dir)
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    },
+    Some("""
+      WITH per_lang AS (
+        SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang)
+      SELECT CAST(SUM(n) AS BIGINT) AS total_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_langs,
+             CAST(SUM(CAST(CEIL(n / 200.0) AS BIGINT)) AS BIGINT)
+               AS n_files_compacted,
+             TRUE AS file_rows_bounded, TRUE AS clustered_disjoint,
+             TRUE AS compact_rows_ok, TRUE AS report_ok
+      FROM per_lang"""))
+
   val all: Seq[GQuery] = Seq(
     dedup_exact, dedup_minhash_lsh, dedup_simhash, dedup_ngram_jaccard,
     dedup_clusters, dedup_embedding_cosine, dedup_semantic,
-    dedup_embedding_lsh,
+    dedup_embedding_lsh, dedup_lsh_recall,
     sim_topk_bruteforce,
     sim_lsh_bucketed, sim_ivf_topk, sim_ivf_fullprobe, sim_ivf_recall,
     sim_rplsh_recall, text_tokens, text_quality, text_langid,
     text_fingerprint, text_pii_scrub, text_repetition, decontaminate,
     split_shuffle, pack_sequences, heavy_hitters, text_tfidf,
-    upsert_snapshot)
+    upsert_snapshot, layout_report)
 }
