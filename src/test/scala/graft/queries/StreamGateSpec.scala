@@ -1,0 +1,84 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.streaming.StreamOps
+import org.apache.spark.sql.functions._
+
+/** Boundary semantics the stream_* oracle rows (queries/Streaming.scala)
+  * depend on. The oracles rebuild Spark's window/session/interval
+  * arithmetic in SQL; each test pins the exact edge the SQL encodes, so
+  * a Spark-version semantics change breaks HERE with a readable message
+  * instead of as a driver hash mismatch. */
+class StreamGateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val gapUs = 30L * 60 * 1000 * 1000 // 30 minutes
+  private def frame(usOffsets: Long*) =
+    usOffsets.toSeq.toDF("us")
+      .select(lit(1L).as("user_id"), timestamp_micros($"us").as("ets"),
+        lit(1.0).as("value"))
+
+  test("session_window: gap exactly = gapDuration still MERGES") {
+    // Spark merges when the next event's window START touches the
+    // previous session's end (inclusive <=): an event exactly gap
+    // after its predecessor extends the session; gap+1us splits. The
+    // stream_sessions oracle encodes this as `gap > gapUs => new`.
+    val one = StreamOps.sessionAgg(frame(0L, gapUs), "ets", "1 minute",
+      "30 minutes", Seq("user_id")).collect()
+    assert(one.length == 1, "events exactly gap apart must merge")
+    val two = StreamOps.sessionAgg(frame(0L, gapUs + 1), "ets", "1 minute",
+      "30 minutes", Seq("user_id")).collect()
+    assert(two.length == 2, "events gap+1us apart must not merge")
+  }
+
+  test("session_window: end = last event + gap, start = first event") {
+    val r = StreamOps.sessionAgg(frame(0L, 1000L), "ets", "1 minute",
+        "30 minutes", Seq("user_id"))
+      .select(unix_micros($"session_window.start"),
+        unix_micros($"session_window.end")).head()
+    assert(r.getLong(0) == 0L)
+    assert(r.getLong(1) == 1000L + gapUs)
+  }
+
+  test("tumbling window: epoch-aligned, start inclusive / end exclusive") {
+    val hourUs = 3600L * 1000 * 1000
+    val r = StreamOps.windowedAgg(frame(hourUs, 2 * hourUs - 1), "ets",
+        "10 minutes", "1 hour")
+      .select(unix_micros($"window.start"), $"n").orderBy($"n")
+      .collect()
+    assert(r.length == 1, "both events fall in the [1h, 2h) window")
+    assert(r.head.getLong(0) == hourUs)
+  }
+
+  test("interval join: [lo, lo+bound] inclusive on both ends") {
+    val boundUs = 600L * 1000 * 1000 // 10 minutes
+    val left = Seq(0L).toDF("us")
+      .select(lit(1L).as("k"), timestamp_micros($"us").as("ets"),
+        lit(10L).as("l_id"))
+    def right(us: Long*) = us.toSeq.toDF("us")
+      .select(lit(1L).as("k"), timestamp_micros($"us").as("ets"),
+        $"us".as("r_id"))
+    val hit = StreamOps.intervalJoin(left, right(0L, boundUs),
+      "k", "ets", "ets", "10 minutes", "10 minutes").collect()
+    assert(hit.length == 2, "ts == lo and ts == lo+bound both match")
+    val miss = StreamOps.intervalJoin(left, right(-1L, boundUs + 1),
+      "k", "ets", "ets", "10 minutes", "10 minutes").collect()
+    assert(miss.isEmpty, "1us outside either end must not match")
+  }
+
+  test("stream_dedup gate: streaming dedup over one micro-batch " +
+      "== batch distinct") {
+    val d = "/root/testdata/sf0.001"
+    assume(new java.io.File(d).isDirectory)
+    val got = Streaming.stream_dedup.fn(spark, d)
+      .select($"user_id", $"n_types", $"types")
+      .collect().map(_.toSeq).toSet
+    val exp = graft.Tables.events(spark, d)
+      .groupBy($"user_id")
+      .agg(countDistinct($"event_type").as("n_types"),
+        concat_ws(",", sort_array(collect_set($"event_type")))
+          .as("types"))
+      .collect().map(_.toSeq).toSet
+    assert(got == exp)
+  }
+}
