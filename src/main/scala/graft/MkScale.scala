@@ -4,11 +4,11 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Generate a ~sf1 tier for the data-sensitive pipeline tail (VERDICT
-  * r3 item 7): 10× `documents` and `embeddings` derived from sf0.1,
-  * DISTRIBUTION-preserving rather than row-cloning — naive replication
-  * would hand every document ten exact twins and turn the blocked-pair
-  * dedups into an adversarial 100× clique benchmark that says nothing
-  * about natural growth.
+  * r3 item 7): 10× `documents`, `embeddings`, and `events` derived from
+  * sf0.1, DISTRIBUTION-preserving rather than row-cloning — naive
+  * replication would hand every document ten exact twins and turn the
+  * blocked-pair dedups into an adversarial 100× clique benchmark that
+  * says nothing about natural growth.
   *
   *  - documents: replica r rotates each text's word sequence by r and
   *    rewrites every 5th word from the corpus vocabulary (seeded by
@@ -19,6 +19,22 @@ import org.apache.spark.sql.functions._
   *    vector (64-dim, like the originals) — near-orthogonal to
   *    everything else, as fresh embeddings are; labels keep the 0–9
   *    range so label-blocked queries see the same fan-out.
+  *  - events: replica r shifts event_id by r·N and ts by r·(span+1 day)
+  *    but KEEPS user_id — ten more seasons of history for the same
+  *    players, so per-key ordered-window state (w1, the folds,
+  *    sessionize) grows 10× per key, which is what actually stresses
+  *    those plans; new users would instead grow only the key count,
+  *    which windows parallelize over for free.
+  *  - orders: same shape (o_orderkey shifted, o_custkey and
+  *    o_orderpriority KEPT, o_orderdate advanced a season per replica)
+  *    so the orders-backed windows (w2 per-customer rank/lag, w3/w4
+  *    per-priority distribution frames — 5 fat partitions, the known
+  *    window-skew shape) see 10× per-partition state.
+  *
+  *  Only these four tables are written: a sweep over /tmp/sf1 must
+  *  restrict itself to queries that read ONLY scaled tables (the
+  *  pipeline tail + the window/fold family), or mixed-scale joins
+  *  would measure nothing meaningful.
   *
   * Usage: sbt "runMain graft.MkScale /root/testdata/sf0.1 /tmp/sf1 10" */
 object MkScale {
@@ -81,8 +97,42 @@ object MkScale {
       .repartition(8)
       .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
 
+    // events.ts is read as an epoch-NANO long (nanosAsLong) — keep it a
+    // long end-to-end; a cast to timestamp would interpret it as
+    // seconds AND flip the column type the queries expect.
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    val nEvents = ev.count()
+    val span = ev.agg(
+        (max($"ts") - min($"ts") + 86400L * 1000000000L).as("span"))
+      .head().getLong(0)
+    ev.crossJoin(replicas)
+      .select(
+        ($"event_id" + $"r".cast("long") * nEvents).as("event_id"),
+        ($"ts" + $"r".cast("long") * span).as("ts"),
+        $"user_id", $"event_type", $"value", $"props")
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$dst/events.parquet")
+
+    val ord = spark.read.parquet(s"$src/orders.parquet")
+    val nOrders = ord.count()
+    // o_orderdate is TIMESTAMP_NTZ: no direct long cast, hop via LTZ
+    val odSec = $"o_orderdate".cast("timestamp_ltz").cast("long")
+    val ordSpan = ord.agg(
+        (max(odSec) - min(odSec) + 86400L).as("span"))
+      .head().getLong(0)
+    ord.crossJoin(replicas)
+      .select(
+        ($"o_orderkey" + $"r".cast("long") * nOrders).as("o_orderkey"),
+        $"o_custkey", $"o_orderstatus", $"o_totalprice",
+        (odSec + $"r".cast("long") * ordSpan)
+          .cast("timestamp_ltz").cast("timestamp_ntz").as("o_orderdate"),
+        $"o_orderpriority")
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$dst/orders.parquet")
+
     println(s"wrote $dst: documents=${nDocs * factor} " +
-      s"embeddings=${nVecs * factor}")
+      s"embeddings=${nVecs * factor} events=${nEvents * factor} " +
+      s"orders=${nOrders * factor}")
     spark.stop()
   }
 }

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Full-registry decade sweep over the data-sensitive tail (VERDICT r5
+  * item 4): time each query at a baseline dir (sf0.1) and a MkScale'd
+  * 10× dir (/tmp/sf1), min-of-3 per dir after a warm-up pass, and print
+  * one JSON line per query plus a summary table sorted by ratio.
+  *
+  * The query list is restricted to queries that read ONLY the tables
+  * MkScale scales (documents, embeddings, events, orders) — anything
+  * joining an unscaled table would measure a mixed-scale plan and say
+  * nothing about growth. upsert_snapshot (customer) and q1_agg
+  * (lineitem) are excluded for exactly that reason.
+  *
+  * Usage: sbt "runMain graft.ScaleSweep /root/testdata/sf0.1 /tmp/sf1"
+  */
+object ScaleSweep {
+  /** The data-sensitive tail, grouped by the table that grows. */
+  val tail: Seq[String] = Seq(
+    // documents-backed pipeline
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_ngram_jaccard", "dedup_clusters",
+    "text_tokens", "text_quality", "text_langid", "text_fingerprint",
+    "text_pii_scrub", "text_repetition", "decontaminate",
+    "split_shuffle", "pack_sequences", "heavy_hitters", "text_tfidf",
+    "layout_report",
+    // embeddings-backed similarity/dedup
+    "dedup_embedding_cosine", "dedup_semantic", "dedup_embedding_lsh",
+    "dedup_lsh_recall", "sim_topk_bruteforce", "sim_lsh_bucketed",
+    "sim_ivf_topk", "sim_ivf_fullprobe", "sim_ivf_recall",
+    "sim_rplsh_recall",
+    // events-backed windows/folds
+    "w1_running_sum", "sessionize", "a2_ratios", "a3_fold_avg_of_avgs",
+    "a4_fold_ewma", "a6_last_value", "c1_json_extract",
+    "stream_window_agg", "stream_sessions", "stream_interval_join",
+    "stream_dedup",
+    // orders-backed windows
+    "w2_rank_lag", "w3_distribution", "w4_range_frame", "c7_date_agg")
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val big = args.lift(1).getOrElse("/tmp/sf1")
+    val spark = GraftSession.tuned(SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def minOf3(name: String, dir: String): Double = {
+      val fn = Registry.queryMap(name)
+      fn(spark, dir).count() // warm-up: listing, footers, codegen
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+
+    val rows = tail.flatMap { name =>
+      try {
+        val tb = minOf3(name, base)
+        val ts = minOf3(name, big)
+        println(f"""{"query":"$name","t_sf01":$tb%.3f,"t_sf1":$ts%.3f,"ratio":${ts / tb}%.2f}""")
+        Some((name, tb, ts, ts / tb))
+      } catch {
+        case e: Throwable =>
+          println(s"""{"query":"$name","error":"${e.getClass.getSimpleName}"}""")
+          None
+      }
+    }
+    println("\n| query | sf0.1 s | sf1 s | ratio (10x data) |")
+    println("|---|---|---|---|")
+    rows.sortBy(-_._4).foreach { case (n, tb, ts, r) =>
+      println(f"| $n | $tb%.2f | $ts%.2f | $r%.2f |")
+    }
+    spark.stop()
+  }
+}
