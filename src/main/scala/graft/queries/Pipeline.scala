@@ -751,20 +751,11 @@ object Pipeline {
               AND symbol_ratio <= 0.10) AS repetition_pass
       FROM m ORDER BY doc_id"""))
 
-  /** Benchmark decontamination: docs with doc_id % 10 = 0 stand in for
-    * the held-out eval set; every other (train) doc is scored by 5-gram
-    * overlap against the broadcast eval n-gram set. */
-  val decontaminate = GQuery(
-    "decontaminate",
-    (s, d) => {
-      val docs = T.documents(s, d)
-      Contamination.overlapReport(
-          docs.filter(col("doc_id") % 10 =!= 0),
-          docs.filter(col("doc_id") % 10 === 0),
-          "doc_id", "text", 5)
-        .orderBy(col("doc_id"))
-    },
-    Some("""
+  /** Shared by decontaminate AND decontaminate_bloom: the bloom path's
+    * exact-verify stage corrects every false positive and bloom filters
+    * have no false negatives, so both physical strategies must produce
+    * this same report bit-for-bit. */
+  private val decontaminateOracle = """
       WITH toks AS (
         SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       sh AS (
@@ -792,7 +783,42 @@ object Pipeline {
              END AS overlap_frac,
              COALESCE(h.n_overlap, 0) > 0 AS contaminated
       FROM base b LEFT JOIN hits h USING (doc_id)
-      ORDER BY b.doc_id"""))
+      ORDER BY b.doc_id"""
+
+  /** Benchmark decontamination: docs with doc_id % 10 = 0 stand in for
+    * the held-out eval set; every other (train) doc is scored by 5-gram
+    * overlap against the broadcast eval n-gram set. */
+  val decontaminate = GQuery(
+    "decontaminate",
+    (s, d) => {
+      val docs = T.documents(s, d)
+      Contamination.overlapReport(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", 5)
+        .orderBy(col("doc_id"))
+    },
+    Some(decontaminateOracle))
+
+  /** Same contamination report through the Bloom-prefilter path
+    * (Contamination.bloomReport): eval n-grams → xxhash64 → Bloom
+    * (few MB at ANY eval cardinality), corpus candidates flagged
+    * map-side by Spark's own codegen'd BloomFilterMightContain, exact
+    * verify over survivors only. Sharing the exact path's oracle IS
+    * the test: a false negative anywhere in the bloom plumbing (wrong
+    * hash pairing, serialization mismatch, dropped survivor) breaks
+    * the hash. */
+  val decontaminate_bloom = GQuery(
+    "decontaminate_bloom",
+    (s, d) => {
+      val docs = T.documents(s, d)
+      Contamination.bloomReport(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", 5)
+        .orderBy(col("doc_id"))
+    },
+    Some(decontaminateOracle))
 
   /** Deterministic hash split + seeded global shuffle order. The rank
     * is a two-phase distributed prefix sum (Pack.withGlobalRank), not a
@@ -1134,6 +1160,7 @@ object Pipeline {
     sim_lsh_bucketed, sim_ivf_topk, sim_ivf_fullprobe, sim_ivf_recall,
     sim_rplsh_recall, text_tokens, text_quality, text_langid,
     text_fingerprint, text_pii_scrub, text_repetition, decontaminate,
+    decontaminate_bloom,
     split_shuffle, pack_sequences, heavy_hitters, text_tfidf,
     upsert_snapshot, layout_report)
 }

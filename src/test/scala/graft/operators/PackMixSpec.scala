@@ -106,6 +106,42 @@ class PackMixSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("bloom decontamination == exact decontamination, with the " +
+      "candidate test map-side (might_contain in the plan)") {
+    val d = "/root/testdata/sf0.001"
+    assume(new java.io.File(d).isDirectory)
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val eval = docs.filter(col("doc_id") % 10 === 0)
+    val exact = Contamination.overlapReport(train, eval, "doc_id", "text")
+    val bloom = Contamination.bloomReport(train, eval, "doc_id", "text")
+    // no false negatives + exact verify ⇒ bit-identical reports
+    assert(bloom.exceptAll(exact).isEmpty && exact.exceptAll(bloom).isEmpty)
+    // the bloom probe must sit in the plan as Spark's native
+    // runtime-filter expression, not a UDF
+    val plan = bloom.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan)
+    assert(!plan.toLowerCase.contains("batchevalpython")
+      && !plan.contains("ScalaUDF"), plan)
+  }
+
+  test("bloom decontamination: an eval set with zero shared n-grams " +
+      "flags nothing even with bloom false positives possible") {
+    val eval = Seq((100L, "qq ww ee rr tt yy")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "z a b c d e x"),
+      (3L, "x y")) // < 5 tokens
+      .toDF("doc_id", "text")
+    // fpp 0.5: half of all probes may be bloom-positive — the exact
+    // verify stage must still zero them out
+    val rep = Contamination.bloomReport(train, eval, "doc_id", "text",
+      fpp = 0.5)
+    val got = rep.collect().map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("n_ngrams"), r.getAs[Long]("n_overlap"),
+        r.getAs[Boolean]("contaminated"))).toMap
+    assert(got == Map(1L -> (3L, 0L, false), 3L -> (0L, 0L, false)))
+  }
+
   test("repetition metrics: degenerate repeats fail the gate, varied " +
       "text passes, short docs don't divide by zero") {
     val docs = Seq(
