@@ -230,6 +230,237 @@ object Multimodal {
       }.toDF("media_id", "out_w", "out_h", "resized", "checksum")
   }
 
+  /** Minimal real audio codec: RIFF/WAVE, integer PCM (format 1),
+    * 8- or 16-bit. The chunk walk is a genuine RIFF parse — fmt/data
+    * discovery, unknown-chunk skipping WITH the spec's odd-size pad
+    * byte, field/consistency validation (blockAlign = channels·bytes,
+    * byteRate = rate·blockAlign, data length a whole number of
+    * frames) — so truncated data, a non-PCM format tag, or a corrupt
+    * chunk header are real decode failures, exactly like PpmCodec's
+    * malformed rasters. A production libsndfile/FFmpeg binding would
+    * replace only this object. */
+  object WavCodec {
+    /** Interleaved PCM frames; `data` is the raw byte plane. */
+    final case class Audio(channels: Int, sampleRate: Int,
+        bitsPerSample: Int, data: Array[Byte]) {
+      def blockAlign: Int = channels * bitsPerSample / 8
+      def nFrames: Long = data.length.toLong / blockAlign
+      require(bitsPerSample == 8 || bitsPerSample == 16, "8/16-bit only")
+      require(channels > 0 && sampleRate > 0, "bad geometry")
+      require(data.length % blockAlign == 0, "partial frame")
+    }
+
+    /** Per-task init hook — a native audio binding would bind here. */
+    def init(): WavCodec.type = this
+
+    private def le16(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    private def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+    def encode(a: Audio): Array[Byte] = {
+      val byteRate = a.sampleRate * a.blockAlign
+      val out = java.nio.ByteBuffer.allocate(44 + a.data.length)
+      out.put("RIFF".getBytes("US-ASCII"))
+        .put(le32(36 + a.data.length))
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).put(le32(16))
+        .put(le16(1)).put(le16(a.channels)).put(le32(a.sampleRate))
+        .put(le32(byteRate)).put(le16(a.blockAlign))
+        .put(le16(a.bitsPerSample))
+        .put("data".getBytes("US-ASCII")).put(le32(a.data.length))
+        .put(a.data)
+      out.array()
+    }
+
+    private def u16(p: Array[Byte], i: Int): Int =
+      (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
+    private def u32(p: Array[Byte], i: Int): Long =
+      (p(i) & 0xffL) | ((p(i + 1) & 0xffL) << 8) |
+        ((p(i + 2) & 0xffL) << 16) | ((p(i + 3) & 0xffL) << 24)
+    private def tag(p: Array[Byte], i: Int): String =
+      new String(p, i, 4, "US-ASCII")
+
+    /** Parse a RIFF/WAVE PCM payload; None on any malformation. The
+      * fmt chunk must precede data (per spec); unknown chunks are
+      * skipped with word alignment (odd sizes carry a pad byte). */
+    def decode(payload: Array[Byte]): Option[Audio] = {
+      if (payload == null || payload.length < 12 ||
+          tag(payload, 0) != "RIFF" || tag(payload, 8) != "WAVE")
+        return None
+      var i = 12
+      var fmt: Option[(Int, Int, Int)] = None // channels, rate, bits
+      while (i + 8 <= payload.length) {
+        val id = tag(payload, i)
+        val size = u32(payload, i + 4)
+        val body = i + 8
+        if (size < 0 || body + size > payload.length) return None
+        id match {
+          case "fmt " =>
+            if (size < 16) return None
+            val audioFormat = u16(payload, body)
+            val channels = u16(payload, body + 2)
+            val rate = u32(payload, body + 4)
+            val byteRate = u32(payload, body + 8)
+            val blockAlign = u16(payload, body + 12)
+            val bits = u16(payload, body + 14)
+            if (audioFormat != 1 || channels < 1 ||
+                rate <= 0 || rate > Int.MaxValue ||
+                (bits != 8 && bits != 16) ||
+                blockAlign != channels * bits / 8 ||
+                byteRate != rate * blockAlign) return None
+            fmt = Some((channels, rate.toInt, bits))
+          case "data" =>
+            return fmt.flatMap { case (ch, rate, bits) =>
+              val n = size.toInt
+              if (n % (ch * bits / 8) != 0) None
+              else Some(Audio(ch, rate, bits,
+                java.util.Arrays.copyOfRange(payload, body, body + n)))
+            }
+          case _ => () // LIST, fact, cue … — skip
+        }
+        i = body + size.toInt + (size.toInt & 1) // RIFF pad byte
+      }
+      None // no data chunk
+    }
+
+    /** Sample value of frame `f`, channel `c`: signed for 16-bit,
+      * offset-128 for 8-bit (both per the WAV spec). */
+    def sample(a: Audio, f: Long, c: Int): Int =
+      if (a.bitsPerSample == 16) {
+        val i = (f * a.blockAlign + 2 * c).toInt
+        u16(a.data, i).toShort.toInt
+      } else a.data((f * a.blockAlign + c).toInt) & 0xff
+  }
+
+  case class AudioFeatures(media_id: Long, modality: String,
+      n_bytes: Int, sha256: String, channels: Option[Int],
+      sample_rate: Option[Int], bits: Option[Int],
+      n_frames: Option[Long], duration_ms: Option[Long],
+      amp_sum: Option[Long])
+
+  /** Per-partition decode + feature extraction over WAV payloads —
+    * the audio mirror of [[extractFeatures]]: one codec/digest init
+    * per task, rows stream through, null payloads get a zero-byte
+    * envelope, undecodable ones keep envelope stats with null audio
+    * fields. `amp_sum` = Σ|sample| over every frame and channel
+    * (signed 16-bit / offset-128 8-bit) — exact integer arithmetic,
+    * which is what lets the oracle rebuild it in SQL. */
+  def extractAudioFeatures(media: DataFrame): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "modality", "payload")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        val codec = WavCodec.init()
+        val digest = java.security.MessageDigest.getInstance("SHA-256")
+        rows.map { case (id, modality, payload) =>
+          if (payload == null)
+            AudioFeatures(id, modality, 0, "", None, None, None, None,
+              None, None)
+          else {
+            val sha = digest.digest(payload).map(b => f"$b%02x").mkString
+            digest.reset()
+            codec.decode(payload) match {
+              case Some(a) =>
+                var amp = 0L
+                var f = 0L
+                while (f < a.nFrames) {
+                  var c = 0
+                  while (c < a.channels) {
+                    val v = WavCodec.sample(a, f, c)
+                    amp += math.abs(
+                      if (a.bitsPerSample == 8) v - 128 else v)
+                    c += 1
+                  }
+                  f += 1
+                }
+                AudioFeatures(id, modality, payload.length, sha,
+                  Some(a.channels), Some(a.sampleRate),
+                  Some(a.bitsPerSample), Some(a.nFrames),
+                  Some(a.nFrames * 1000L / a.sampleRate), Some(amp))
+              case None =>
+                AudioFeatures(id, modality, payload.length, sha,
+                  None, None, None, None, None, None)
+            }
+          }
+        }
+      }
+  }
+
+  /** Decimating downsample on decoded PCM: keep channel 0 of every
+    * `factor`-th frame (the audio analogue of [[resize]]'s
+    * nearest-neighbor grid). Emits the decimated mono plane plus the
+    * Σ|sample| checksum the oracle rebuilds; undecodable payloads
+    * drop. */
+  def downsampleAudio(media: DataFrame, factor: Int): DataFrame = {
+    require(factor > 0, "factor must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val codec = WavCodec.init()
+        rows.flatMap { case (id, payload) =>
+          codec.decode(payload).iterator.map { a =>
+            val kept = ((a.nFrames + factor - 1) / factor).toInt
+            val bytesPer = a.bitsPerSample / 8
+            val out = new Array[Byte](kept * bytesPer)
+            var checksum = 0L
+            var k = 0
+            while (k < kept) {
+              val f = k.toLong * factor
+              val src = (f * a.blockAlign).toInt
+              System.arraycopy(a.data, src, out, k * bytesPer, bytesPer)
+              val v = WavCodec.sample(a, f, 0)
+              checksum += math.abs(
+                if (a.bitsPerSample == 8) v - 128 else v)
+              k += 1
+            }
+            (id, a.sampleRate / factor, kept.toLong, out, checksum)
+          }
+        }
+      }.toDF("media_id", "out_rate", "n_kept", "mono", "checksum")
+  }
+
+  /** Synthesize a table of REAL (decodable) PCM WAVs, deterministic
+    * per row: channels 1 + id%2, rate 8000·(1 + id%3), 16-bit,
+    * frames 64 + len(text)%32, sample j = ((31j + 13·id) mod 65536)
+    * − 32768 over the interleaved sample axis — all exactly
+    * reproducible in SQL, so decode results are oracle-checkable down
+    * to the amplitude sums. */
+  def toWav(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id"),
+        col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val codec = WavCodec.init()
+        rows.map { case (id, text) =>
+          val len = text.getBytes("UTF-8").length
+          val channels = (1 + id % 2).toInt
+          val rate = (8000 * (1 + id % 3)).toInt
+          val frames = 64 + len % 32
+          val n = frames * channels
+          val data = new Array[Byte](2 * n)
+          val seed = 13L * id
+          var j = 0
+          while (j < n) {
+            val v = (((31L * j + seed) % 65536) - 32768).toInt
+            data(2 * j) = (v & 0xff).toByte
+            data(2 * j + 1) = ((v >> 8) & 0xff).toByte
+            j += 1
+          }
+          (id, "audio", "audio/wav",
+            codec.encode(WavCodec.Audio(channels, rate, 16, data)),
+            Option.empty[Int], Option.empty[Int],
+            Some((frames.toLong * 1000 / rate).toInt))
+        }
+      }.toDF("media_id", "modality", "mime", "payload", "width",
+        "height", "duration_ms")
+  }
+
   /** Synthesize a media table from any text column: the payload is the
     * raw utf-8 bytes (an OPAQUE blob — exercises the undecodable path
     * and envelope stats). */

@@ -202,6 +202,79 @@ object Extras {
       FROM c, range(64) g, range(3) ch
       GROUP BY c.media_id ORDER BY media_id"""))
 
+  /** Audio metadata + amplitude features over REAL RIFF/WAVE PCM
+    * payloads (Multimodal.toWav synthesizes a decodable 16-bit WAV per
+    * document; WavCodec genuinely walks the chunk grammar). Decoded
+    * geometry (channels/rate/frame count), the 44-byte-header size
+    * arithmetic, integer-division duration, and the exact Σ|sample|
+    * amplitude sum are all oracle-rebuilt — a wrong byte order,
+    * channel interleave, or sign convention breaks the hash. */
+  val mm_audio_meta = GQuery(
+    "mm_audio_meta",
+    (s, d) => {
+      import s.implicits._
+      Multimodal.extractAudioFeatures(
+          Multimodal.toWav(T.documents(s, d), "doc_id", "text"))
+        .select($"media_id", $"n_bytes", $"channels", $"sample_rate",
+          $"n_frames", $"duration_ms", $"amp_sum")
+        .orderBy($"media_id")
+    },
+    Some("""
+      WITH c AS (
+        SELECT doc_id AS media_id,
+               CAST(1 + doc_id % 2 AS BIGINT) AS ch,
+               CAST(8000 * (1 + doc_id % 3) AS BIGINT) AS sr,
+               CAST(64 + octet_length(encode(text)) % 32 AS BIGINT)
+                 AS frames,
+               13 * doc_id AS seed
+        FROM documents)
+      SELECT c.media_id,
+             CAST(44 + 2 * MIN(c.frames) * MIN(c.ch) AS INT) AS n_bytes,
+             CAST(MIN(c.ch) AS INT) AS channels,
+             CAST(MIN(c.sr) AS INT) AS sample_rate,
+             MIN(c.frames) AS n_frames,
+             MIN(c.frames) * 1000 // MIN(c.sr) AS duration_ms,
+             CAST(SUM(ABS(((31 * j.range + c.seed) % 65536) - 32768))
+               AS BIGINT) AS amp_sum
+      FROM c, range(190) j
+      WHERE j.range < c.frames * c.ch
+      GROUP BY c.media_id ORDER BY media_id"""))
+
+  /** Decimating audio downsample (keep channel 0 of every 4th frame)
+    * on the decoded PCM — the kept-frame count, halved-rate metadata,
+    * output byte length, and Σ|sample| checksum of exactly the
+    * retained samples are oracle-rebuilt from the synthesis
+    * arithmetic (sample index of frame f, channel 0 = f·channels). */
+  val mm_audio_downsample = GQuery(
+    "mm_audio_downsample",
+    (s, d) => {
+      import s.implicits._
+      Multimodal.downsampleAudio(
+          Multimodal.toWav(T.documents(s, d), "doc_id", "text"),
+          factor = 4)
+        .select($"media_id", $"out_rate", $"n_kept",
+          octet_length($"mono").as("n_bytes"), $"checksum")
+        .orderBy($"media_id")
+    },
+    Some("""
+      WITH c AS (
+        SELECT doc_id AS media_id,
+               CAST(1 + doc_id % 2 AS BIGINT) AS ch,
+               CAST(8000 * (1 + doc_id % 3) AS BIGINT) AS sr,
+               CAST(64 + octet_length(encode(text)) % 32 AS BIGINT)
+                 AS frames,
+               13 * doc_id AS seed
+        FROM documents)
+      SELECT c.media_id,
+             CAST(MIN(c.sr) // 4 AS INT) AS out_rate,
+             (MIN(c.frames) + 3) // 4 AS n_kept,
+             CAST(2 * ((MIN(c.frames) + 3) // 4) AS INT) AS n_bytes,
+             CAST(SUM(ABS(((31 * (f.range * c.ch) + c.seed) % 65536)
+                          - 32768)) AS BIGINT) AS checksum
+      FROM c, range(95) f
+      WHERE f.range < c.frames AND f.range % 4 = 0
+      GROUP BY c.media_id ORDER BY media_id"""))
+
   /** HLL approx-distinct with its accuracy contract hash-checked: the
     * oracle pins the exact count, and the boolean asserts the ±2%-rsd
     * sketch landed within 5% of it — so the sketch path is verified
@@ -635,6 +708,7 @@ object Extras {
 
   val all: Seq[GQuery] = Seq(sessionize, agg_cube, mm_binary_meta,
     mm_feature_extract, mm_frame_sample, mm_resize,
+    mm_audio_meta, mm_audio_downsample,
     agg_approx_distinct, ml_kmeans_profiles, ml_kmeans_contract,
     ml_quadfit_contract, set_ops, w2_rank_lag,
     j6_outer_join, asof_attribution, range_join_window, pipeline_e2e,

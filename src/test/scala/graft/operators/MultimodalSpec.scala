@@ -112,6 +112,95 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.fromText(one, "doc_id", "text"), 2, 2).count() == 0)
   }
 
+  test("WAV codec round-trips encode → decode, both bit depths") {
+    import Multimodal.WavCodec
+    val a16 = WavCodec.Audio(2, 16000, 16,
+      Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)) // 2 frames × 2ch × 2B
+    val b16 = WavCodec.decode(WavCodec.encode(a16)).get
+    assert(b16.channels == 2 && b16.sampleRate == 16000 &&
+      b16.bitsPerSample == 16 && b16.nFrames == 2 &&
+      b16.data.toSeq == a16.data.toSeq)
+    val a8 = WavCodec.Audio(1, 8000, 8, Array[Byte](0, 127, -128, -1))
+    val b8 = WavCodec.decode(WavCodec.encode(a8)).get
+    assert(b8.nFrames == 4 && b8.bitsPerSample == 8)
+    // 8-bit samples are offset-128 unsigned; 16-bit signed LE
+    assert(WavCodec.sample(b8, 0, 0) == 0 &&
+      WavCodec.sample(b8, 3, 0) == 255)
+    assert(WavCodec.sample(b16, 0, 1) == ((4 << 8) | 3))
+  }
+
+  test("WAV chunk walk skips unknown chunks WITH the odd-size pad " +
+      "byte, and rejects malformations") {
+    import Multimodal.WavCodec
+    val good = WavCodec.encode(
+      WavCodec.Audio(1, 8000, 16, Array[Byte](9, 0)))
+    // splice a 3-byte junk chunk (odd → 1 pad byte) between WAVE and fmt
+    val junk = "JUNK".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0, 42, 42, 42, 0)
+    val spliced = good.take(12) ++ junk ++ good.drop(12)
+    assert(WavCodec.decode(spliced).exists(_.nFrames == 1),
+      "pad-byte chunk walk must still find fmt/data")
+    def corrupt(f: Array[Byte] => Array[Byte]) =
+      WavCodec.decode(f(good.clone()))
+    assert(corrupt(p => { p(0) = 'X'; p }).isEmpty, "bad RIFF magic")
+    assert(corrupt(p => { p(20) = 3; p }).isEmpty, "non-PCM format tag")
+    assert(corrupt(p => { p(32) = 9; p }).isEmpty, "blockAlign mismatch")
+    assert(corrupt(_.dropRight(1)).isEmpty, "truncated data chunk")
+    assert(WavCodec.decode(good.take(36)).isEmpty, "no data chunk")
+    assert(WavCodec.decode(null).isEmpty)
+  }
+
+  test("toWav payloads decode to the documented deterministic PCM; " +
+      "audio features match hand arithmetic") {
+    val feats = Multimodal.extractAudioFeatures(
+        Multimodal.toWav(docs, "doc_id", "text"))
+      .collect().map(f => f.media_id -> f).toMap
+    // doc 1: "hello world" = 11 bytes → frames 64+11%32=75, 2ch, 16kHz
+    val f1 = feats(1L)
+    assert(f1.channels.contains(2) && f1.sample_rate.contains(16000) &&
+      f1.n_frames.contains(75L) && f1.n_bytes == 44 + 2 * 75 * 2 &&
+      f1.duration_ms.contains(75L * 1000 / 16000))
+    val exp1 = (0 until 150).map(j =>
+      math.abs(((31L * j + 13L) % 65536) - 32768)).sum
+    assert(f1.amp_sum.contains(exp1))
+    // doc 2: "abc" → frames 64+3=67, 1ch, 24kHz
+    val f2 = feats(2L)
+    assert(f2.channels.contains(1) && f2.sample_rate.contains(24000) &&
+      f2.n_frames.contains(67L))
+    // corrupt + null payloads: envelope rows, no crash
+    val mixed = Multimodal.fromText(docs, "doc_id", "text")
+      .union(Seq((99L, "audio", "audio/wav", null.asInstanceOf[Array[Byte]],
+        null.asInstanceOf[Integer], null.asInstanceOf[Integer],
+        null.asInstanceOf[Integer]))
+        .toDF("media_id", "modality", "mime", "payload", "width",
+          "height", "duration_ms"))
+    val env = Multimodal.extractAudioFeatures(mixed).collect()
+    assert(env.length == 3 && env.forall(_.channels.isEmpty))
+    assert(env.find(_.media_id == 99L).get.n_bytes == 0)
+  }
+
+  test("audio downsample keeps channel 0 of every 4th frame") {
+    import Multimodal.WavCodec
+    // 1ch 16-bit, 10 frames with values 0..9
+    val data = (0 until 10).flatMap(v =>
+      Seq((v & 0xff).toByte, 0.toByte)).toArray
+    val one = Seq((7L, "audio", "audio/wav",
+        WavCodec.encode(WavCodec.Audio(1, 8000, 16, data)),
+        null.asInstanceOf[Integer], null.asInstanceOf[Integer],
+        null.asInstanceOf[Integer]))
+      .toDF("media_id", "modality", "mime", "payload", "width",
+        "height", "duration_ms")
+    val r = Multimodal.downsampleAudio(one, factor = 4).head()
+    assert(r.getAs[Int]("out_rate") == 2000)
+    assert(r.getAs[Long]("n_kept") == 3L) // frames 0, 4, 8
+    assert(r.getAs[Long]("checksum") == 0L + 4 + 8)
+    assert(r.getAs[Array[Byte]]("mono").toSeq ==
+      Seq[Byte](0, 0, 4, 0, 8, 0))
+    // undecodable payloads drop
+    assert(Multimodal.downsampleAudio(
+      Multimodal.fromText(docs, "doc_id", "text"), 2).count() == 0)
+  }
+
   test("frame sampling picks evenly spaced decoded rows") {
     val frames = Multimodal.sampleFrames(media, frames = 4).collect()
     val f1 = frames.filter(_.getAs[Long]("media_id") == 1L)
