@@ -17,20 +17,27 @@ object Bench {
     // measures steady-state query execution, which is the
     // scale-relevant number (amortized cost per query, not one-time
     // session setup).
+    // Registry.force (toRdd.count), NOT df.count(): count() lets the
+    // optimizer eliminate the left joins of report-shaped queries and
+    // the final sorts everywhere, so it times a fraction of the plan
+    // Verify actually executes (protocol changed round 6 - totals are
+    // not comparable across that boundary; docs/PERF.md #bench-protocol).
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
       SparkEntry.queries.foreach { case (_, fn) =>
-        try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+        try { Registry.force(fn(spark, warmDir)) }
+        catch { case _: Throwable => () }
       }
     }
     SparkEntry.queries.foreach { case (_, fn) =>
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      try { Registry.force(fn(spark, sfDir)) }
+      catch { case _: Throwable => () }
     }
     // a failed query reports -1, not a deceptively small elapsed time;
     // total sums successful queries only
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
+      val ok = try { Registry.force(fn(spark, sfDir)); true }
         catch { case _: Throwable => false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }

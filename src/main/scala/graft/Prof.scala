@@ -17,7 +17,7 @@ object Prof {
       val fn = Registry.queryMap(name)
       for (round <- 1 to 3) {
         val t0 = System.nanoTime()
-        fn(spark, d).count()
+        Registry.force(fn(spark, d)) // full materialization, not count()
         println(f"$name round $round: ${(System.nanoTime()-t0)/1e9}%.2f s")
       }
     }

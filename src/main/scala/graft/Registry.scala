@@ -17,4 +17,15 @@ object Registry {
   /** Collapse the triple-quoted indentation into single-line SQL. */
   private def normalize(sql: String): String =
     sql.linesIterator.map(_.trim).filter(_.nonEmpty).mkString(" ")
+
+  /** Materialize EVERY output row and column of a query — the honest
+    * benchmark action. `df.count()` is NOT: Catalyst optimizes the
+    * count, and for report-shaped queries (base table left-joined with
+    * unique-keyed aggregates, e.g. decontaminate) it ELIMINATES the
+    * joins entirely — the "benchmark" then times a metadata-only scan
+    * while Verify pays the real cost. `toRdd.count()` executes the
+    * query's own optimized plan as-is: every output row is produced
+    * with all columns, nothing is re-planned around the action. */
+  def force(df: org.apache.spark.sql.DataFrame): Long =
+    df.queryExecution.toRdd.count()
 }

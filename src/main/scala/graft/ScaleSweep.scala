@@ -50,10 +50,10 @@ object ScaleSweep {
 
     def minOf3(name: String, dir: String): Double = {
       val fn = Registry.queryMap(name)
-      fn(spark, dir).count() // warm-up: listing, footers, codegen
+      Registry.force(fn(spark, dir)) // warm-up: listing, footers, codegen
       (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        fn(spark, dir).count()
+        Registry.force(fn(spark, dir)) // full materialization, not count()
         (System.nanoTime() - t0) / 1e9
       }.min
     }

@@ -73,7 +73,13 @@ object GraftExtensions {
           " ids, one per table"),
       (exprs: Seq[Expression]) => RpBuckets(exprs(0),
         constInt("rp_buckets", "tables", 2, exprs(1)),
-        constInt("rp_buckets", "bits", 3, exprs(2)))))
+        constInt("rp_buckets", "bits", 3, exprs(2)))),
+    ("shingle_list",
+      info("shingle_list",
+        "shingle_list(tokens, k) - all k-token shingles in order," +
+          " duplicates kept"),
+      (exprs: Seq[Expression]) => ShingleList(exprs(0),
+        constInt("shingle_list", "k", 2, exprs(1)))))
 
   /** Register into an already-running session. */
   def register(spark: SparkSession): Unit =
@@ -103,10 +109,14 @@ object GraftExtensions {
     val bkts = spark.sql(
       "SELECT rp_buckets(array(CAST(1 AS FLOAT), CAST(-2 AS FLOAT))," +
         " 4, 6)").head().getSeq[Int](0)
-    println(s"fdot=$dot sig=${sig.length} shingles=$shs buckets=$bkts")
+    val shl = spark.sql("SELECT shingle_list(array('a','b','a','b'), 2)")
+      .head().getSeq[String](0)
+    println(s"fdot=$dot sig=${sig.length} shingles=$shs buckets=$bkts" +
+      s" shingleList=$shl")
     assert(dot == 11.0 && sig.length == 8 &&
       shs == Seq("a b c", "b c d") &&
-      bkts.length == 4 && bkts.forall(b => b >= 0 && b < 64))
+      bkts.length == 4 && bkts.forall(b => b >= 0 && b < 64) &&
+      shl == Seq("a b", "b a", "a b"))
     println("extensions self-check OK")
     spark.stop()
   }

@@ -110,6 +110,42 @@ case class ShingleSet(child: Expression, shingleK: Int)
       : ShingleSet = copy(child = newChild)
 }
 
+/** Native k-token shingle LIST — every shingle in order, duplicates
+  * kept (the multiset [[ShingleSet]] deliberately collapses). Consumers
+  * that count repeats (repetition gates' bigram mode) need this one;
+  * the declarative HOF spelling (`transform` + `element_at`) evaluates
+  * interpreted with no CSE, re-splitting the text per produced element
+  * — measured 20×+ slower on real documents (docs/PERF.md round 6). */
+case class ShingleList(child: Expression, shingleK: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val m = math.max(n - shingleK + 1, 0)
+    val out = new Array[AnyRef](m)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < shingleK) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks.getUTF8String(i + j).toString)
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : ShingleList = copy(child = newChild)
+}
+
 object HashExprs {
   /** MinHash signature column over an array<string> TOKEN column. */
   def minhashSig(tokens: Column, numHashes: Int, shingleK: Int): Column =
@@ -119,4 +155,8 @@ object HashExprs {
   /** Distinct k-shingle set over an array<string> token column. */
   def shingleSet(tokens: Column, shingleK: Int): Column =
     Bridge.column(ShingleSet(Bridge.expression(tokens), shingleK))
+
+  /** All k-shingles in order (duplicates kept) over a token column. */
+  def shingleList(tokens: Column, shingleK: Int): Column =
+    Bridge.column(ShingleList(Bridge.expression(tokens), shingleK))
 }

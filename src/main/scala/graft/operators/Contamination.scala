@@ -22,6 +22,18 @@ import org.apache.spark.sql.graftbridge.Bridge
   */
 object Contamination {
 
+  /** Distinct k-shingles of a text column via the native single-pass
+    * kernel (`graft.functions.ShingleSet` — also the MinHash tokenizer).
+    * Replaces the declarative `array_distinct(Dedup.shingles(...))`
+    * spelling: that one nests `split` inside an interpreted
+    * higher-order `transform`, where no CSE applies and the text is
+    * re-split per produced element — measured at ~6× the whole
+    * honestly-materialized report cost at sf0.1 (docs/PERF.md §bench
+    * protocol, round 6). Identical output: same first-occurrence
+    * distinct order, empty for <k tokens, null text drops at explode. */
+  private def docShingleSet(text: org.apache.spark.sql.Column, k: Int) =
+    graft.functions.HashExprs.shingleSet(split(text, " "), k)
+
   /** Per-train-doc overlap report vs `eval`'s k-gram set: total
     * distinct n-grams, overlapping n-grams, overlap fraction, and a
     * contaminated flag (`overlap_frac >= threshold`, so threshold 0 >
@@ -31,7 +43,7 @@ object Contamination {
       textCol: String, k: Int = 5, threshold: Double = 0.0,
       broadcastEval: Boolean = true): DataFrame = {
     val evalG0 = eval
-      .select(explode(Dedup.shingles(col(textCol), k)).as("ng"))
+      .select(explode(docShingleSet(col(textCol), k)).as("ng"))
       .distinct()
       .withColumn("_hit", lit(1))
     val evalG = if (broadcastEval) broadcast(evalG0) else evalG0
@@ -41,7 +53,7 @@ object Contamination {
     // (A semi join + separate count query would tokenize + shingle the
     // whole corpus twice.)
     val trainG = train.select(col(idCol),
-      explode(array_distinct(Dedup.shingles(col(textCol), k))).as("ng"))
+      explode(docShingleSet(col(textCol), k)).as("ng"))
     val counts = trainG.join(evalG, Seq("ng"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_ngrams"),
@@ -60,6 +72,18 @@ object Contamination {
       .withColumn("contaminated",
         col("n_overlap") > 0 && col("overlap_frac") >= threshold)
   }
+
+  /** The candidate probe: Spark's native codegen'd runtime-filter
+    * expression over a serialized `util.sketch.BloomFilter` built from
+    * `xxhash64` longs — `putLong` on the build side is the exact pair
+    * of `mightContainLong` on the probe side. Public so the no-UDF
+    * plan property is testable on its own (bloomReport checkpoints the
+    * probe stage, hiding it from the final frame's plan). */
+  def bloomProbe(bloomBytes: Array[Byte],
+      value: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    Bridge.column(BloomFilterMightContain(
+      Bridge.expression(lit(bloomBytes)),
+      Bridge.expression(xxhash64(value))))
 
   /** Bloom-prefiltered variant of [[overlapReport]] for eval sets too
     * big to hash-join-broadcast: a Bloom filter over the eval n-grams
@@ -85,7 +109,7 @@ object Contamination {
       textCol: String, k: Int = 5, threshold: Double = 0.0,
       fpp: Double = 0.01): DataFrame = {
     val evalG = eval
-      .select(explode(Dedup.shingles(col(textCol), k)).as("ng"))
+      .select(explode(docShingleSet(col(textCol), k)).as("ng"))
       .distinct()
     val hashed = evalG.select(xxhash64(col("ng")).as("h"))
     val nEval = math.max(hashed.count(), 1L)
@@ -96,26 +120,32 @@ object Contamination {
       bos.toByteArray
     }
     def mightContain(value: org.apache.spark.sql.Column) =
-      Bridge.column(BloomFilterMightContain(
-        Bridge.expression(lit(bytes)),
-        Bridge.expression(xxhash64(value))))
-    // ONE shingling pass, candidate flag computed map-side against the
-    // broadcast-as-literal bloom; per-doc n-gram counts come from the
-    // same pass so nothing is tokenized twice.
-    val trainG = train.select(col(idCol),
-        explode(array_distinct(Dedup.shingles(col(textCol), k))).as("ng"))
+      bloomProbe(bytes, value)
+    // ONE shingling pass over the corpus: a single per-doc aggregation
+    // yields both the n-gram count and the bloom-surviving n-gram list
+    // (collect_list skips the nulls `when` leaves for non-candidates;
+    // survivors are true hits + ~fpp of the doc's n-grams, so the array
+    // is small by construction). The doc-level frame is localCheckpoint'd
+    // — the same lineage cut text_tfidf uses — because BOTH the verify
+    // branch and the final report consume it, and without the cut each
+    // consumer would re-run the corpus shingle pass.
+    val perDoc = train.select(col(idCol),
+        explode(docShingleSet(col(textCol), k)).as("ng"))
       .withColumn("cand", mightContain(col("ng")))
-    val counts = trainG.groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_ngrams"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ngrams"),
+        collect_list(when(col("cand"), col("ng"))).as("cands"))
+      .localCheckpoint()
     // exact verify over bloom survivors only — deliberately NOT a
     // broadcast hint: at scale this is a shuffled join whose corpus
     // side is already pruned to true hits + fpp noise.
-    val verified = trainG.filter(col("cand"))
+    val verified = perDoc
+      .select(col(idCol), explode(col("cands")).as("ng"))
       .join(evalG, Seq("ng"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_overlap"))
     train.select(col(idCol))
-      .join(counts, Seq(idCol), "left")
+      .join(perDoc.select(col(idCol), col("n_ngrams")), Seq(idCol), "left")
       .join(verified, Seq(idCol), "left")
       .withColumn("n_ngrams", coalesce(col("n_ngrams"), lit(0L)))
       .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))

@@ -130,17 +130,26 @@ object TextAnalysis {
     * explode at all (array size vs distinct size). */
   def repetitionMetrics(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
-    val g5 = Dedup.shingles(col(textCol), 5)
+    // Native shingle kernels, not the declarative HOF spelling: the
+    // `transform`+`element_at` form runs interpreted (no CSE) and
+    // re-splits the text per produced element — it was 20×+ of this
+    // query's whole honest cost (docs/PERF.md round 6). Total 5-gram
+    // count needs no materialization at all (= max(tokens − 4, 0));
+    // the distinct count is one ShingleSet pass; the bigram stream
+    // (duplicates kept — the mode counts them) is one ShingleList pass.
+    val toks = split(col(textCol), " ")
+    val n5 = greatest(size(toks) - 4, lit(0))
     val base = df.select(
       col(idCol),
       tokenCount(col(textCol)).as("n_tokens"),
       size(regexp_extract_all(col(textCol),
         lit("[^A-Za-z0-9\\s]"), lit(0))).as("n_symbols"),
-      size(g5).as("n_5grams"),
-      (size(g5) - size(array_distinct(g5))).as("n_dup_5grams"))
+      n5.as("n_5grams"),
+      (n5 - size(graft.functions.HashExprs.shingleSet(toks, 5)))
+        .as("n_dup_5grams"))
     val topBigram = df
       .select(col(idCol),
-        explode(Dedup.shingles(col(textCol), 2)).as("bg"))
+        explode(graft.functions.HashExprs.shingleList(toks, 2)).as("bg"))
       .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("c"))
       .groupBy(col(idCol))
       .agg(max(col("c")).as("top_bigram_n"),

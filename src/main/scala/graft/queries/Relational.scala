@@ -347,7 +347,14 @@ object Relational {
 
   /** RANGE window frame: value-bounded running sum (all ties included
     * by definition, so the frame is deterministic without a row-order
-    * tiebreak). */
+    * tiebreak). The frame aggregates LONG cents, not DECIMAL: a
+    * sliding range frame re-aggregates its window per row (Spark's
+    * frame processors have no retract path), and `Decimal.+` routes
+    * every add through BigDecimal — long cents keep the O(n·frame)
+    * inner loop primitive (measured ~4× at sf0.1, docs/PERF.md round
+    * 6). Cents are exact: prices are 2-decimal doubles, so
+    * round(p·100) is the integer the file encodes, and both engines
+    * divide the exact cent total by 100 in the same double op. */
   val w4_range_frame = GQuery(
     "w4_range_frame",
     (s, d) => {
@@ -356,16 +363,16 @@ object Relational {
         .orderBy($"o_totalprice").rangeBetween(-10000L, 0L)
       T.orders(s, d).select(
         $"o_orderkey", $"o_orderpriority",
-        sum(dec($"o_totalprice", 4)).over(w).cast("double")
-          .as("nearby_total"))
+        (sum(round($"o_totalprice" * 100).cast("long")).over(w)
+          .cast("double") / 100.0).as("nearby_total"))
         .orderBy($"o_orderkey")
     },
     Some("""
       SELECT o_orderkey, o_orderpriority,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) OVER
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER
                (PARTITION BY o_orderpriority ORDER BY o_totalprice
                 RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
-               AS DOUBLE) AS nearby_total
+               AS DOUBLE) / 100.0 AS nearby_total
       FROM orders ORDER BY o_orderkey"""))
 
   /** Three-valued logic: null-excluding COUNT/DISTINCT/MAX, and

@@ -55,7 +55,8 @@ class ExtensionsSpec extends SparkSpec {
     val ext = new GraftExtensions()
     // apply() is exercised structurally: definitions list is shared
     assert(GraftExtensions.definitions.map(_._1) ==
-      Seq("fdot", "minhash_sig", "shingle_set", "rp_buckets"))
+      Seq("fdot", "minhash_sig", "shingle_set", "rp_buckets",
+        "shingle_list"))
     assert(ext.isInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit])
   }
 }

@@ -117,12 +117,26 @@ class PackMixSpec extends SparkSpec {
     val bloom = Contamination.bloomReport(train, eval, "doc_id", "text")
     // no false negatives + exact verify ⇒ bit-identical reports
     assert(bloom.exceptAll(exact).isEmpty && exact.exceptAll(bloom).isEmpty)
-    // the bloom probe must sit in the plan as Spark's native
-    // runtime-filter expression, not a UDF
-    val plan = bloom.queryExecution.executedPlan.toString
+    // the bloom probe must be Spark's native runtime-filter expression,
+    // not a UDF (asserted on its own frame: bloomReport localCheckpoints
+    // the probe stage, so the final frame's plan no longer shows it)
+    val filt = eval.stat.bloomFilter(xxhash64(col("text")), 100, 0.01)
+    val bos = new java.io.ByteArrayOutputStream()
+    filt.writeTo(bos)
+    val probed = train.withColumn("cand",
+      Contamination.bloomProbe(bos.toByteArray, col("text")))
+    val plan = probed.queryExecution.executedPlan.toString
     assert(plan.contains("might_contain"), plan)
     assert(!plan.toLowerCase.contains("batchevalpython")
       && !plan.contains("ScalaUDF"), plan)
+    // `*(n)` is the whole-stage-codegen marker in simple plan strings —
+    // the probe row must be inside a codegen stage
+    assert(plan.linesIterator.exists(l =>
+      l.contains("might_contain") && l.trim.startsWith("*(")), plan)
+    // and the probe itself has no false negatives
+    assert(probed.filter(col("text").isin(
+      eval.select("text").collect().map(_.getString(0)).toSeq: _*))
+      .collect().forall(_.getAs[Boolean]("cand")))
   }
 
   test("bloom decontamination: an eval set with zero shared n-grams " +
