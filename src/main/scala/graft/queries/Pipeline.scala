@@ -259,8 +259,8 @@ object Pipeline {
 
   /** The 100 TB embedding-dedup shape: label blocking alone makes pair
     * work quadratic (block size ∝ N — dedup_embedding_cosine's sf0.1→sf1
-    * wall grew 7.3× for 10× rows, docs/PERF.md §"Decade sweep sf0.1 →
-    * sf1", round 6), so candidates
+    * wall grew 12.3× for 10× rows under full-plan execution, docs/PERF.md
+    * §"Decade sweep sf0.1 → sf1", round 6), so candidates
     * must ALSO collide in one of 4 sign-LSH tables (6 bits each).
     * Bucketing is integer-exact (RpBuckets: quantized vector × lattice
     * hyperplanes), so the oracle reproduces every bucket id bit-for-bit
