@@ -204,6 +204,45 @@ class PlanAuditSpec extends SparkSpec {
       "more than two text scans:\n" + p)
   }
 
+  test("stream gates: window agg is one shuffle with map-side partial; " +
+      "session merge sorts within the key partition only") {
+    val w = plan("stream_window_agg", "simple")
+    // tumbling window = plain keyed agg: partial → exchange → final
+    assert(w.split("Exchange hashpartitioning").length == 2, w)
+    assert(w.contains("partial_count") || w.contains("partial"), w)
+    val s = plan("stream_sessions", "simple")
+    // session windows: merged per key after one hash exchange, and the
+    // pre-merge sort is partition-local (`Sort [...], false`) — the only
+    // global ordering allowed is the final output ORDER BY above the agg
+    assert(s.contains("MergingSessions"), s)
+    assert(s.contains("Exchange hashpartitioning(user_id"), s)
+    assert("Sort \\[user_id[^\\]]*session_window[^\\]]*\\], false".r
+      .findFirstIn(s).isDefined,
+      "session merge sort is not partition-local:\n" + s)
+  }
+
+  test("stream interval join: equi-key join with the time bound as a " +
+      "post-join condition, never a nested-loop product") {
+    val p = plan("stream_interval_join", "simple")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("bloom decontaminate: the id re-attach scan stays pruned and " +
+      "the verify join input is the checkpointed survivors, not a scan") {
+    val p = plan("decontaminate_bloom", "formatted")
+    val reads = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+      .filter(_.contains("doc_id"))
+    assert(reads.exists(r => !r.contains("text")),
+      "no id-only documents scan:\n" + p)
+    // after the eager probe-stage checkpoint, the only text scans left
+    // belong to the (small) eval side — the corpus text is never
+    // re-tokenized by the final plan
+    assert(reads.count(_.contains("text")) <= 1,
+      "corpus text re-scanned after the checkpoint:\n" + p)
+  }
+
   test("heavy hitters recount: candidate filter is applied before the " +
       "aggregation shuffle (map-side), never after") {
     val q = Registry.queryMap("heavy_hitters")(spark, sf)
