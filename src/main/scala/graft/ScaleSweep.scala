@@ -36,7 +36,8 @@ object ScaleSweep {
     "stream_window_agg", "stream_sessions", "stream_interval_join",
     "stream_dedup",
     // orders-backed windows
-    "w2_rank_lag", "w3_distribution", "w4_range_frame", "c7_date_agg")
+    "w2_rank_lag", "w3_distribution", "w4_range_frame",
+    "w5_range_prefix", "c7_date_agg")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
