@@ -51,6 +51,58 @@ object GraftExtensions {
     }
   }
 
+  /** Constant array<string> argument extraction, same error contract
+    * as [[constInt]]. */
+  private def constStrings(fn: String, argName: String, pos: Int,
+      e: Expression): Seq[String] = {
+    def fail(got: String): Nothing = throw new IllegalArgumentException(
+      s"[$fn] argument $pos ($argName) must be a constant array of " +
+        s"strings, got $got")
+    if (!e.foldable) fail(s"non-constant expression ${e.sql}")
+    e.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType, _) =>
+        e.eval() match {
+          case null => fail("NULL")
+          case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+            (0 until a.numElements()).map { i =>
+              if (a.isNullAt(i)) fail("a NULL element")
+              else a.getUTF8String(i).toString
+            }
+        }
+      case other => fail(s"${other.sql} expression ${e.sql}")
+    }
+  }
+
+  /** Constant array<array<string>> argument extraction. */
+  private def constStringLists(fn: String, argName: String, pos: Int,
+      e: Expression): Seq[Seq[String]] = {
+    def fail(got: String): Nothing = throw new IllegalArgumentException(
+      s"[$fn] argument $pos ($argName) must be a constant array of " +
+        s"string arrays, got $got")
+    if (!e.foldable) fail(s"non-constant expression ${e.sql}")
+    e.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+          inner @ org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType, _), _) =>
+        e.eval() match {
+          case null => fail("NULL")
+          case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+            (0 until a.numElements()).map { i =>
+              if (a.isNullAt(i)) fail("a NULL list")
+              else {
+                val in = a.getArray(i)
+                (0 until in.numElements()).map { j =>
+                  if (in.isNullAt(j)) fail("a NULL element")
+                  else in.getUTF8String(j).toString
+                }
+              }
+            }
+        }
+      case other => fail(s"${other.sql} expression ${e.sql}")
+    }
+  }
+
   val definitions: Seq[(String, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     ("fdot",
@@ -79,7 +131,19 @@ object GraftExtensions {
         "shingle_list(tokens, k) - all k-token shingles in order," +
           " duplicates kept"),
       (exprs: Seq[Expression]) => ShingleList(exprs(0),
-        constInt("shingle_list", "k", 2, exprs(1)))))
+        constInt("shingle_list", "k", 2, exprs(1)))),
+    ("token_stats",
+      info("token_stats",
+        "token_stats(text, stopwords) - struct(n_tokens, n_stop," +
+          " n_distinct, n_chars, n_alpha) in one pass over the text"),
+      (exprs: Seq[Expression]) => TokenStats(exprs(0),
+        constStrings("token_stats", "stopwords", 2, exprs(1)))),
+    ("marker_counts",
+      info("marker_counts",
+        "marker_counts(text, lists) - per-list token hit counts;" +
+          " lists is a constant array of string arrays"),
+      (exprs: Seq[Expression]) => MarkerCounts(exprs(0),
+        constStringLists("marker_counts", "lists", 2, exprs(1)))))
 
   /** Register into an already-running session. */
   def register(spark: SparkSession): Unit =
@@ -111,12 +175,21 @@ object GraftExtensions {
         " 4, 6)").head().getSeq[Int](0)
     val shl = spark.sql("SELECT shingle_list(array('a','b','a','b'), 2)")
       .head().getSeq[String](0)
+    val ts = spark.sql(
+      "SELECT token_stats('the cat the', array('the','a'))").head()
+      .getStruct(0)
+    val mc = spark.sql(
+      "SELECT marker_counts('le chat le', " +
+        "array(array('the'), array('le','la')))").head().getSeq[Int](0)
     println(s"fdot=$dot sig=${sig.length} shingles=$shs buckets=$bkts" +
-      s" shingleList=$shl")
+      s" shingleList=$shl tokenStats=$ts markerCounts=$mc")
     assert(dot == 11.0 && sig.length == 8 &&
       shs == Seq("a b c", "b c d") &&
       bkts.length == 4 && bkts.forall(b => b >= 0 && b < 64) &&
-      shl == Seq("a b", "b a", "a b"))
+      shl == Seq("a b", "b a", "a b") &&
+      ts.getInt(0) == 3 && ts.getInt(1) == 2 && ts.getInt(2) == 2 &&
+      ts.getInt(3) == 9 && ts.getInt(4) == 9 &&
+      mc == Seq(0, 2))
     println("extensions self-check OK")
     spark.stop()
   }

@@ -28,23 +28,42 @@ object TextAnalysis {
   def charLen(text: Column): Column =
     length(regexp_replace(text, " ", ""))
 
+  val defaultStopwords: Seq[String] = Seq("the", "a", "of", "and", "to")
+
+  /** Single-pass token statistics — struct(n_tokens, n_stop,
+    * n_distinct, n_chars, n_alpha), computed by the native
+    * [[graft.functions.TokenStats]] kernel (one walk over the UTF-8
+    * bytes; the equivalent declarative spelling — one split + filter
+    * HOF per field — runs interpreted per element and is what every
+    * oracle rebuilds in SQL). Select this ONCE and derive ratios from
+    * the struct fields; see the text_quality query for the pattern. */
+  def tokenStats(text: Column,
+      stopwords: Seq[String] = defaultStopwords): Column =
+    graft.functions.TextExprs.tokenStats(text, stopwords)
+
   /** Mean token length (chars per token). */
-  def meanTokenLen(text: Column): Column =
-    charLen(text).cast("double") / tokenCount(text).cast("double")
+  def meanTokenLen(text: Column): Column = {
+    val st = tokenStats(text)
+    st.getField("n_chars").cast("double") /
+      st.getField("n_tokens").cast("double")
+  }
 
   def stopwordCount(text: Column, stopwords: Seq[String]): Column =
-    size(filter(tokens(text), t => t.isin(stopwords.map(lit): _*)))
+    tokenStats(text, stopwords).getField("n_stop")
 
-  def stopwordRatio(text: Column, stopwords: Seq[String]): Column =
-    stopwordCount(text, stopwords).cast("double") /
-      tokenCount(text).cast("double")
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val st = tokenStats(text, stopwords)
+    st.getField("n_stop").cast("double") /
+      st.getField("n_tokens").cast("double")
+  }
 
   /** Distinct/total token ratio — low values indicate boilerplate /
     * repetition (a standard pretraining-quality signal). */
-  def distinctRatio(text: Column): Column =
-    distinctTokenCount(text).cast("double") / tokenCount(text).cast("double")
-
-  val defaultStopwords: Seq[String] = Seq("the", "a", "of", "and", "to")
+  def distinctRatio(text: Column): Column = {
+    val st = tokenStats(text)
+    st.getField("n_distinct").cast("double") /
+      st.getField("n_tokens").cast("double")
+  }
 
   /** Composite quality score ∈ [0,1]: length window + stopword presence
     * + repetition + alphabetic purity, equally weighted. The formula is
@@ -52,14 +71,21 @@ object TextAnalysis {
     * in any engine. */
   def qualityScore(text: Column,
       minTokens: Int = 20, maxTokens: Int = 200,
-      stopwords: Seq[String] = defaultStopwords): Column = {
-    val n = tokenCount(text)
+      stopwords: Seq[String] = defaultStopwords): Column =
+    qualityFromStats(tokenStats(text, stopwords), minTokens, maxTokens)
+
+  /** The quality formula over an already-materialized [[tokenStats]]
+    * struct — use this form inside multi-metric projections so the
+    * kernel runs once per row, not once per derived column. */
+  def qualityFromStats(st: Column,
+      minTokens: Int = 20, maxTokens: Int = 200): Column = {
+    val n = st.getField("n_tokens")
     val wLen = when(n >= minTokens && n <= maxTokens, 1.0).otherwise(0.0)
-    val sr = stopwordRatio(text, stopwords)
+    val sr = st.getField("n_stop").cast("double") / n.cast("double")
     val wStop = when(sr >= 0.01 && sr <= 0.6, 1.0).otherwise(0.0)
-    val wDup = distinctRatio(text)
-    val alpha = size(regexp_extract_all(text, lit("[A-Za-z]"), lit(0)))
-    val wAlpha = alpha.cast("double") / charLen(text).cast("double")
+    val wDup = st.getField("n_distinct").cast("double") / n.cast("double")
+    val wAlpha = st.getField("n_alpha").cast("double") /
+      st.getField("n_chars").cast("double")
     lit(0.25) * wLen + lit(0.25) * wStop + lit(0.25) * wDup +
       lit(0.25) * wAlpha
   }
@@ -73,20 +99,32 @@ object TextAnalysis {
     "es" -> Seq("el", "los", "las", "y", "es"),
     "zh" -> Seq("de", "shi", "le", "he", "zai"))
 
-  /** Language-ID: argmax of marker hits, ties broken by list order
-    * (en > de > fr > es > zh) — fully deterministic. */
-  def predictLang(text: Column): Column = {
-    val scores = langMarkers.map { case (l, words) =>
-      l -> stopwordCount(text, words)
-    }
-    // lang whose score is >= all later langs' scores and > all earlier?
-    // simpler: fold keeping (bestLang, bestScore), strict > to keep
-    // earlier-list priority on ties
+  /** Per-language marker hit counts (array<int>, index-aligned with
+    * [[langMarkers]]) — one native-kernel pass over the text. */
+  def markerCounts(text: Column): Column =
+    graft.functions.TextExprs.markerCounts(text, langMarkers.map(_._2))
+
+  /** Language-ID argmax over a materialized [[markerCounts]] column,
+    * ties broken by list order (en > de > fr > es > zh) — fully
+    * deterministic. The fold keeps (bestLang, bestScore) with strict
+    * `>`; each level references its accumulator twice, so the tree
+    * doubles per language — safe ONLY over a cheap column reference.
+    * Feeding it expressions instead (the pre-round-6 spelling, one
+    * interpreted filter HOF per language) replicated the en-marker
+    * scan 2^4 times. */
+  def langFromCounts(counts: Column): Column = {
+    val scores = langMarkers.indices.map(i =>
+      langMarkers(i)._1 -> counts.getItem(i))
     scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
       case ((bl, bs), (l, s)) =>
         (when(s > bs, lit(l)).otherwise(bl), when(s > bs, s).otherwise(bs))
     }._1
   }
+
+  /** Language-ID over raw text. Single-column convenience; inside a
+    * projection prefer select(markerCounts as "mc") then
+    * langFromCounts($"mc") — see the text_langid query. */
+  def predictLang(text: Column): Column = langFromCounts(markerCounts(text))
 
   /** Normalized-content fingerprint: md5 over lowercased,
     * whitespace-collapsed text (exact-dedup key robust to formatting). */

@@ -443,17 +443,27 @@ object Pipeline {
       FROM documents ORDER BY doc_id"""))
 
   /** Quality scoring: length window, stopword band, repetition,
-    * alphabetic purity. */
+    * alphabetic purity. One TokenStats kernel pass per document; the
+    * intermediate select materializes the struct so the four derived
+    * metrics share it (TokenStats is non-cheap, so CollapseProject
+    * keeps the two projections separate instead of re-expanding). */
   val text_quality = GQuery(
     "text_quality",
-    (s, d) => T.documents(s, d).select(
-        col("doc_id"),
-        round(TA.stopwordRatio(col("text"), TA.defaultStopwords), 6)
-          .as("stopword_ratio"),
-        round(TA.distinctRatio(col("text")), 6).as("distinct_ratio"),
-        round(TA.meanTokenLen(col("text")), 6).as("mean_token_len"),
-        round(TA.qualityScore(col("text")), 6).as("quality"))
-      .orderBy(col("doc_id")),
+    (s, d) => {
+      val st = T.documents(s, d).select(col("doc_id"),
+        TA.tokenStats(col("text")).as("st"))
+      val n = col("st.n_tokens").cast("double")
+      st.select(
+          col("doc_id"),
+          round(col("st.n_stop").cast("double") / n, 6)
+            .as("stopword_ratio"),
+          round(col("st.n_distinct").cast("double") / n, 6)
+            .as("distinct_ratio"),
+          round(col("st.n_chars").cast("double") / n, 6)
+            .as("mean_token_len"),
+          round(TA.qualityFromStats(col("st")), 6).as("quality"))
+        .orderBy(col("doc_id"))
+    },
     Some("""
       WITH f AS (
         SELECT doc_id,
@@ -478,12 +488,17 @@ object Pipeline {
       FROM f ORDER BY doc_id"""))
 
   /** Language-ID heuristic: per-language marker-token hits, argmax with
-    * fixed priority. */
+    * fixed priority. The counts materialize in their own select: the
+    * argmax fold doubles its accumulator tree per language, which is
+    * free over an attribute reference and exponential over anything
+    * else (TextAnalysis.langFromCounts). */
   val text_langid = GQuery(
     "text_langid",
-    (s, d) => T.documents(s, d).select(
-        col("doc_id"), col("lang"),
-        TA.predictLang(col("text")).as("lang_pred"))
+    (s, d) => T.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        TA.markerCounts(col("text")).as("mc"))
+      .select(col("doc_id"), col("lang"),
+        TA.langFromCounts(col("mc")).as("lang_pred"))
       .orderBy(col("doc_id")),
     Some {
       val markers = TA.langMarkers.map { case (l, ws) =>
