@@ -143,7 +143,12 @@ object GraftExtensions {
         "marker_counts(text, lists) - per-list token hit counts;" +
           " lists is a constant array of string arrays"),
       (exprs: Seq[Expression]) => MarkerCounts(exprs(0),
-        constStringLists("marker_counts", "lists", 2, exprs(1)))))
+        constStringLists("marker_counts", "lists", 2, exprs(1)))),
+    ("array_mode_count",
+      info("array_mode_count",
+        "array_mode_count(arr) - struct(top_count, total): multiplicity" +
+          " of the most frequent string and the array length"),
+      (exprs: Seq[Expression]) => ArrayModeCount(exprs(0))))
 
   /** Register into an already-running session. */
   def register(spark: SparkSession): Unit =
@@ -181,15 +186,19 @@ object GraftExtensions {
     val mc = spark.sql(
       "SELECT marker_counts('le chat le', " +
         "array(array('the'), array('le','la')))").head().getSeq[Int](0)
+    val amc = spark.sql(
+      "SELECT array_mode_count(array('x','y','x','x'))").head()
+      .getStruct(0)
     println(s"fdot=$dot sig=${sig.length} shingles=$shs buckets=$bkts" +
-      s" shingleList=$shl tokenStats=$ts markerCounts=$mc")
+      s" shingleList=$shl tokenStats=$ts markerCounts=$mc modeCount=$amc")
     assert(dot == 11.0 && sig.length == 8 &&
       shs == Seq("a b c", "b c d") &&
       bkts.length == 4 && bkts.forall(b => b >= 0 && b < 64) &&
       shl == Seq("a b", "b a", "a b") &&
       ts.getInt(0) == 3 && ts.getInt(1) == 2 && ts.getInt(2) == 2 &&
       ts.getInt(3) == 9 && ts.getInt(4) == 9 &&
-      mc == Seq(0, 2))
+      mc == Seq(0, 2) &&
+      amc.getInt(0) == 3 && amc.getInt(1) == 4)
     println("extensions self-check OK")
     spark.stop()
   }

@@ -31,6 +31,9 @@ object TextExprs {
 
   def markerCounts(text: Column, markers: Seq[Seq[String]]): Column =
     Bridge.column(MarkerCounts(Bridge.expression(text), markers))
+
+  def arrayModeCount(arr: Column): Column =
+    Bridge.column(ArrayModeCount(Bridge.expression(arr)))
 }
 
 /** One pass over the text → struct(n_tokens, n_stop, n_distinct,
@@ -131,4 +134,37 @@ case class MarkerCounts(child: Expression, markers: Seq[Seq[String]])
 
   override protected def withNewChildInternal(newChild: Expression)
       : MarkerCounts = copy(child = newChild)
+}
+
+/** Mode statistics of an array<string> in one hash pass →
+  * struct(top_count, total): the multiplicity of the most frequent
+  * element and the array length. This is the WITHIN-ROW form of
+  * `explode → groupBy(id, elem) → groupBy(id, max(c), sum(c))` — the
+  * mode of a per-document stream never needs cross-row state, so
+  * computing it here deletes both shuffles of the exploded spelling
+  * (rows × elements wide). Empty arrays yield (0, 0). */
+case class ArrayModeCount(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("top_count", IntegerType, nullable = false),
+    StructField("total", IntegerType, nullable = false)))
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    val counts = new java.util.HashMap[UTF8String, Int](n * 2)
+    var top = 0
+    var i = 0
+    while (i < n) {
+      val k = arr.getUTF8String(i)
+      val c = counts.merge(k, 1, (a, b) => a + b)
+      if (c > top) top = c
+      i += 1
+    }
+    InternalRow(top, n)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : ArrayModeCount = copy(child = newChild)
 }

@@ -173,33 +173,30 @@ object TextAnalysis {
     // re-splits the text per produced element — it was 20×+ of this
     // query's whole honest cost (docs/PERF.md round 6). Total 5-gram
     // count needs no materialization at all (= max(tokens − 4, 0));
-    // the distinct count is one ShingleSet pass; the bigram stream
-    // (duplicates kept — the mode counts them) is one ShingleList pass.
+    // the distinct count is one ShingleSet pass; the bigram mode is
+    // one ArrayModeCount pass over the ShingleList (duplicates kept)
+    // — a per-document statistic needs no cross-row state, so the
+    // whole query is ONE scan-projection: the former explode →
+    // groupBy(id, bg) → groupBy(id) spelling shuffled rows × bigrams
+    // twice and re-joined, for a value every row already knows.
     val toks = split(col(textCol), " ")
     val n5 = greatest(size(toks) - 4, lit(0))
-    val base = df.select(
-      col(idCol),
-      tokenCount(col(textCol)).as("n_tokens"),
-      size(regexp_extract_all(col(textCol),
-        lit("[^A-Za-z0-9\\s]"), lit(0))).as("n_symbols"),
-      n5.as("n_5grams"),
-      (n5 - size(graft.functions.HashExprs.shingleSet(toks, 5)))
-        .as("n_dup_5grams"))
-    val topBigram = df
-      .select(col(idCol),
-        explode(graft.functions.HashExprs.shingleList(toks, 2)).as("bg"))
-      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("c"))
-      .groupBy(col(idCol))
-      .agg(max(col("c")).as("top_bigram_n"),
-        sum(col("c")).as("n_bigrams"))
     val frac = (n: Column, d: Column) =>
       when(d > 0, round(n.cast("double") / d.cast("double"), 6))
         .otherwise(lit(0.0))
-    base.join(topBigram, Seq(idCol), "left")
+    df.select(
+        col(idCol),
+        tokenCount(col(textCol)).as("n_tokens"),
+        size(regexp_extract_all(col(textCol),
+          lit("[^A-Za-z0-9\\s]"), lit(0))).as("n_symbols"),
+        n5.as("n_5grams"),
+        (n5 - size(graft.functions.HashExprs.shingleSet(toks, 5)))
+          .as("n_dup_5grams"),
+        graft.functions.TextExprs.arrayModeCount(
+          graft.functions.HashExprs.shingleList(toks, 2)).as("bg"))
       .select(
         col(idCol),
-        frac(coalesce(col("top_bigram_n"), lit(0L)),
-          coalesce(col("n_bigrams"), lit(0L))).as("top_bigram_frac"),
+        frac(col("bg.top_count"), col("bg.total")).as("top_bigram_frac"),
         frac(col("n_dup_5grams"), col("n_5grams")).as("dup_5gram_frac"),
         frac(col("n_symbols"), col("n_tokens")).as("symbol_ratio"))
       .withColumn("repetition_pass",

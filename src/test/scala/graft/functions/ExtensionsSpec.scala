@@ -56,7 +56,8 @@ class ExtensionsSpec extends SparkSpec {
     // apply() is exercised structurally: definitions list is shared
     assert(GraftExtensions.definitions.map(_._1) ==
       Seq("fdot", "minhash_sig", "shingle_set", "rp_buckets",
-        "shingle_list", "token_stats", "marker_counts"))
+        "shingle_list", "token_stats", "marker_counts",
+        "array_mode_count"))
     assert(ext.isInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit])
   }
 }

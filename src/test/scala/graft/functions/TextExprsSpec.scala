@@ -65,6 +65,35 @@ class TextExprsSpec extends SparkSpec {
     assert(l == "fr")
   }
 
+  test("array_mode_count golden vectors incl. empty array") {
+    def mode(xs: Seq[String]): (Int, Int) = {
+      val r = Seq(Tuple1(xs)).toDF("a")
+        .select(TextExprs.arrayModeCount($"a").as("m"))
+        .select($"m.top_count", $"m.total").head()
+      (r.getInt(0), r.getInt(1))
+    }
+    assert(mode(Seq("x", "y", "x", "x")) == (3, 4))
+    assert(mode(Seq("x")) == (1, 1))
+    assert(mode(Seq.empty) == (0, 0))
+    assert(mode(Seq("", "", "a")) == (2, 3)) // '' is an element
+  }
+
+  test("array_mode_count == explode/groupBy mode on real doc bigrams") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id",
+        HashExprs.shingleList(split($"text", " "), 2).as("bgs"))
+    val kernel = docs.select($"doc_id",
+      TextExprs.arrayModeCount($"bgs").getField("top_count")
+        .cast("long").as("top"))
+    val exploded = docs
+      .select($"doc_id", explode($"bgs").as("bg"))
+      .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(max($"c").as("top"))
+    assert(kernel.join(exploded, Seq("doc_id"))
+      .filter(kernel("top") =!= exploded("top")).count() == 0)
+  }
+
   test("marker_counts == one filter-count per language on real docs") {
     val markers = TextAnalysis.langMarkers
     val perLang = markers.zipWithIndex.map { case ((lang, words), i) =>
