@@ -62,8 +62,8 @@ object Upsert {
     * versions (a compacted base carries real watermarks); a base
     * written without `versionCol` joins at -1. */
   private def winners(spark: SparkSession, dir: String,
-      keyCols: Seq[String], versionCol: String, tombstoneCol: String)
-      : DataFrame = {
+      keyCols: Seq[String], versionCol: String, tombstoneCol: String,
+      maxVersion: Option[Long] = None): DataFrame = {
     val basePath = new Path(s"$dir/base")
     val tmpPath = new Path(s"$dir/base.tmp")
     val logPath = new Path(s"$dir/log")
@@ -86,7 +86,12 @@ object Upsert {
     require(parts.nonEmpty, s"upsert table $dir has no base and no log")
     // allowMissingColumns: a base written before deletes were in use
     // lacks the tombstone column — null-filled, coalesced to false
-    val all = parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    val unioned = parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    // time travel: drop rows written after the as-of version; an
+    // uncompacted base joined at -1 stays visible to every as-of
+    val all = maxVersion
+      .map(v => unioned.filter(col(versionCol) <= v))
+      .getOrElse(unioned)
     val payload = all.columns.filterNot(keyCols.contains)
     val w = Iterator.from(0).map(i => if (i == 0) "_w" else s"_w$i")
       .find(n => !all.columns.contains(n)).get
@@ -109,6 +114,22 @@ object Upsert {
       versionCol: String, tombstoneCol: String = "_deleted")
       : DataFrame =
     winners(spark, dir, keyCols, versionCol, tombstoneCol)
+      .filter(!coalesce(col(tombstoneCol), lit(false)))
+
+  /** Time travel: the table as of `version` — winner per key over rows
+    * with `versionCol` ≤ version, tombstoned keys dropped (a key
+    * deleted at v and re-inserted at v' > v is absent for
+    * as-of ∈ [v, v') and back after — full lifecycle replay, not just
+    * a filter on the latest state). EXACT while the log retains the
+    * deltas; compaction folds history into single per-key winners, so
+    * an as-of below the compaction watermark cannot be reconstructed
+    * afterwards (the same contract as time travel over a vacuumed
+    * log-structured table). An uncompacted base reads at version -1,
+    * visible to every as-of. */
+  def snapshotAsOf(spark: SparkSession, dir: String, keyCols: Seq[String],
+      versionCol: String, version: Long,
+      tombstoneCol: String = "_deleted"): DataFrame =
+    winners(spark, dir, keyCols, versionCol, tombstoneCol, Some(version))
       .filter(!coalesce(col(tombstoneCol), lit(false)))
 
   /** Fold the log into a fresh base (copy-on-write compaction).
