@@ -42,4 +42,42 @@ object Mix {
     * permutation of the corpus (md5 is effectively a PRF of the id). */
   def shuffleKey(id: Column, seed: String): Column =
     md5(concat(lit(seed + "#"), id.cast("string")))
+
+  /** Temperature-style source rebalancing: downsample every source
+    * toward the smallest by inverse square root — source s with n_s
+    * rows keeps each row with probability √(n_min/n_s), so expected
+    * survivor counts are √(n_s·n_min), the geometric mean — exactly
+    * the flattening a temperature-0.5 sampling mixture applies to a
+    * skewed pretraining corpus (the dominant source is tempered, the
+    * smallest kept whole).
+    *
+    * Everything is deterministic and engine-exact by construction:
+    * membership is `hash_bucket(id) < floor(√(n_min/n_s)·2^20)`, where
+    * the bucket is the seedless md5 bucket of the id and both √ and ÷
+    * are single correctly-rounded IEEE-754 ops (this is WHY the
+    * exponent is fixed at ½ — a general pow(n, α) differs by ulps
+    * across libm implementations and would flip rows at the threshold;
+    * callers needing other temperatures trade the exact oracle for a
+    * statistical contract). No driver participation: one tiny
+    * per-source aggregate, its global min broadcast back over it, and
+    * a broadcast hash join onto the corpus scan — the big table is
+    * touched once, map-side.
+    */
+  def temperatureResample(df: org.apache.spark.sql.DataFrame,
+      sourceCol: String, idCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    val counts = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_source"))
+    val thresholds = counts
+      .crossJoin(broadcast(counts.agg(min(col("n_source")).as("n_min"))))
+      .withColumn("keep_below",
+        floor(sqrt(col("n_min").cast("double") /
+          col("n_source").cast("double")) * (1 << 20)).cast("long"))
+      .drop("n_min")
+    val bucket =
+      conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+        .cast("long") % (1 << 20)
+    df.join(broadcast(thresholds), sourceCol)
+      .filter(bucket < col("keep_below"))
+  }
 }

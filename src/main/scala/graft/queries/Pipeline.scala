@@ -864,6 +864,37 @@ object Pipeline {
                AS shuffle_pos
       FROM s ORDER BY doc_id"""))
 
+  /** Temperature-0.5 source rebalancing over the (skewed) language
+    * distribution: en is ~3× fr at every SF, so the survivor set is a
+    * genuine tempering, not a no-op. Membership is a pure function of
+    * (doc_id, per-source count): md5 bucket under a floor(√(n_min/n_s)
+    * ·2^20) threshold, every op correctly-rounded IEEE — so DuckDB
+    * rebuilds the exact row set and the driver hash-checks true
+    * per-row membership, not just counts (Mix.temperatureResample). */
+  val mix_temperature = GQuery(
+    "mix_temperature",
+    (s, d) => Mix.temperatureResample(
+        T.documents(s, d).select(col("doc_id"), col("lang")),
+        "lang", "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_source"),
+        col("keep_below"))
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH c AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_source
+        FROM documents GROUP BY lang),
+      t AS (
+        SELECT lang, n_source,
+               CAST(FLOOR(SQRT(CAST((SELECT MIN(n_source) FROM c)
+                   AS DOUBLE) / CAST(n_source AS DOUBLE)) * 1048576)
+                 AS BIGINT) AS keep_below
+        FROM c)
+      SELECT d.doc_id, d.lang, t.n_source, t.keep_below
+      FROM documents d JOIN t ON d.lang = t.lang
+      WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 1048576 < t.keep_below
+      ORDER BY d.doc_id"""))
+
   /** Concat-then-chunk sequence packing at seqLen=256: per-sequence
     * fill report. Every sequence except the ragged tail must be exactly
     * full — the oracle checks the whole fill geometry. */
@@ -1263,6 +1294,7 @@ object Pipeline {
     sim_rplsh_recall, text_tokens, text_quality, text_langid,
     text_fingerprint, text_pii_scrub, text_repetition, decontaminate,
     decontaminate_bloom,
-    split_shuffle, pack_sequences, heavy_hitters, text_tfidf,
+    split_shuffle, mix_temperature, pack_sequences, heavy_hitters,
+    text_tfidf,
     upsert_snapshot, upsert_time_travel, layout_report)
 }

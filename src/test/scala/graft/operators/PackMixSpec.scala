@@ -173,4 +173,24 @@ class PackMixSpec extends SparkSpec {
     assert(m(2L) == ((0.166667, 0.0, true)), m.toString)
     assert(m(3L) == ((0.0, 0.0, true)))
   }
+
+  test("temperature resample: smallest source kept whole, big sources " +
+      "tempered toward the geometric mean, membership deterministic") {
+    import org.apache.spark.sql.functions._
+    // 9:1 skew — big keeps each row w.p. √(100/900) = 1/3
+    val df = spark.range(1000).select($"id".as("doc_id"),
+      when($"id" < 900, "big").otherwise("small").as("src"))
+    val kept = Mix.temperatureResample(df, "src", "doc_id").cache()
+    val bySrc = kept.groupBy($"src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("small") == 100L, "smallest source must survive whole")
+    // E[big] = 300; 4σ binomial band (σ = √(900·⅓·⅔) ≈ 14.1)
+    assert(bySrc("big") > 240 && bySrc("big") < 360, bySrc.toString)
+    // determinism + partition invariance: same membership at 1 partition
+    val again = Mix.temperatureResample(df.repartition(1), "src",
+      "doc_id").select("doc_id")
+    assert(kept.select("doc_id").exceptAll(again).count() == 0)
+    assert(again.exceptAll(kept.select("doc_id")).count() == 0)
+    kept.unpersist()
+  }
 }
