@@ -243,6 +243,25 @@ class PlanAuditSpec extends SparkSpec {
       "corpus text re-scanned after the checkpoint:\n" + p)
   }
 
+  test("text kernels evaluate once per row: the optimized plans carry " +
+      "exactly one MarkerCounts / TokenStats node") {
+    // the argmax fold / ratio arithmetic reference the kernel output
+    // many times; if CollapseProject ever re-expands the producer
+    // select, the kernel re-evaluates per reference (and the langid
+    // fold replicates it 2^4 times) — pin the count, not just the time
+    val langid = plan("text_langid", "simple")
+    assert("markercounts\\(".r.findAllIn(langid).size == 1, langid)
+    val quality = plan("text_quality", "simple")
+    assert("tokenstats\\(".r.findAllIn(quality).size == 1, quality)
+    val rep = plan("text_repetition", "simple")
+    assert("arraymodecount\\(".r.findAllIn(rep).size == 1, rep)
+    // and the repetition rewrite really deleted every hash shuffle —
+    // the only exchange left is the output ORDER BY's range partition
+    assert(!rep.contains("Exchange hashpartitioning"),
+      "text_repetition still hash-shuffles:\n" + rep)
+    assert(!rep.contains("Join"), "text_repetition re-joins:\n" + rep)
+  }
+
   test("heavy hitters recount: candidate filter is applied before the " +
       "aggregation shuffle (map-side), never after") {
     val q = Registry.queryMap("heavy_hitters")(spark, sf)
