@@ -23,8 +23,8 @@ object ScaleSweep {
     "dedup_ngram_jaccard", "dedup_clusters",
     "text_tokens", "text_quality", "text_langid", "text_fingerprint",
     "text_pii_scrub", "text_repetition", "decontaminate",
-    "split_shuffle", "pack_sequences", "heavy_hitters", "text_tfidf",
-    "layout_report",
+    "split_shuffle", "mix_temperature", "pack_sequences",
+    "heavy_hitters", "text_tfidf", "layout_report",
     // embeddings-backed similarity/dedup
     "dedup_embedding_cosine", "dedup_semantic", "dedup_embedding_lsh",
     "dedup_lsh_recall", "sim_topk_bruteforce", "sim_lsh_bucketed",
@@ -42,6 +42,11 @@ object ScaleSweep {
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val big = args.lift(1).getOrElse("/tmp/sf1")
+    // optional 3rd+ args: sweep only these queries (chunked runs that
+    // fit a CI/tool time budget; results are per-query JSON lines
+    // either way, so chunks concatenate)
+    val names = if (args.length > 2) args.drop(2).toSeq else tail
+    names.foreach(n => require(tail.contains(n), s"not in the tail: $n"))
     val spark = GraftSession.tuned(SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -59,7 +64,7 @@ object ScaleSweep {
       }.min
     }
 
-    val rows = tail.flatMap { name =>
+    val rows = names.flatMap { name =>
       try {
         val tb = minOf3(name, base)
         val ts = minOf3(name, big)
