@@ -103,7 +103,10 @@ case class MarkerCounts(child: Expression, markers: Seq[Seq[String]])
   @transient private lazy val index = {
     val m = new java.util.HashMap[UTF8String, Array[Int]]()
     markers.zipWithIndex.foreach { case (words, li) =>
-      words.foreach { w =>
+      // per-list dedup: the declarative equivalent (one isin-filter
+      // per list) counts a token once no matter how often it appears
+      // in the list, so a duplicated marker word must not score twice
+      words.distinct.foreach { w =>
         val k = UTF8String.fromString(w)
         val prev = m.get(k)
         m.put(k, if (prev == null) Array(li) else prev :+ li)

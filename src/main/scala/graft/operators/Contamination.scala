@@ -108,9 +108,14 @@ object Contamination {
   def bloomReport(train: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, k: Int = 5, threshold: Double = 0.0,
       fpp: Double = 0.01): DataFrame = {
+    // lineage cut: the eval shingle set feeds THREE consumers — the
+    // sizing count, the bloomFilter build, and the exact-verify join —
+    // each a separate action/plan that would otherwise re-tokenize and
+    // re-distinct the whole eval set (same cut as perDoc below)
     val evalG = eval
       .select(explode(docShingleSet(col(textCol), k)).as("ng"))
       .distinct()
+      .localCheckpoint()
     val hashed = evalG.select(xxhash64(col("ng")).as("h"))
     val nEval = math.max(hashed.count(), 1L)
     val bloom = hashed.stat.bloomFilter("h", nEval, fpp)

@@ -22,10 +22,16 @@ import org.apache.spark.sql.functions._
   */
 object Mix {
 
-  /** Stable bucket in [0, buckets) from a seeded md5 of the id. */
+  /** Stable bucket in [0, buckets) from the md5 of the id text — the
+    * ONE canonical spelling of the engine-exact bucket (every oracle
+    * rebuilds it as `('0x' || substr(md5(..), 1, 8))::BIGINT % n`). */
+  def hashBucket(id: Column, buckets: Int): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+      .cast("long") % buckets
+
+  /** Seeded variant: bucket of "seed:id". */
   def hashBucket(id: Column, seed: String, buckets: Int = 100): Column =
-    conv(substring(md5(concat(lit(seed + ":"), id.cast("string"))), 1, 8),
-      16, 10).cast("long") % buckets
+    hashBucket(concat(lit(seed + ":"), id.cast("string")), buckets)
 
   /** train/val/test label: first `valPct` buckets of 100 → "val", next
     * `testPct` → "test", rest → "train". */
@@ -74,10 +80,7 @@ object Mix {
         floor(sqrt(col("n_min").cast("double") /
           col("n_source").cast("double")) * (1 << 20)).cast("long"))
       .drop("n_min")
-    val bucket =
-      conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-        .cast("long") % (1 << 20)
     df.join(broadcast(thresholds), sourceCol)
-      .filter(bucket < col("keep_below"))
+      .filter(hashBucket(col(idCol), 1 << 20) < col("keep_below"))
   }
 }

@@ -295,7 +295,9 @@ object Multimodal {
         val id = tag(payload, i)
         val size = u32(payload, i + 4)
         val body = i + 8
-        if (size < 0 || body + size > payload.length) return None
+        // u32 yields [0, 2^32) longs, so the only oversize hazard is
+        // the chunk running past the payload
+        if (body + size > payload.length) return None
         id match {
           case "fmt " =>
             if (size < 16) return None

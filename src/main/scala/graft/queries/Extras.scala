@@ -22,7 +22,10 @@ object Extras {
     "sessionize",
     (s, d) => {
       import s.implicits._
-      val wOrder = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      // window order is (floored µs, event_id) on BOTH engines — raw
+      // ns `ts` order could disagree with it on same-µs ties and move
+      // an event across a session boundary only on one side
+      val wOrder = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
       val gapUs = 30L * 60 * 1000 * 1000
       val sessions = T.events(s, d)
         .withColumn("us", floor($"ts" / 1000L))
@@ -45,7 +48,8 @@ object Extras {
       WITH g AS (
         SELECT user_id, event_id, epoch_us(ts) AS us,
                epoch_us(ts) - LAG(epoch_us(ts)) OVER
-                 (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+                 (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                 AS gap
         FROM events),
       s AS (
         SELECT user_id,

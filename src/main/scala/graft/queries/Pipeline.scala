@@ -998,11 +998,13 @@ object Pipeline {
     * deletes are markers, not physical drops. */
   val upsert_snapshot = GQuery(
     "upsert_snapshot",
-    (s, d) => {
+    // withTempTable materializes the snapshot on the driver (bounded:
+    // |customer| rows, 15k at sf0.1 — this query IS the table-lifecycle
+    // demo, not a scale path) and reclaims the temp table even when a
+    // setup write fails.
+    (s, d) => graft.GQuery.withTempTable(s, "graft-upsert-q") { dir =>
       import s.implicits._
       import graft.operators.Upsert
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-upsert-q").toString
       val cust = T.customer(s, d).select($"c_custkey".as("k"),
         $"c_name".as("name"))
       def batch(ver: Long, keep: org.apache.spark.sql.Column,
@@ -1022,25 +1024,9 @@ object Pipeline {
       Upsert.appendDelta(d1, dir) // at-least-once replay, post-compaction
       Upsert.appendDelta(
         batch(4L, $"k" % 5 === 0, $"name", 4000L, del = false), dir)
-      // Materialize the snapshot on the driver (bounded: |customer| rows,
-      // 15k at sf0.1 — this query IS the table-lifecycle demo, not a
-      // scale path), then reclaim the temp table: harnesses execute each
-      // query several times (warm-up + timed rounds) and a leaked dir
-      // per execution accumulates unboundedly in the temp filesystem.
-      try {
-        val rows = Upsert.snapshot(s, dir, Seq("k"), "v")
-          .select($"k", $"name", $"val", $"v")
-          .orderBy($"k")
-        val local = rows.collect().toIndexedSeq
-        s.createDataFrame(s.sparkContext.parallelize(local, 4),
-          rows.schema)
-      } finally {
-        import scala.jdk.CollectionConverters._
-        val root = java.nio.file.Paths.get(dir)
-        java.nio.file.Files.walk(root).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
+      Upsert.snapshot(s, dir, Seq("k"), "v")
+        .select($"k", $"name", $"val", $"v")
+        .orderBy($"k")
     },
     Some("""
       WITH deltas AS (
@@ -1084,11 +1070,9 @@ object Pipeline {
     * prefixes with one join against the as-of spine. */
   val upsert_time_travel = GQuery(
     "upsert_time_travel",
-    (s, d) => {
+    (s, d) => graft.GQuery.withTempTable(s, "graft-upsert-tt") { dir =>
       import s.implicits._
       import graft.operators.Upsert
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-upsert-tt").toString
       val cust = T.customer(s, d).select($"c_custkey".as("k"),
         $"c_name".as("name"))
       def batch(ver: Long, keep: org.apache.spark.sql.Column,
@@ -1107,23 +1091,10 @@ object Pipeline {
       Upsert.appendDelta(d1, dir) // at-least-once replay
       Upsert.appendDelta(
         batch(4L, $"k" % 5 === 0, $"name", 4000L, del = false), dir)
-      try {
-        val perVersion = (0L to 4L).map { v =>
-          Upsert.snapshotAsOf(s, dir, Seq("k"), "v", version = v)
-            .select(lit(v).as("as_of"), $"k", $"name", $"val", $"v")
-        }
-        val rows = perVersion.reduce(_.unionByName(_))
-          .orderBy($"as_of", $"k")
-        val local = rows.collect().toIndexedSeq
-        s.createDataFrame(s.sparkContext.parallelize(local, 4),
-          rows.schema)
-      } finally {
-        import scala.jdk.CollectionConverters._
-        val root = java.nio.file.Paths.get(dir)
-        java.nio.file.Files.walk(root).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
+      (0L to 4L).map { v =>
+        Upsert.snapshotAsOf(s, dir, Seq("k"), "v", version = v)
+          .select(lit(v).as("as_of"), $"k", $"name", $"val", $"v")
+      }.reduce(_.unionByName(_)).orderBy($"as_of", $"k")
     },
     Some("""
       WITH deltas AS (
@@ -1222,57 +1193,45 @@ object Pipeline {
     * executions don't leak. */
   val layout_report = GQuery(
     "layout_report",
-    (s, d) => {
+    (s, d) => graft.GQuery.withTempTable(s, "graft-layout-q",
+        parts = 1) { dir =>
       import graft.operators.Layout
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-layout-q").toString
-      try {
-        val src = T.documents(s, d).select(col("doc_id"), col("lang"),
-          col("source"), col("n_chars"))
-        val base = s"$dir/base"
-        Layout.clusteredWrite(src, base, targetRowsPerFile = 40L,
-          partitionCols = Seq("lang"), clusterCols = Seq("doc_id"))
-        val perFile = s.read.parquet(base)
-          .select(col("lang"), col("doc_id"),
-            input_file_name().as("file"))
-          .groupBy(col("lang"), col("file"))
-          .agg(count(lit(1)).as("rows"), min(col("doc_id")).as("lo"),
-            max(col("doc_id")).as("hi"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("lang")).orderBy(col("lo"))
-        val clustered = perFile
-          .withColumn("prev_hi", lag(col("hi"), 1).over(w))
-          .agg(
-            sum(col("rows")).as("total_rows"),
-            countDistinct(col("lang")).as("n_langs"),
-            max(col("rows")).as("max_file_rows"),
-            min(when(col("prev_hi").isNull ||
-                col("prev_hi") < col("lo"), 1L).otherwise(0L))
-              .as("disjoint_flag"))
-        val compacted = s"$dir/compacted"
-        val compactRows = Layout.compact(s, base, compacted,
-          targetRowsPerFile = 200L, partitionCols = Seq("lang"))
-        val report = Layout.layoutReport(s, compacted)
-        val out = clustered.crossJoin(report)
-          .select(col("total_rows"), col("n_langs"),
-            col("n_files").as("n_files_compacted"),
-            (col("max_file_rows") <= 40L).as("file_rows_bounded"),
-            (col("disjoint_flag") === 1L).as("clustered_disjoint"),
-            (lit(compactRows) === col("total_rows"))
-              .as("compact_rows_ok"),
-            (col("total_bytes") > 0L && col("min_bytes") > 0L &&
-              col("min_bytes") <= col("mean_bytes") &&
-              col("mean_bytes") <= col("max_bytes")).as("report_ok"))
-        val local = out.collect().toIndexedSeq
-        s.createDataFrame(s.sparkContext.parallelize(local, 1),
-          out.schema)
-      } finally {
-        import scala.jdk.CollectionConverters._
-        val root = java.nio.file.Paths.get(dir)
-        java.nio.file.Files.walk(root).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
+      val src = T.documents(s, d).select(col("doc_id"), col("lang"),
+        col("source"), col("n_chars"))
+      val base = s"$dir/base"
+      Layout.clusteredWrite(src, base, targetRowsPerFile = 40L,
+        partitionCols = Seq("lang"), clusterCols = Seq("doc_id"))
+      val perFile = s.read.parquet(base)
+        .select(col("lang"), col("doc_id"),
+          input_file_name().as("file"))
+        .groupBy(col("lang"), col("file"))
+        .agg(count(lit(1)).as("rows"), min(col("doc_id")).as("lo"),
+          max(col("doc_id")).as("hi"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("lo"))
+      val clustered = perFile
+        .withColumn("prev_hi", lag(col("hi"), 1).over(w))
+        .agg(
+          sum(col("rows")).as("total_rows"),
+          countDistinct(col("lang")).as("n_langs"),
+          max(col("rows")).as("max_file_rows"),
+          min(when(col("prev_hi").isNull ||
+              col("prev_hi") < col("lo"), 1L).otherwise(0L))
+            .as("disjoint_flag"))
+      val compacted = s"$dir/compacted"
+      val compactRows = Layout.compact(s, base, compacted,
+        targetRowsPerFile = 200L, partitionCols = Seq("lang"))
+      val report = Layout.layoutReport(s, compacted)
+      clustered.crossJoin(report)
+        .select(col("total_rows"), col("n_langs"),
+          col("n_files").as("n_files_compacted"),
+          (col("max_file_rows") <= 40L).as("file_rows_bounded"),
+          (col("disjoint_flag") === 1L).as("clustered_disjoint"),
+          (lit(compactRows) === col("total_rows"))
+            .as("compact_rows_ok"),
+          (col("total_bytes") > 0L && col("min_bytes") > 0L &&
+            col("min_bytes") <= col("mean_bytes") &&
+            col("mean_bytes") <= col("max_bytes")).as("report_ok"))
     },
     Some("""
       WITH per_lang AS (

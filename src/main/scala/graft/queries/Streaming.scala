@@ -72,7 +72,13 @@ object Streaming {
     * Session end is last_ts + gap. The oracle's island detection
     * therefore flags `gap > 30min ⇒ new session` — same boundary the
     * batch `sessionize` (Extras) happens to use, but pinned here to
-    * Spark's operator semantics rather than convention. */
+    * Spark's operator semantics rather than convention. Both oracle
+    * windows (the LAG and the island numbering) order by
+    * (epoch_us(ts), event_id) — the SAME floored-µs order: ordering
+    * the LAG by raw-ns `ts` could disagree on same-µs ties and split
+    * a session Spark merges. NB the SQL must stay comment-free: the
+    * harness may collapse newlines, and a `--` would swallow the
+    * rest of the query. */
   val stream_sessions = GQuery(
     "stream_sessions",
     (s, d) => {
@@ -92,7 +98,8 @@ object Streaming {
       WITH g AS (
         SELECT user_id, event_id, value, epoch_us(ts) AS us,
                epoch_us(ts) - LAG(epoch_us(ts)) OVER
-                 (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+                 (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                 AS gap
         FROM events),
       s AS (
         SELECT user_id, value, us,
@@ -165,44 +172,32 @@ object Streaming {
     * hash gate and stays pinned in StreamingSpec. */
   val stream_dedup = GQuery(
     "stream_dedup",
-    (s, d) => {
+    (s, d) => graft.GQuery.withTempTable(s, "graft-stream-dedup") { t =>
       import s.implicits._
       import org.apache.spark.sql.streaming.Trigger
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-stream-dedup")
-      try {
-        val inDir = tmp.resolve("in").toString
-        withEts(s, d).select($"user_id", $"event_type", $"ets")
-          .coalesce(1)
-          .write.mode("overwrite").parquet(inDir)
-        val outDir = tmp.resolve("out").toString
-        val q = StreamOps.dedupStream(
-            s.readStream.schema(s.read.parquet(inDir).schema)
-              .parquet(inDir),
-            "ets", watermark = "10 minutes",
-            keyCols = Seq("user_id", "event_type"))
-          .writeStream.format("parquet")
-          .option("path", outDir)
-          .option("checkpointLocation", tmp.resolve("ckpt").toString)
-          .outputMode("append")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        val res = s.read.parquet(outDir)
-          .groupBy($"user_id")
-          .agg(count(lit(1)).as("n_types"),
-            concat_ws(",", sort_array(collect_list($"event_type")))
-              .as("types"))
-          .orderBy($"user_id")
-        val local = res.collect().toIndexedSeq
-        s.createDataFrame(s.sparkContext.parallelize(local, 4),
-          res.schema)
-      } finally {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
+      val inDir = s"$t/in"
+      withEts(s, d).select($"user_id", $"event_type", $"ets")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(inDir)
+      val outDir = s"$t/out"
+      val q = StreamOps.dedupStream(
+          s.readStream.schema(s.read.parquet(inDir).schema)
+            .parquet(inDir),
+          "ets", watermark = "10 minutes",
+          keyCols = Seq("user_id", "event_type"))
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", s"$t/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_types"),
+          concat_ws(",", sort_array(collect_list($"event_type")))
+            .as("types"))
+        .orderBy($"user_id")
     },
     Some("""
       SELECT user_id, COUNT(DISTINCT event_type) AS n_types,

@@ -57,6 +57,15 @@ class TextExprsSpec extends SparkSpec {
     assert(r == Seq(0, 0, 3, 0, 3))
   }
 
+  test("marker_counts dedups WITHIN a list: a duplicated marker word " +
+      "scores once, like the isin-filter it replaces") {
+    val r = Seq("le la le").toDF("t")
+      .select(TextExprs.markerCounts($"t",
+        Seq(Seq("le", "le", "la"), Seq("xx"))).as("mc"))
+      .head().getSeq[Int](0)
+    assert(r == Seq(3, 0)) // le, la, le — not 5
+  }
+
   test("predictLang tie keeps the earlier language (strict > fold)") {
     // fr and zh both score 3 above; list order says fr wins
     val l = Seq("le de la xx le").toDF("t")
