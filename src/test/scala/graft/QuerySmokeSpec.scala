@@ -5,6 +5,10 @@ package graft
   * correctness gate does, and pins registry/oracle consistency. */
 class QuerySmokeSpec extends SparkSpec {
 
+  test("driver entry() returns rows (the driver smoke-checks rows>0)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("oracle entries reference registered queries only") {
     val unknown = Registry.oracleMap.keySet -- Registry.queryMap.keySet
     assert(unknown.isEmpty, s"oracles without queries: $unknown")
