@@ -895,6 +895,75 @@ object Pipeline {
               AS BIGINT) % 1048576 < t.keep_below
       ORDER BY d.doc_id"""))
 
+  /** Curriculum bucketing: the corpus ordered by quality (desc) into
+    * ten equal-count training stages — the standard easy→hard
+    * curriculum prep. Scale shape: bucket = rank·10 div N, where the
+    * rank comes from the SAME two-phase distributed prefix sum
+    * pack_sequences uses (range-partition → per-partition totals →
+    * broadcast offsets) — NEVER a global single-partition window,
+    * which is the naive ntile() spelling. Order is total and
+    * engine-exact: the sort key packs (10^6 − round(quality·10^6),
+    * doc_id) into one long — integer arithmetic both engines compute
+    * identically (quality ≥ 0, so HALF_UP and half-away rounding
+    * agree), ties broken by id. */
+  val curriculum_buckets = GQuery(
+    "curriculum_buckets",
+    (s, d) => {
+      val scored = T.documents(s, d)
+        .select(col("doc_id"), TA.tokenStats(col("text")).as("st"))
+        .select(col("doc_id"),
+          round(TA.qualityFromStats(col("st")), 6).as("quality"))
+        .withColumn("ckey",
+          (lit(1000000L) - round(col("quality") * 1e6).cast("long")) *
+            lit(1000000000000L) + col("doc_id"))
+      Pack.withGlobalRank(scored, "ckey", "pos")
+        .crossJoin(broadcast(scored.agg(count(lit(1)).as("n_total"))))
+        .withColumn("bucket", expr("(pos * 10) div n_total"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("quality")).as("min_quality"),
+          max(col("quality")).as("max_quality"))
+        .orderBy(col("bucket"))
+    },
+    Some("""
+      WITH f AS (
+        SELECT doc_id,
+               CAST(len(string_split(text,' ')) AS DOUBLE) AS n,
+               CAST(len(list_filter(string_split(text,' '),
+                 t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+                 AS nstop,
+               CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+                 AS ndist,
+               CAST(length(replace(text,' ','')) AS DOUBLE) AS nchar,
+               CAST(len(regexp_extract_all(text,'[A-Za-z]')) AS DOUBLE)
+                 AS nalpha
+        FROM documents),
+      q AS (
+        SELECT doc_id,
+               ROUND(0.25 * (CASE WHEN n >= 20 AND n <= 200
+                             THEN 1.0 ELSE 0.0 END)
+                   + 0.25 * (CASE WHEN nstop / n >= 0.01
+                                   AND nstop / n <= 0.6
+                             THEN 1.0 ELSE 0.0 END)
+                   + 0.25 * (ndist / n)
+                   + 0.25 * (nalpha / nchar), 6) AS quality
+        FROM f),
+      k AS (
+        SELECT doc_id, quality,
+               (1000000 - CAST(ROUND(quality * 1000000) AS BIGINT))
+                 * 1000000000000 + doc_id AS ckey
+        FROM q),
+      r AS (
+        SELECT quality,
+               ROW_NUMBER() OVER (ORDER BY ckey) - 1 AS pos,
+               (SELECT COUNT(*) FROM k) AS n_total
+        FROM k)
+      SELECT CAST((pos * 10) // n_total AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             MIN(quality) AS min_quality,
+             MAX(quality) AS max_quality
+      FROM r GROUP BY 1 ORDER BY bucket"""))
+
   /** Concat-then-chunk sequence packing at seqLen=256: per-sequence
     * fill report. Every sequence except the ragged tail must be exactly
     * full — the oracle checks the whole fill geometry. */
@@ -1253,7 +1322,7 @@ object Pipeline {
     sim_rplsh_recall, text_tokens, text_quality, text_langid,
     text_fingerprint, text_pii_scrub, text_repetition, decontaminate,
     decontaminate_bloom,
-    split_shuffle, mix_temperature, pack_sequences, heavy_hitters,
-    text_tfidf,
+    split_shuffle, mix_temperature, curriculum_buckets, pack_sequences,
+    heavy_hitters, text_tfidf,
     upsert_snapshot, upsert_time_travel, layout_report)
 }

@@ -262,6 +262,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!rep.contains("Join"), "text_repetition re-joins:\n" + rep)
   }
 
+  test("curriculum buckets: rank comes from the partitioned prefix " +
+      "sum — no ORDER-BY-only global window anywhere") {
+    val p = plan("curriculum_buckets", "simple")
+    assert(p.linesIterator.filter(_.contains("Window"))
+      .forall(_.contains("_pid")),
+      "global window in curriculum_buckets:\n" + p)
+  }
+
   test("heavy hitters recount: candidate filter is applied before the " +
       "aggregation shuffle (map-side), never after") {
     val q = Registry.queryMap("heavy_hitters")(spark, sf)
