@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Value-bounded sliding-range aggregation as a difference of two
+  * cumulative sums — the scale path behind `w5_range_prefix`.
+  *
+  * Spark's sliding RANGE frame re-aggregates the whole frame per row
+  * (its frame processors have no retract path), so
+  * `sum(x) over (partition by p order by v range between W preceding
+  * and current row)` costs O(rows × frame width), and frame width
+  * grows with per-key history. This operator computes the identical
+  * result from one GROWING frame, which Spark processes incrementally:
+  *
+  *   frame_sum(v) = cum(v' ≤ v, ties included) − cum(v' < v − W)
+  *
+  * Every row contributes two rows to a single window pass — a DATA row
+  * at sort key 2·v+1 carrying its value, and a QUERY row at 2·(v−W)
+  * carrying zero. The doubled keys keep the boundaries exact in
+  * integer arithmetic: a query row's cumulative frame ends strictly
+  * below any data tie at v−W (lower bound inclusive), a data row's
+  * frame includes all of its own ties. A signed groupBy then collapses
+  * each row's pair into cum_data − cum_query. Work is O(rows log rows)
+  * in the partition sort, independent of frame width.
+  */
+object RangeSum {
+
+  /** `outCol` = sum of `valCol` over rows of the same `partCol` whose
+    * `valCol` lies in [v − width, v] (ties at both bounds per RANGE
+    * semantics). `valCol` must be an integral column (exact keys);
+    * `idCols` must identify rows uniquely. Output columns: idCols ++
+    * partCol ++ outCol. */
+  def slidingRangeSum(df: DataFrame, partCol: String,
+      idCols: Seq[String], valCol: String, width: Long,
+      outCol: String): DataFrame = {
+    val keep = (idCols :+ partCol).map(col)
+    val internal = Seq("_rs_k", "_rs_v", "_rs_sgn", "_rs_run")
+    require(internal.forall(c => !df.columns.contains(c)),
+      s"input must not carry ${internal.mkString(", ")}")
+    val data = df.select(
+      keep :+ (col(valCol) * 2 + 1).as("_rs_k") :+
+        col(valCol).cast("long").as("_rs_v") :+
+        lit(1L).as("_rs_sgn"): _*)
+    val queryPts = df.select(
+      keep :+ ((col(valCol) - width) * 2).as("_rs_k") :+
+        lit(0L).as("_rs_v") :+ lit(-1L).as("_rs_sgn"): _*)
+    val cum = Window.partitionBy(col(partCol)).orderBy(col("_rs_k"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    data.unionAll(queryPts)
+      .withColumn("_rs_run", sum(col("_rs_v")).over(cum))
+      .groupBy(keep: _*)
+      .agg(sum(col("_rs_sgn") * col("_rs_run")).as(outCol))
+  }
+}

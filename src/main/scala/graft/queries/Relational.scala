@@ -378,23 +378,12 @@ object Relational {
   /** The SCALE path for the same range-frame semantics. w4 above uses
     * Spark's sliding RANGE frame, whose processor re-aggregates the
     * whole frame per row — O(rows × frame width), and frame width
-    * grows with per-key history (3.87× at the r6 decade sweep). This
-    * query computes the identical result as a difference of two
-    * cumulative sums via the union-of-query-points trick:
-    *
-    *   frame_sum(p) = cum(price ≤ p, ties incl.) − cum(price < p−10000)
-    *
-    * Every order contributes two rows to one window pass: a DATA row
-    * at sort key 2·cents+1 carrying its cents, and a QUERY row at
-    * 2·(cents−1 000 000) carrying zero. The doubled-cents key keeps
-    * strict/inclusive boundaries exact in integer arithmetic: a query
-    * row's growing frame ends strictly below any data tie at
-    * p−100.00, a data row's frame includes all of its own ties. The
-    * growing frame [unbounded, current] is processed INCREMENTALLY by
-    * Spark (one add per row, no re-aggregation), so the pass is
-    * O(rows log rows) in the partition sort, independent of frame
-    * width; the signed groupBy then collapses each order's two rows
-    * into cum_data − cum_query. Oracle: the very same RANGE-frame SQL
+    * grows with per-key history. This query computes the identical
+    * result through [[graft.operators.RangeSum.slidingRangeSum]]
+    * (cumulative-sum difference over a union of data rows and query
+    * points — one incrementally-processed growing frame, O(rows log
+    * rows) independent of frame width; boundary arithmetic documented
+    * and property-tested there). Oracle: the very same RANGE-frame SQL
     * as w4 — DuckDB computes the frame natively, pinning the
     * reformulation bit-for-bit (exact long cents on both sides). */
   val w5_range_prefix = GQuery(
@@ -404,18 +393,10 @@ object Relational {
       val o = T.orders(s, d).select(
         $"o_orderkey", $"o_orderpriority",
         round($"o_totalprice" * 100).cast("long").as("cents"))
-      val data = o.select($"o_orderkey", $"o_orderpriority",
-        ($"cents" * 2 + 1).as("k"), $"cents", lit(1L).as("sgn"))
-      val queryPts = o.select($"o_orderkey", $"o_orderpriority",
-        (($"cents" - 1000000L) * 2).as("k"), lit(0L).as("cents"),
-        lit(-1L).as("sgn"))
-      val cum = Window.partitionBy($"o_orderpriority").orderBy($"k")
-        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-      data.unionAll(queryPts)
-        .withColumn("run", sum($"cents").over(cum))
-        .groupBy($"o_orderkey", $"o_orderpriority")
-        .agg((sum($"sgn" * $"run").cast("double") / 100.0)
-          .as("nearby_total"))
+      graft.operators.RangeSum.slidingRangeSum(o, "o_orderpriority",
+          Seq("o_orderkey"), "cents", width = 1000000L, "cents_sum")
+        .select($"o_orderkey", $"o_orderpriority",
+          ($"cents_sum".cast("double") / 100.0).as("nearby_total"))
         .orderBy($"o_orderkey")
     },
     Some("""

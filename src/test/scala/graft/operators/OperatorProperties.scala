@@ -154,4 +154,28 @@ object OperatorProperties extends Properties("operators") {
         (0L until nSeqs - 1).forall(s => bySeq(s) == seqLen.toLong) &&
         bySeq(nSeqs - 1) == total - (nSeqs - 1) * seqLen)
     }
+
+  property("slidingRangeSum == brute-force frame sum on random data " +
+      "(dense ties stress the doubled-key boundaries)") =
+    forAll(Gen.choose(1, 60), Gen.choose(1L, 40L),
+      Gen.choose(1L, 10000L)) { (nRows, width, seed) =>
+      import spark.implicits._
+      val rnd = new scala.util.Random(seed)
+      // values drawn from a SMALL domain so boundary ties (v == v',
+      // v' == v - width) occur constantly
+      val rows = (1 to nRows).map(i =>
+        (i.toLong, if (rnd.nextBoolean()) "A" else "B",
+          rnd.nextInt(60).toLong))
+      val got = RangeSum.slidingRangeSum(
+          rows.toDF("id", "part", "v"), "part", Seq("id"), "v",
+          width, "s")
+        .collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[Long]("s")).toMap
+      val want = rows.map { case (id, part, v) =>
+        id -> rows.filter { case (_, p2, v2) =>
+          p2 == part && v2 >= v - width && v2 <= v
+        }.map(_._3).sum
+      }.toMap
+      got == want
+    }
 }
