@@ -262,6 +262,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!rep.contains("Join"), "text_repetition re-joins:\n" + rep)
   }
 
+  test("mix temperature: per-source thresholds broadcast onto the " +
+      "corpus scan — the big side never sort-merge shuffles") {
+    val p = plan("mix_temperature", "simple")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("curriculum buckets: rank comes from the partitioned prefix " +
       "sum — no ORDER-BY-only global window anywhere") {
     val p = plan("curriculum_buckets", "simple")
