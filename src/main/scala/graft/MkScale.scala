@@ -45,8 +45,17 @@ object MkScale {
     val spark = GraftSession.local(appName = "graft-mkscale")
     import spark.implicits._
 
+    // Replica keys shift by a per-table STRIDE = max(id)+1, not the
+    // row count: with sparse ids (TPC-H-style orderkeys run to ~4×
+    // count) a count-based shift would collide replicas into
+    // duplicate keys (ADVICE r6). Current testdata is contiguous
+    // 0..N−1, where stride == count — behavior unchanged there.
+    def stride(df: org.apache.spark.sql.DataFrame, id: String): Long =
+      df.agg(max(col(id))).head().getLong(0) + 1L
+
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val nDocs = docs.count()
+    val docStride = stride(docs, "doc_id")
     val vocab = docs.select(explode(split($"text", " ")).as("w"))
       .distinct().orderBy($"w").as[String].collect()
     val vocabB = spark.sparkContext.broadcast(vocab)
@@ -71,7 +80,7 @@ object MkScale {
             }
             rotated.mkString(" ")
           }
-        (id + r * nDocs, out, lang, source, out.length.toLong)
+        (id + r * docStride, out, lang, source, out.length.toLong)
       }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .repartition(8)
@@ -79,6 +88,7 @@ object MkScale {
 
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val nVecs = emb.count()
+    val vecStride = stride(emb, "vec_id")
     val dim = emb.select(size($"embedding")).head().getInt(0)
     emb.crossJoin(replicas)
       .as[(Long, Array[Float], Int, Int)]
@@ -91,7 +101,7 @@ object MkScale {
             val norm = math.sqrt(g.map(x => x * x).sum)
             g.map(x => (x / norm).toFloat)
           }
-        (id + r * nVecs, out, label)
+        (id + r * vecStride, out, label)
       }
       .toDF("vec_id", "embedding", "label")
       .repartition(8)
@@ -102,12 +112,13 @@ object MkScale {
     // seconds AND flip the column type the queries expect.
     val ev = spark.read.parquet(s"$src/events.parquet")
     val nEvents = ev.count()
+    val evStride = stride(ev, "event_id")
     val span = ev.agg(
         (max($"ts") - min($"ts") + 86400L * 1000000000L).as("span"))
       .head().getLong(0)
     ev.crossJoin(replicas)
       .select(
-        ($"event_id" + $"r".cast("long") * nEvents).as("event_id"),
+        ($"event_id" + $"r".cast("long") * evStride).as("event_id"),
         ($"ts" + $"r".cast("long") * span).as("ts"),
         $"user_id", $"event_type", $"value", $"props")
       .repartition(8)
@@ -115,6 +126,7 @@ object MkScale {
 
     val ord = spark.read.parquet(s"$src/orders.parquet")
     val nOrders = ord.count()
+    val ordStride = stride(ord, "o_orderkey")
     // o_orderdate is TIMESTAMP_NTZ: no direct long cast, hop via LTZ
     val odSec = $"o_orderdate".cast("timestamp_ltz").cast("long")
     val ordSpan = ord.agg(
@@ -122,7 +134,7 @@ object MkScale {
       .head().getLong(0)
     ord.crossJoin(replicas)
       .select(
-        ($"o_orderkey" + $"r".cast("long") * nOrders).as("o_orderkey"),
+        ($"o_orderkey" + $"r".cast("long") * ordStride).as("o_orderkey"),
         $"o_custkey", $"o_orderstatus", $"o_totalprice",
         (odSec + $"r".cast("long") * ordSpan)
           .cast("timestamp_ltz").cast("timestamp_ntz").as("o_orderdate"),

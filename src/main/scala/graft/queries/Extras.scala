@@ -27,8 +27,12 @@ object Extras {
       // an event across a session boundary only on one side
       val wOrder = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
       val gapUs = 30L * 60 * 1000 * 1000
+      // integer floor division (ts DIV 1000): floor($"ts" / 1000)
+      // divides in DOUBLE, and at 2024-epoch nanos (~1.7e18, ulp 256)
+      // the floored µs can differ ±1 from the oracle's exact
+      // epoch_us for ~6% of rows (ADVICE r6)
       val sessions = T.events(s, d)
-        .withColumn("us", floor($"ts" / 1000L))
+        .withColumn("us", expr("ts DIV 1000"))
         .withColumn("gap", $"us" - lag($"us", 1).over(wOrder))
         .withColumn("new_session",
           when($"gap".isNull || $"gap" > gapUs, 1L).otherwise(0L))

@@ -347,33 +347,45 @@ object Relational {
 
   /** RANGE window frame: value-bounded running sum (all ties included
     * by definition, so the frame is deterministic without a row-order
-    * tiebreak). The frame aggregates LONG cents, not DECIMAL: a
-    * sliding range frame re-aggregates its window per row (Spark's
-    * frame processors have no retract path), and `Decimal.+` routes
-    * every add through BigDecimal — long cents keep the O(n·frame)
-    * inner loop primitive (measured ~4× at sf0.1, docs/PERF.md round
-    * 6). Cents are exact: prices are 2-decimal doubles, so
-    * round(p·100) is the integer the file encodes, and both engines
-    * divide the exact cent total by 100 in the same double op. */
+    * tiebreak). Both the aggregate AND the frame itself work in LONG
+    * cents: a sliding range frame re-aggregates its window per row
+    * (Spark's frame processors have no retract path), and `Decimal.+`
+    * routes every add through BigDecimal — long cents keep the
+    * O(n·frame) inner loop primitive (measured ~4× at sf0.1,
+    * docs/PERF.md round 6). Cents are exact: prices are 2-decimal
+    * doubles, so round(p·100) is the integer the file encodes, and
+    * both engines divide the exact cent total by 100 in the same
+    * double op. FRAME MEMBERSHIP is on cents too (ORDER BY cents
+    * RANGE 10^6 PRECEDING — order-equivalent to price order): a
+    * double frame bound `o_totalprice − 10000` is NOT exact — for
+    * ~3% of cent values fl(fl(k/100)−10000) > fl((k−10^6)/100), so a
+    * peer exactly $10000.00 below would be included by a cents frame
+    * but excluded by a double frame (ADVICE r6, medium). Pinning
+    * cents on both engines makes the frame data-independent and the
+    * w4 ≡ w5 equivalence exact. */
   val w4_range_frame = GQuery(
     "w4_range_frame",
     (s, d) => {
       import s.implicits._
       val w = Window.partitionBy($"o_orderpriority")
-        .orderBy($"o_totalprice").rangeBetween(-10000L, 0L)
-      T.orders(s, d).select(
-        $"o_orderkey", $"o_orderpriority",
-        (sum(round($"o_totalprice" * 100).cast("long")).over(w)
-          .cast("double") / 100.0).as("nearby_total"))
+        .orderBy($"cents").rangeBetween(-1000000L, 0L)
+      T.orders(s, d)
+        .withColumn("cents", round($"o_totalprice" * 100).cast("long"))
+        .select(
+          $"o_orderkey", $"o_orderpriority",
+          (sum($"cents").over(w)
+            .cast("double") / 100.0).as("nearby_total"))
         .orderBy($"o_orderkey")
     },
     Some("""
       SELECT o_orderkey, o_orderpriority,
-             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER
-               (PARTITION BY o_orderpriority ORDER BY o_totalprice
-                RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
+             CAST(SUM(cents) OVER
+               (PARTITION BY o_orderpriority ORDER BY cents
+                RANGE BETWEEN 1000000 PRECEDING AND CURRENT ROW)
                AS DOUBLE) / 100.0 AS nearby_total
-      FROM orders ORDER BY o_orderkey"""))
+      FROM (SELECT o_orderkey, o_orderpriority,
+              CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders) ORDER BY o_orderkey"""))
 
   /** The SCALE path for the same range-frame semantics. w4 above uses
     * Spark's sliding RANGE frame, whose processor re-aggregates the
@@ -383,9 +395,11 @@ object Relational {
     * (cumulative-sum difference over a union of data rows and query
     * points — one incrementally-processed growing frame, O(rows log
     * rows) independent of frame width; boundary arithmetic documented
-    * and property-tested there). Oracle: the very same RANGE-frame SQL
-    * as w4 — DuckDB computes the frame natively, pinning the
-    * reformulation bit-for-bit (exact long cents on both sides). */
+    * and property-tested there). Oracle: the very same cents-framed
+    * RANGE SQL as w4 — DuckDB computes the frame natively, pinning the
+    * reformulation bit-for-bit (exact long cents in the frame bound
+    * AND the sum, so frame membership cannot wobble on double
+    * rounding — ADVICE r6). */
   val w5_range_prefix = GQuery(
     "w5_range_prefix",
     (s, d) => {
@@ -401,11 +415,50 @@ object Relational {
     },
     Some("""
       SELECT o_orderkey, o_orderpriority,
-             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER
-               (PARTITION BY o_orderpriority ORDER BY o_totalprice
-                RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
+             CAST(SUM(cents) OVER
+               (PARTITION BY o_orderpriority ORDER BY cents
+                RANGE BETWEEN 1000000 PRECEDING AND CURRENT ROW)
                AS DOUBLE) / 100.0 AS nearby_total
-      FROM orders ORDER BY o_orderkey"""))
+      FROM (SELECT o_orderkey, o_orderpriority,
+              CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders) ORDER BY o_orderkey"""))
+
+  /** AVG over the same value-bounded sliding frame, through the
+    * prefix-difference kernel's sum+count pass
+    * ([[graft.operators.RangeSum.slidingRangeSumCount]]) — the
+    * decomposable-aggregate side of the RangeSum boundary (MIN/MAX
+    * have no subtraction law and are deliberately not offered; see
+    * the RangeSum scaladoc). The division discipline is explicit on
+    * both engines — exact long cent-sum cast to double, divided by
+    * the exact long count, then by 100.0, in that order — rather
+    * than a native AVG whose internal accumulation order differs. */
+  val w6_range_avg = GQuery(
+    "w6_range_avg",
+    (s, d) => {
+      import s.implicits._
+      val o = T.orders(s, d).select(
+        $"o_orderkey", $"o_orderpriority",
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      graft.operators.RangeSum.slidingRangeSumCount(o,
+          "o_orderpriority", Seq("o_orderkey"), "cents",
+          width = 1000000L, "cents_sum", "cents_cnt")
+        .select($"o_orderkey", $"o_orderpriority",
+          $"cents_cnt".as("nearby_n"),
+          ($"cents_sum".cast("double") / $"cents_cnt" / 100.0)
+            .as("nearby_avg"))
+        .orderBy($"o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey, o_orderpriority,
+             COUNT(cents) OVER w AS nearby_n,
+             CAST(SUM(cents) OVER w AS DOUBLE)
+               / COUNT(cents) OVER w / 100.0 AS nearby_avg
+      FROM (SELECT o_orderkey, o_orderpriority,
+              CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders)
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY cents
+                   RANGE BETWEEN 1000000 PRECEDING AND CURRENT ROW)
+      ORDER BY o_orderkey"""))
 
   /** Three-valued logic: null-excluding COUNT/DISTINCT/MAX, and
     * null-safe equality (`<=>` ≡ IS NOT DISTINCT FROM) — the semantics
@@ -478,5 +531,5 @@ object Relational {
     unpivot_measures, w3_distribution, agg_percentiles,
     agg_approx_percentile, str_funcs, hof_tokens, skew_salted_join,
     sub_exists, sub_scalar_corr, c8_calendar, agg_collect,
-    w4_range_frame, w5_range_prefix)
+    w4_range_frame, w5_range_prefix, w6_range_avg)
 }
