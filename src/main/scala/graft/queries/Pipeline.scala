@@ -1067,10 +1067,9 @@ object Pipeline {
     * deletes are markers, not physical drops. */
   val upsert_snapshot = GQuery(
     "upsert_snapshot",
-    // withTempTable materializes the snapshot on the driver (bounded:
-    // |customer| rows, 15k at sf0.1 — this query IS the table-lifecycle
-    // demo, not a scale path) and reclaims the temp table even when a
-    // setup write fails.
+    // withTempTable parks the snapshot off-table (executor-side write,
+    // no driver materialization) and reclaims the temp table even when
+    // a setup write fails.
     (s, d) => graft.GQuery.withTempTable(s, "graft-upsert-q") { dir =>
       import s.implicits._
       import graft.operators.Upsert
@@ -1262,8 +1261,7 @@ object Pipeline {
     * executions don't leak. */
   val layout_report = GQuery(
     "layout_report",
-    (s, d) => graft.GQuery.withTempTable(s, "graft-layout-q",
-        parts = 1) { dir =>
+    (s, d) => graft.GQuery.withTempTable(s, "graft-layout-q") { dir =>
       import graft.operators.Layout
       val src = T.documents(s, d).select(col("doc_id"), col("lang"),
         col("source"), col("n_chars"))

@@ -1,24 +1,39 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 
 import graft.{GQuery, Tables => T}
 import graft.streaming.StreamOps
 
-/** Driver hash gates for the §2.7 watermark operators (round 6).
+/** Driver hash gates for the §2.7 watermark operators — all four run
+  * REAL streaming execution (round 7; r6 ran three of them as batch
+  * plans over the same functions). Each query lands its input
+  * projection as ONE parquet file, replays it through readStream →
+  * `StreamOps.*` → parquet sink with AvailableNow + RocksDB state, and
+  * hashes the materialized sink — so the oracle covers rows produced
+  * by `IncrementalExecution` (state store, watermark lifecycle, the
+  * streaming physical operators), not a batch-equivalence argument.
   *
-  * Same trick as stream_fold (Core.scala): Spark executes every one of
-  * these streaming operators on BATCH Datasets too — watermarks become
-  * no-ops, `session_window`/`window` group exactly as they do under a
-  * trigger, and `dropDuplicatesWithinWatermark` degrades to plain
-  * key-dedup — so the REAL `StreamOps` functions (the ones StreamingSpec
-  * drives through readStream with RocksDB state) can sit under the
-  * DuckDB oracle instead of ScalaTest only. What batch execution cannot
-  * exercise — late-row eviction, state-store bounds, recovery — stays
-  * pinned in StreamingSpec/RecoverySpec; what it CAN exercise — the
-  * window assignment, session merge boundary, interval-join bound
-  * arithmetic, key-dedup semantics — is hash-checked here.
+  * Determinism under the hash gate:
+  *  - The single input file lands in a single micro-batch, where the
+  *    watermark is still at origin — no row is ever late-dropped, so
+  *    the emitted set is the full aggregate the oracle rebuilds.
+  *  - Aggregation gates (window/session) run in APPEND mode, which
+  *    only emits a window once the watermark passes its end. A
+  *    sentinel row ~400 days past max event time advances the
+  *    watermark over every real window in the AvailableNow no-data
+  *    flush batch (`shouldRunAnotherBatch` on watermark advance). The
+  *    sentinel's OWN window can never be emitted — its end exceeds
+  *    the final watermark by construction (end > sentinel_ts >
+  *    watermark + delay) — and readback filters its key defensively.
+  *  - The interval join emits inner matches eagerly (the watermark
+  *    only bounds state eviction), so both sides consumed in batch 0
+  *    ⇒ the complete match set, no sentinel needed.
+  * What a one-file replay cannot exercise — late-row eviction across
+  * batches, state bounds, recovery — stays pinned in
+  * StreamingSpec/RecoverySpec, which drive multi-batch MemoryStreams.
   *
   * Time: events.ts is epoch-nano LONG under nanosAsLong (Extras header
   * note); all operators need a real timestamp column, so each query
@@ -28,25 +43,57 @@ import graft.streaming.StreamOps
   */
 object Streaming {
 
-  private def withEts(s: org.apache.spark.sql.SparkSession, d: String) =
+  private def withEts(s: SparkSession, d: String) =
     T.events(s, d).withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
 
   private def decSum(c: Column): Column =
     sum(c.cast("decimal(38,2)")).cast("double")
 
-  /** Event-time tumbling window aggregation through the real
-    * `StreamOps.windowedAgg` (watermark + window() groupBy). The 1-hour
-    * window is epoch-aligned on both engines, so the oracle rebuilds
-    * the bucket with integer µs arithmetic. */
+  /** Sentinel event time: ~400 days past the max of `tsCol` — far
+    * beyond any real window/session end, so the post-batch watermark
+    * (sentinel − delay) finalizes every real group. One-row driver
+    * action by construction. */
+  private def flushTs(df: DataFrame, tsCol: String): Column = {
+    val maxUs = df.agg(max(unix_micros(col(tsCol)))).head().getLong(0)
+    timestamp_micros(lit(maxUs + 400L * 86400 * 1000000))
+  }
+
+  /** Replay `in` (already on disk as one file) through `mk` and
+    * materialize the sink; returns the sink read back. */
+  private def replay(s: SparkSession, t: String, inDir: String)
+      (mk: DataFrame => DataFrame): DataFrame = {
+    val q = mk(s.readStream.schema(s.read.parquet(inDir).schema)
+        .parquet(inDir))
+      .writeStream.format("parquet")
+      .option("path", s"$t/out")
+      .option("checkpointLocation", s"$t/ckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$t/out")
+  }
+
+  /** Event-time tumbling window aggregation through
+    * `StreamOps.windowedAgg` under real streaming execution. The
+    * 1-hour window is epoch-aligned on both engines, so the oracle
+    * rebuilds the bucket with integer µs arithmetic. */
   val stream_window_agg = GQuery(
     "stream_window_agg",
-    (s, d) => {
+    (s, d) => graft.GQuery.withTempTable(s, "graft-stream-wagg") { t =>
       import s.implicits._
-      StreamOps.windowedAgg(withEts(s, d), "ets",
+      val data = withEts(s, d).select($"ets", $"event_type", $"value")
+      val inDir = s"$t/in"
+      data.unionAll(s.range(1).select(flushTs(data, "ets").as("ets"),
+          lit("__flush__").as("event_type"), lit(0.0).as("value")))
+        .coalesce(1).write.mode("overwrite").parquet(inDir)
+      replay(s, t, inDir) { in =>
+        StreamOps.windowedAgg(in, "ets",
           watermark = "10 minutes", windowDur = "1 hour",
           groupCols = Seq("event_type"),
-          aggs = Seq(count(lit(1)).as("n"),
-            decSum($"value").as("total")))
+          aggs = Seq(count(lit(1)).as("n"), decSum($"value").as("total")))
+      }
+        .filter($"event_type" =!= "__flush__")
         .select(
           unix_micros($"window.start").as("w_start_us"),
           unix_micros($"window.end").as("w_end_us"),
@@ -62,32 +109,41 @@ object Streaming {
       FROM events
       GROUP BY 1, 2, 3 ORDER BY w_start_us, event_type"""))
 
-  /** Session windows through the real `StreamOps.sessionAgg`
-    * (30-minute inactivity gap per user). Spark merges when the next
-    * event's window start TOUCHES the previous session's end
-    * (inclusive <=): an event exactly gap after its predecessor still
-    * extends the session, gap+1µs splits — pinned in StreamGateSpec,
-    * which caught the opposite (`>=`) encoding passing sf0.01 purely
-    * because µs-resolution data never lands on the exact boundary.
-    * Session end is last_ts + gap. The oracle's island detection
-    * therefore flags `gap > 30min ⇒ new session` — same boundary the
-    * batch `sessionize` (Extras) happens to use, but pinned here to
-    * Spark's operator semantics rather than convention. Both oracle
-    * windows (the LAG and the island numbering) order by
+  /** Session windows through `StreamOps.sessionAgg` under real
+    * streaming execution (30-minute inactivity gap per user). Spark
+    * merges when the next event's window start TOUCHES the previous
+    * session's end (inclusive <=): an event exactly gap after its
+    * predecessor still extends the session, gap+1µs splits — pinned in
+    * StreamGateSpec, which caught the opposite (`>=`) encoding passing
+    * sf0.01 purely because µs-resolution data never lands on the exact
+    * boundary. Session end is last_ts + gap. The oracle's island
+    * detection therefore flags `gap > 30min ⇒ new session` — same
+    * boundary the batch `sessionize` (Extras) happens to use, but
+    * pinned here to Spark's operator semantics rather than convention.
+    * Both oracle windows (the LAG and the island numbering) order by
     * (epoch_us(ts), event_id) — the SAME floored-µs order: ordering
     * the LAG by raw-ns `ts` could disagree on same-µs ties and split
-    * a session Spark merges. NB the SQL must stay comment-free: the
-    * harness may collapse newlines, and a `--` would swallow the
+    * a session Spark merges. The flush sentinel rides user_id = -1
+    * (no real key is negative). NB the SQL must stay comment-free:
+    * the harness may collapse newlines, and a `--` would swallow the
     * rest of the query. */
   val stream_sessions = GQuery(
     "stream_sessions",
-    (s, d) => {
+    (s, d) => graft.GQuery.withTempTable(s, "graft-stream-sess") { t =>
       import s.implicits._
-      StreamOps.sessionAgg(withEts(s, d), "ets",
+      val data = withEts(s, d).select($"ets", $"user_id", $"value")
+      val inDir = s"$t/in"
+      data.unionAll(s.range(1).select(flushTs(data, "ets").as("ets"),
+          lit(-1L).as("user_id"), lit(0.0).as("value")))
+        .coalesce(1).write.mode("overwrite").parquet(inDir)
+      replay(s, t, inDir) { in =>
+        StreamOps.sessionAgg(in, "ets",
           watermark = "10 minutes", gap = "30 minutes",
           keyCols = Seq("user_id"),
           aggs = Seq(count(lit(1)).as("n_events"),
             decSum($"value").as("total")))
+      }
+        .filter($"user_id" >= 0)
         .select($"user_id",
           unix_micros($"session_window.start").as("s_start_us"),
           unix_micros($"session_window.end").as("s_end_us"),
@@ -115,24 +171,38 @@ object Streaming {
              CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS total
       FROM s GROUP BY user_id, sid ORDER BY user_id, s_start_us"""))
 
-  /** Stream-stream interval join through the real
-    * `StreamOps.intervalJoin`: errors within 10 minutes AFTER a signup
-    * of the same user, both sides watermarked, the right event-time
-    * column auto-renamed by the operator (both sides arrive named
-    * `ets`, exercising the collision path). Inclusive bounds
-    * [l.ts, l.ts + bound] on both engines. */
+  /** Stream-stream interval join through `StreamOps.intervalJoin`
+    * under real streaming execution: errors within 10 minutes AFTER a
+    * signup of the same user, both sides watermarked, the right
+    * event-time column auto-renamed by the operator (both sides arrive
+    * named `ets`, exercising the collision path). Inclusive bounds
+    * [l.ts, l.ts + bound] on both engines. Two single-file sources
+    * consumed in one batch ⇒ the complete inner-match set (emission is
+    * eager; the watermark only bounds state eviction). */
   val stream_interval_join = GQuery(
     "stream_interval_join",
-    (s, d) => {
+    (s, d) => graft.GQuery.withTempTable(s, "graft-stream-ij") { t =>
       import s.implicits._
       val e = withEts(s, d)
-      val signups = e.filter($"event_type" === "signup")
+      e.filter($"event_type" === "signup")
         .select($"user_id", $"event_id".as("signup_id"), $"ets")
-      val errors = e.filter($"event_type" === "error")
+        .coalesce(1).write.mode("overwrite").parquet(s"$t/in_s")
+      e.filter($"event_type" === "error")
         .select($"user_id", $"event_id".as("error_id"), $"ets")
-      StreamOps.intervalJoin(signups, errors, key = "user_id",
-          leftTs = "ets", rightTs = "ets",
+        .coalesce(1).write.mode("overwrite").parquet(s"$t/in_e")
+      def src(dir: String) =
+        s.readStream.schema(s.read.parquet(dir).schema).parquet(dir)
+      val q = StreamOps.intervalJoin(src(s"$t/in_s"), src(s"$t/in_e"),
+          key = "user_id", leftTs = "ets", rightTs = "ets",
           watermark = "10 minutes", bound = "10 minutes")
+        .writeStream.format("parquet")
+        .option("path", s"$t/out")
+        .option("checkpointLocation", s"$t/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$t/out")
         .select($"user_id", $"signup_id", $"error_id",
           unix_micros($"ets").as("signup_us"),
           unix_micros($"right_ets").as("error_us"))
@@ -152,14 +222,8 @@ object Streaming {
       ORDER BY signup_id, error_id"""))
 
   /** Watermark-horizon exact dedup through the real
-    * `StreamOps.dedupStream` — and unlike the three gates above this
-    * one must run as an ACTUAL streaming query:
-    * `dropDuplicatesWithinWatermark` is rejected on batch Datasets
-    * (Spark 4.1 refuses the plan), so the query lands the keyed
-    * projection as ONE parquet file, replays it through
-    * readStream → dedup → parquet sink with AvailableNow, and returns
-    * the materialized result (upsert_snapshot's collect-then-cleanup
-    * pattern, so repeated harness executions leak nothing).
+    * `StreamOps.dedupStream` (same AvailableNow replay; survivors are
+    * emitted on arrival, so no flush sentinel is needed).
     *
     * Determinism: the input is pre-projected to exactly the dedup key
     * (plus the event-time column the operator requires), so every
@@ -174,25 +238,14 @@ object Streaming {
     "stream_dedup",
     (s, d) => graft.GQuery.withTempTable(s, "graft-stream-dedup") { t =>
       import s.implicits._
-      import org.apache.spark.sql.streaming.Trigger
       val inDir = s"$t/in"
       withEts(s, d).select($"user_id", $"event_type", $"ets")
         .coalesce(1)
         .write.mode("overwrite").parquet(inDir)
-      val outDir = s"$t/out"
-      val q = StreamOps.dedupStream(
-          s.readStream.schema(s.read.parquet(inDir).schema)
-            .parquet(inDir),
-          "ets", watermark = "10 minutes",
+      replay(s, t, inDir) { in =>
+        StreamOps.dedupStream(in, "ets", watermark = "10 minutes",
           keyCols = Seq("user_id", "event_type"))
-        .writeStream.format("parquet")
-        .option("path", outDir)
-        .option("checkpointLocation", s"$t/ckpt")
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.read.parquet(outDir)
+      }
         .groupBy($"user_id")
         .agg(count(lit(1)).as("n_types"),
           concat_ws(",", sort_array(collect_list($"event_type")))

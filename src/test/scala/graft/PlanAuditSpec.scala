@@ -204,13 +204,37 @@ class PlanAuditSpec extends SparkSpec {
       "more than two text scans:\n" + p)
   }
 
+  // The stream gates now EXECUTE real streaming queries (their
+  // registry fn materializes a sink), so the declared plan shapes are
+  // audited here on the same StreamOps calls over batch frames — the
+  // logical plan is identical; only IncrementalExecution's stateful
+  // physical operators differ, and those are the streaming queries'
+  // own concern (StreamingSpec).
+  private def etsEvents = {
+    import org.apache.spark.sql.functions._
+    Tables.events(spark, sf)
+      .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
+  }
+
   test("stream gates: window agg is one shuffle with map-side partial; " +
       "session merge sorts within the key partition only") {
-    val w = plan("stream_window_agg", "simple")
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StreamOps
+    val w = StreamOps.windowedAgg(
+        etsEvents.select(col("ets"), col("event_type"), col("value")),
+        "ets", watermark = "10 minutes", windowDur = "1 hour",
+        groupCols = Seq("event_type"),
+        aggs = Seq(count(lit(1)).as("n")))
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
     // tumbling window = plain keyed agg: partial → exchange → final
     assert(w.split("Exchange hashpartitioning").length == 2, w)
     assert(w.contains("partial_count") || w.contains("partial"), w)
-    val s = plan("stream_sessions", "simple")
+    val s = StreamOps.sessionAgg(
+        etsEvents.select(col("ets"), col("user_id"), col("value")),
+        "ets", watermark = "10 minutes", gap = "30 minutes",
+        keyCols = Seq("user_id"),
+        aggs = Seq(count(lit(1)).as("n_events")))
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
     // session windows: merged per key after one hash exchange, and the
     // pre-merge sort is partition-local (`Sort [...], false`) — the only
     // global ordering allowed is the final output ORDER BY above the agg
@@ -223,7 +247,19 @@ class PlanAuditSpec extends SparkSpec {
 
   test("stream interval join: equi-key join with the time bound as a " +
       "post-join condition, never a nested-loop product") {
-    val p = plan("stream_interval_join", "simple")
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StreamOps
+    val e = etsEvents
+    val p = StreamOps.intervalJoin(
+        e.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("event_id").as("signup_id"),
+            col("ets")),
+        e.filter(col("event_type") === "error")
+          .select(col("user_id"), col("event_id").as("error_id"),
+            col("ets")),
+        key = "user_id", leftTs = "ets", rightTs = "ets",
+        watermark = "10 minutes", bound = "10 minutes")
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
