@@ -23,7 +23,8 @@ object ScaleSweep {
     "dedup_ngram_jaccard", "dedup_clusters",
     "text_tokens", "text_quality", "text_langid", "text_fingerprint",
     "text_pii_scrub", "text_repetition", "decontaminate",
-    "split_shuffle", "mix_temperature", "pack_sequences",
+    "split_shuffle", "mix_temperature", "curriculum_buckets",
+    "pack_sequences",
     "heavy_hitters", "text_tfidf", "layout_report",
     // embeddings-backed similarity/dedup
     "dedup_embedding_cosine", "dedup_semantic", "dedup_embedding_lsh",
@@ -37,7 +38,7 @@ object ScaleSweep {
     "stream_dedup",
     // orders-backed windows
     "w2_rank_lag", "w3_distribution", "w4_range_frame",
-    "w5_range_prefix", "c7_date_agg")
+    "w5_range_prefix", "w6_range_avg", "c7_date_agg")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -54,10 +55,15 @@ object ScaleSweep {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // SPARK_GRAFT_SWEEP_ROUNDS=1 for the deliberately-quadratic fenced
+    // baselines at big SFs (a single timed round after warm-up — the
+    // divergence being documented is orders of magnitude, not noise)
+    val rounds =
+      sys.env.getOrElse("SPARK_GRAFT_SWEEP_ROUNDS", "3").toInt
     def minOf3(name: String, dir: String): Double = {
       val fn = Registry.queryMap(name)
       Registry.force(fn(spark, dir)) // warm-up: listing, footers, codegen
-      (1 to 3).map { _ =>
+      (1 to rounds).map { _ =>
         val t0 = System.nanoTime()
         Registry.force(fn(spark, dir)) // full materialization, not count()
         (System.nanoTime() - t0) / 1e9

@@ -535,7 +535,8 @@ object Extras {
     (s, d) => {
       import s.implicits._
       val hourUs = 3600L * 1000 * 1000
-      val e = T.events(s, d).withColumn("us", floor($"ts" / 1000L))
+      // integer floor division, same ±1-µs rationale as sessionize above
+      val e = T.events(s, d).withColumn("us", expr("ts DIV 1000"))
       val signups = e.filter($"event_type" === "signup")
         .select($"user_id", $"event_id".as("signup_id"),
           $"us".as("lo"), ($"us" + hourUs).as("hi"))
