@@ -17,6 +17,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * correct but interpreted per element; this expression runs the same
   * fold as a tight JVM loop with one MessageDigest per task.
   *
+  * numHashes > 8 (up to 16) appends a second 64-hex block
+  * m' = md5hex(s ‖ '#') ‖ md5hex('#' ‖ s), so slices 8..15 come from
+  * independent digests; the first 8 slices are byte-identical to the
+  * numHashes ≤ 8 signature (existing oracles depend on that prefix
+  * stability). '#' never occurs inside a shingle (tokens are
+  * whitespace-split words joined by single spaces), so the padded
+  * strings cannot collide with any unpadded shingle.
+  *
   * NB: `reverse` is by UTF-16 code unit here and by codepoint in some
   * engines — identical on ASCII text; normalize first for full unicode.
   */
@@ -58,8 +66,10 @@ case class MinHashSig(child: Expression, numHashes: Int, shingleK: Int)
         j += 1
       }
       val s = sb.toString
-      val m = md5hex(s) + md5hex(new java.lang.StringBuilder(s)
-        .reverse.toString)
+      val rev = new java.lang.StringBuilder(s).reverse.toString
+      val m =
+        if (numHashes <= 8) md5hex(s) + md5hex(rev)
+        else md5hex(s) + md5hex(rev) + md5hex(s + "#") + md5hex("#" + s)
       var p = 0
       while (p < numHashes) {
         val slice = m.substring(p * 8, p * 8 + 8)

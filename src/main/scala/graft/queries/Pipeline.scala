@@ -123,6 +123,69 @@ object Pipeline {
       SELECT d1, d2, ROUND(jaccard, 6) AS jaccard
       FROM scored WHERE jaccard >= 0.8 ORDER BY d1, d2"""))
 
+  /** Steep-banded n-gram Jaccard verify — the scale profile of
+    * [[dedup_ngram_jaccard]]. Same candidate→verify composition, but
+    * 16 minhashes in 4 bands × 4 rows: per-band collision probability
+    * is s⁴ (vs s² shallow), so capture is 1−(1−s⁴)⁴ — at the s≈0.3
+    * moderate-similarity mass that dominates large corpora this emits
+    * ~3% of pairs as candidates where the shallow 4×2 banding emits
+    * ~31% (≈10× fewer false candidates to verify), while J≥0.9 true
+    * near-dups still surface at ~98.6%. The shallow query stays
+    * registered as the recall-leaning semantics pin; this is the shape
+    * to run at 100 TB, where verify cost is candidate-bounded and the
+    * moderate-similarity pair mass grows quadratically with
+    * duplicate-group size (measured 39× sf1→sf10 on the shallow path
+    * before the distinct-member restructure). Oracle mirrors the full
+    * 16-slice signature (m = md5(s)‖md5(rev s)‖md5(s‖'#')‖md5('#'‖s))
+    * and 4×4 banding, so the hash gate is exact. */
+  val dedup_ngram_steep = GQuery(
+    "dedup_ngram_steep",
+    (s, d) => Dedup.verifiedNearDups(T.documents(s, d), "doc_id", "text",
+        0.8, numHashes = 16, bandSize = 4)
+      .orderBy(col("d1"), col("d2")),
+    Some {
+      val mins = (0 until 16).map(p =>
+        s"MIN(substr(m, ${p * 8 + 1}, 8)) AS h$p").mkString(", ")
+      val bands = (0 until 4).map { b =>
+        val key = (0 until 4).map(j => s"h${b * 4 + j}")
+          .mkString(s"'$b:' || ", " || ':' || ", "")
+        val sel = s"SELECT doc_id, md5($key) AS bk FROM sig"
+        if (b == 0) sel else s"UNION ALL $sel"
+      }.mkString(" ")
+      s"""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      sh AS (
+        SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        FROM toks, LATERAL (SELECT UNNEST(range(1, len(t) - 1)) AS i) u),
+      hx AS (
+        SELECT doc_id, sh,
+               md5(sh) || md5(reverse(sh)) || md5(sh || '#')
+                 || md5('#' || sh) AS m
+        FROM sh),
+      sig AS (
+        SELECT doc_id, $mins FROM hx GROUP BY doc_id),
+      bands AS ($bands),
+      cands AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+      sets AS (
+        SELECT doc_id, list_distinct(list(sh)) AS shset
+        FROM sh GROUP BY doc_id),
+      scored AS (
+        SELECT d1, d2,
+               CAST(len(list_intersect(x.shset, y.shset)) AS DOUBLE) /
+               CAST(len(x.shset) + len(y.shset)
+                    - len(list_intersect(x.shset, y.shset)) AS DOUBLE)
+                 AS jaccard
+        FROM cands JOIN sets x ON d1 = x.doc_id
+                   JOIN sets y ON d2 = y.doc_id
+        WHERE len(x.shset) + len(y.shset)
+              - len(list_intersect(x.shset, y.shset)) > 0)
+      SELECT d1, d2, ROUND(jaccard, 6) AS jaccard
+      FROM scored WHERE jaccard >= 0.8 ORDER BY d1, d2"""
+    })
+
   /** Near-dup CLUSTERS: connected components over the verified
     * Jaccard pairs (the step a real dedup pipeline runs after pair
     * generation — one representative survives per component). Spark
@@ -1313,6 +1376,7 @@ object Pipeline {
 
   val all: Seq[GQuery] = Seq(
     dedup_exact, dedup_minhash_lsh, dedup_simhash, dedup_ngram_jaccard,
+    dedup_ngram_steep,
     dedup_clusters, dedup_embedding_cosine, dedup_semantic,
     dedup_embedding_lsh, dedup_lsh_recall,
     sim_topk_bruteforce,

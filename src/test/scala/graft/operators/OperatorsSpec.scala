@@ -39,6 +39,28 @@ class OperatorsSpec extends SparkSpec {
     assert(!j.contains((1L, 3L)))
   }
 
+  test("steep 16-hash sig: first 8 slices identical to the 8-hash sig") {
+    // existing oracles pin the 8-slice signature; the 16-slice
+    // extension must extend it, not perturb it
+    val s8 = Dedup.minhashSignatures(docs, "doc_id", "text", numHashes = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val s16 = Dedup.minhashSignatures(docs, "doc_id", "text", numHashes = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(s16.keySet == s8.keySet)
+    s16.foreach { case (id, sig) =>
+      assert(sig.length == 16 && sig.take(8) == s8(id))
+    }
+  }
+
+  test("steep 4x4 verify: exact dup found at 1.0, unrelated docs absent") {
+    val j = Dedup.verifiedNearDups(docs, "doc_id", "text", 0.8,
+        numHashes = 16, bandSize = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(j((1L, 4L)) == 1.0)    // identical: all 16 mins equal → collide
+    assert(!j.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("simhash: identical texts → identical fingerprints; near-dups close") {
     val fp = Dedup.simhash(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
