@@ -287,6 +287,23 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
+  /** Hash width for sign-LSH bucketing: the smallest b with
+    * 2^b · 128 ≥ n (floor 6, cap 20) — expected bucket occupancy stays
+    * ≤ ~128 as the corpus grows, so within-bucket pair generation stays
+    * near-linear instead of quadratic (a FIXED bits means occupancy
+    * ∝ N and pair work ∝ N²: measured as a >30 GB spill crash at the
+    * sf10 tier before bits went adaptive). Integer-exact bit-length
+    * arithmetic, no float log2 — DuckDB mirrors it as
+    * GREATEST(6, LENGTH(BIN(c-1))) over the same count, and a 1-ulp
+    * log disagreement at an exact power-of-two boundary would flip the
+    * bucket layout of the whole corpus. */
+  def autoBits(n: Long): Int = {
+    val c = (n + 127L) / 128L
+    val b = if (c <= 1L) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(c - 1L)
+    math.min(math.max(6, b), 20)
+  }
+
   /** Embedding near-duplicate pairs with LSH blocking — the 100 TB
     * variant of [[embeddingNearDupPairs]]. Blocking by a FIXED-
     * cardinality column (label) makes block sizes grow ∝ N and pair
@@ -294,19 +311,21 @@ object Similarity {
     * at least one of `tables` hash tables (integer-exact
     * [[graft.functions.RpBuckets]], so an external SQL engine
     * reproduces the bucketing bit-for-bit). Expected bucket occupancy
-    * is N/2^bits per table — bits scales with log N, keeping pair work
-    * near-linear. OR-amplification over `tables` tables recovers the
+    * is N/2^bits per table — `bits < 0` (the default) derives it from
+    * a corpus count via [[autoBits]], keeping pair work near-linear at
+    * any SF. OR-amplification over `tables` tables recovers the
     * recall a single table loses. Candidates are deduped BEFORE
     * scoring (a pair colliding in several tables is scored once), and
     * vectors are re-attached by key afterwards so the wide embedding
     * column never rides through the multi-table explode. */
   def embeddingNearDupPairsLsh(vectors: DataFrame, idCol: String,
       vecCol: String, blockCol: String, threshold: Double,
-      tables: Int = 4, bits: Int = 6): DataFrame = {
+      tables: Int = 4, bits: Int = -1): DataFrame = {
     val keyed = vectors.select(col(idCol).as("id"),
       col(vecCol).as("v"), col(blockCol).as("blk"),
       fnorm(col(vecCol)).as("nrm"))
-    lshCandidatePairs(keyed, tables, bits)
+    val b = if (bits < 0) autoBits(keyed.count()) else bits
+    lshCandidatePairs(keyed, tables, b)
       .join(keyed.select(col("id").as("d1"), col("v").as("v1"),
         col("nrm").as("n1")), Seq("d1"))
       .join(keyed.select(col("id").as("d2"), col("v").as("v2"),

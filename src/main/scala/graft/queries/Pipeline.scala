@@ -186,6 +186,44 @@ object Pipeline {
       FROM scored WHERE jaccard >= 0.8 ORDER BY d1, d2"""
     })
 
+  /** Recall contract for the steep 4×4 path (the trade it makes is
+    * precision FOR recall, so the recall side needs a gate): every
+    * 10th sufficiently-long document gets a planted near-twin — last
+    * token dropped, so the twin shares all but ≤1 of the original's
+    * distinct shingles (J ≥ (S−1)/S ≥ 0.9 at ≥20 tokens unless the
+    * text is pathologically repetitive) — and the full steep
+    * candidate→verify path at threshold 0.8 must recover ≥90% of the
+    * planted pairs. Per-pair capture at s≈0.95 is 1−(1−s⁴)⁴ ≈ 0.9993,
+    * and the md5 banding is deterministic, so the booleans hash-check.
+    * No zero-false-pair clause here (unlike dedup_lsh_recall): the
+    * corpus has organic near-dups by design, which is the point of the
+    * operator. */
+  val dedup_ngram_steep_recall = GQuery(
+    "dedup_ngram_steep_recall",
+    (s, d) => {
+      val base = T.documents(s, d).select(col("doc_id"), col("text"))
+      val toks = split(col("text"), " ")
+      val eligible = base.filter(col("doc_id") % 10 === 0 &&
+        size(toks) >= 20)
+      val twins = eligible.select(
+        (col("doc_id") + lit(1000000000L)).as("doc_id"),
+        array_join(slice(toks, lit(1), size(toks) - 1), " ").as("text"))
+      val corpus = base.unionByName(twins)
+      val found = Dedup.verifiedNearDups(corpus, "doc_id", "text", 0.8,
+        numHashes = 16, bandSize = 4)
+      val nPlanted = eligible.agg(count(lit(1)).as("n_planted"))
+      val nFound = found
+        .filter(col("d2") === col("d1") + lit(1000000000L))
+        .agg(count(lit(1)).as("n_found"))
+      nPlanted.crossJoin(nFound)
+        .select(col("n_planted"),
+          (col("n_found") * 10 >= col("n_planted") * 9).as("recall_ok"))
+    },
+    Some("""
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_planted, TRUE AS recall_ok
+      FROM documents
+      WHERE doc_id % 10 = 0 AND len(string_split(text, ' ')) >= 20"""))
+
   /** Near-dup CLUSTERS: connected components over the verified
     * Jaccard pairs (the step a real dedup pipeline runs after pair
     * generation — one representative survives per component). Spark
@@ -324,35 +362,41 @@ object Pipeline {
     * work quadratic (block size ∝ N — dedup_embedding_cosine's sf0.1→sf1
     * wall grew 12.3× for 10× rows under full-plan execution, docs/PERF.md
     * §"Decade sweep sf0.1 → sf1", round 6), so candidates
-    * must ALSO collide in one of 4 sign-LSH tables (6 bits each).
-    * Bucketing is integer-exact (RpBuckets: quantized vector × lattice
-    * hyperplanes), so the oracle reproduces every bucket id bit-for-bit
-    * and the driver hash-checks the full candidate pipeline EXACTLY:
-    * the output row carries the label-blocked pair count, the surviving
-    * LSH candidate count, and the verified count, plus the pruning
-    * contract (candidates at most a third of label pairs). A per-pair
-    * listing would be vacuous on this corpus — the synthetic embeddings
-    * have no high-cosine pairs (max ≈ 0.475, i.e. random 64-dim tails),
-    * which is also why recall experiments live in sim_rplsh_recall. */
+    * must ALSO collide in one of 4 sign-LSH tables. The hash width is
+    * NOT fixed: bits = autoBits(n) (smallest b with 2^b·128 ≥ n,
+    * floor 6, cap 20) — a fixed width means bucket occupancy ∝ N and
+    * the candidate join goes quadratic (the sf10 tier crashed on
+    * >30 GB of sort spill with bits pinned at 6; r7). The oracle
+    * derives the SAME width from COUNT(*) with integer bit-length
+    * arithmetic, so bucketing stays bit-for-bit reproducible at every
+    * SF and the driver hash-checks the full candidate pipeline
+    * EXACTLY: the output row carries the label-blocked pair count, the
+    * surviving LSH candidate count, and the verified count, plus the
+    * pruning contract (candidates at most a third of label pairs). A
+    * per-pair listing would be vacuous on this corpus — the synthetic
+    * embeddings have no high-cosine pairs (max ≈ 0.475, i.e. random
+    * 64-dim tails), which is also why recall experiments live in
+    * sim_rplsh_recall. */
   val dedup_embedding_lsh = GQuery(
     "dedup_embedding_lsh",
     (s, d) => {
       import graft.functions.VectorExprs.rpBuckets
       val keyed = T.embeddings(s, d).select(col("vec_id").as("id"),
         col("embedding").as("v"), col("label").as("blk"))
+      val bits = Similarity.autoBits(keyed.count())
       val nVec = keyed.agg(count(lit(1)).as("n_vectors"))
       val labelPairs = keyed.groupBy(col("blk"))
         .agg(count(lit(1)).as("n"))
         .agg(sum(col("n") * (col("n") - 1) / 2).cast("long")
           .as("n_label_pairs"))
-      val cand = Similarity.lshCandidatePairs(keyed, tables = 4, bits = 6)
+      val cand = Similarity.lshCandidatePairs(keyed, tables = 4, bits)
       val nCand = cand.agg(count(lit(1)).as("n_candidates"))
       val nVerified = Similarity
         .embeddingNearDupPairsLsh(T.embeddings(s, d), "vec_id",
-          "embedding", "label", 0.4, tables = 4, bits = 6)
+          "embedding", "label", 0.4, tables = 4, bits = bits)
         .agg(count(lit(1)).as("n_verified"))
       nVec.crossJoin(labelPairs).crossJoin(nCand).crossJoin(nVerified)
-        .select(lit(4).as("tables"), lit(6).as("bits"),
+        .select(lit(4).as("tables"), lit(bits).as("bits"),
           col("n_vectors"), col("n_label_pairs"), col("n_candidates"),
           col("n_verified"),
           (col("n_candidates") * 3 <= col("n_label_pairs"))
@@ -365,11 +409,17 @@ object Pipeline {
                CAST(FLOOR(CAST(embedding[i.range + 1] AS DOUBLE) * 1000
                           + 0.5) AS BIGINT) AS q
         FROM v, range(64) i),
+      bb AS (
+        SELECT LEAST(GREATEST(6, LENGTH(BIN(
+                 CAST((COUNT(*) + 127) // 128 AS BIGINT) - 1))), 20)
+               AS bits
+        FROM v),
       sdots AS (
         SELECT c.vec_id, t.range AS t, j.range AS j,
                SUM(c.q * ((7 * j.range + 13 * c.i + 29 * t.range) % 17
                           - 8)) AS sdot
-        FROM comp c, range(4) t, range(6) j
+        FROM comp c, range(4) t, range(20) j
+        WHERE j.range < (SELECT bits FROM bb)
         GROUP BY c.vec_id, t.range, j.range),
       buckets AS (
         SELECT vec_id, t,
@@ -402,7 +452,8 @@ object Pipeline {
         SELECT CAST(SUM(n * (n - 1) / 2) AS BIGINT) AS n_label_pairs
         FROM (SELECT COUNT(*) AS n FROM v GROUP BY label)),
       nc AS (SELECT COUNT(*) AS n_candidates FROM cand)
-      SELECT 4 AS tables, 6 AS bits, n_vectors, n_label_pairs,
+      SELECT 4 AS tables, CAST((SELECT bits FROM bb) AS INTEGER) AS bits,
+             n_vectors, n_label_pairs,
              n_candidates, n_verified,
              n_candidates * 3 <= n_label_pairs AS pruning_ok
       FROM nv, lp, nc, verified"""))
@@ -1286,8 +1337,13 @@ object Pipeline {
               .cast("float")).as("embedding"),
           col("label"))
       val corpus = base.unionByName(planted)
+      // bits adapt to the corpus (autoBits): at sf0.01 this is the
+      // same 6 as always; at the sf10 tier a fixed 6 made the bucket
+      // join quadratic (>30 GB spill crash). A cos-0.999 pair still
+      // collides per table with p = (1-θ/π)^bits ≥ 0.85 up to bits=11,
+      // so the all-4-tables miss probability stays < 5e-4.
       val found = Similarity.embeddingNearDupPairsLsh(corpus, "vec_id",
-        "embedding", "label", 0.9, tables = 4, bits = 6)
+        "embedding", "label", 0.9, tables = 4)
       val nPlanted = planted.agg(count(lit(1)).as("n_planted"))
       val nFound = found
         .filter(col("d2") === col("d1") + lit(1000000L))
@@ -1376,7 +1432,7 @@ object Pipeline {
 
   val all: Seq[GQuery] = Seq(
     dedup_exact, dedup_minhash_lsh, dedup_simhash, dedup_ngram_jaccard,
-    dedup_ngram_steep,
+    dedup_ngram_steep, dedup_ngram_steep_recall,
     dedup_clusters, dedup_embedding_cosine, dedup_semantic,
     dedup_embedding_lsh, dedup_lsh_recall,
     sim_topk_bruteforce,

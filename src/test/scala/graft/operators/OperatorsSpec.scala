@@ -61,6 +61,24 @@ class OperatorsSpec extends SparkSpec {
     assert(!j.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("autoBits: smallest b with 2^b*128 >= n, floor 6, cap 20") {
+    // values the DuckDB mirror (GREATEST(6, LENGTH(BIN((n+127)//128
+    // - 1))), LEAST 20) must agree with at every SF
+    assert(Similarity.autoBits(1L) == 6)
+    assert(Similarity.autoBits(500L) == 6)      // sf0.01 gate: unchanged
+    assert(Similarity.autoBits(2000L) == 6)     // sf0.1
+    assert(Similarity.autoBits(8192L) == 6)     // exact 2^6*128 boundary
+    assert(Similarity.autoBits(8193L) == 7)
+    assert(Similarity.autoBits(20000L) == 8)    // sf1 tier
+    assert(Similarity.autoBits(200000L) == 11)  // sf10 tier
+    assert(Similarity.autoBits(1000000000L) == 20) // cap
+    // minimality: 2^(b-1)*128 < n <= 2^b*128 whenever 6 < b < 20
+    for (n <- Seq(8193L, 20000L, 200000L, 819200L)) {
+      val b = Similarity.autoBits(n)
+      assert((1L << b) * 128 >= n && (1L << (b - 1)) * 128 < n)
+    }
+  }
+
   test("simhash: identical texts → identical fingerprints; near-dups close") {
     val fp = Dedup.simhash(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
