@@ -20,7 +20,8 @@ object ScaleSweep {
   val tail: Seq[String] = Seq(
     // documents-backed pipeline
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_ngram_jaccard", "dedup_ngram_steep", "dedup_clusters",
+    "dedup_ngram_jaccard", "dedup_ngram_steep", "dedup_ngram_steep_recall",
+    "dedup_clusters",
     "text_tokens", "text_quality", "text_langid", "text_fingerprint",
     "text_pii_scrub", "text_repetition", "decontaminate",
     "split_shuffle", "mix_temperature", "curriculum_buckets",

@@ -10,30 +10,51 @@ import graft.streaming.StreamOps
 /** Driver hash gates for the §2.7 watermark operators — all four run
   * REAL streaming execution (round 7; r6 ran three of them as batch
   * plans over the same functions). Each query lands its input
-  * projection as ONE parquet file, replays it through readStream →
-  * `StreamOps.*` → parquet sink with AvailableNow + RocksDB state, and
-  * hashes the materialized sink — so the oracle covers rows produced
-  * by `IncrementalExecution` (state store, watermark lifecycle, the
-  * streaming physical operators), not a batch-equivalence argument.
+  * projection as time-sliced parquet files, replays them through
+  * readStream → `StreamOps.*` → parquet sink with AvailableNow +
+  * RocksDB state and `maxFilesPerTrigger = 1`, and hashes the
+  * materialized sink — so the oracle covers rows produced by
+  * `IncrementalExecution` across MULTIPLE micro-batches: watermark
+  * advancement between batches, state insertion AND eviction, append-
+  * mode window finalization. (r7 first ran these as one-file single-
+  * batch replays; with no eviction the interval join's state held both
+  * full inputs and the sf1→sf10 decade ratio hit 26.7× — state growth,
+  * not join work. Time-sliced replay is also the honest posture: no
+  * production stream consumes its whole history in one batch.)
   *
   * Determinism under the hash gate:
-  *  - The single input file lands in a single micro-batch, where the
-  *    watermark is still at origin — no row is ever late-dropped, so
-  *    the emitted set is the full aggregate the oracle rebuilds.
+  *  - Slices are CONTIGUOUS event-time ranges written oldest-first
+  *    (one sequential write job per slice, so file modification times
+  *    — the file source's processing order — agree with event time).
+  *    The watermark after batch N is max(ts in batches ≤ N) − delay,
+  *    which is strictly below every row of batch N+1 — so no row is
+  *    EVER late-dropped, deterministically, and the emitted set stays
+  *    the full aggregate/match set the oracle rebuilds. Eviction only
+  *    drops state the watermark proves finished (that is its
+  *    correctness contract), so evicted ≠ lost.
   *  - Aggregation gates (window/session) run in APPEND mode, which
   *    only emits a window once the watermark passes its end. A
-  *    sentinel row ~400 days past max event time advances the
-  *    watermark over every real window in the AvailableNow no-data
-  *    flush batch (`shouldRunAnotherBatch` on watermark advance). The
-  *    sentinel's OWN window can never be emitted — its end exceeds
+  *    sentinel row ~400 days past max event time, appended as the
+  *    LAST file, advances the watermark over every real window in the
+  *    final batches (`shouldRunAnotherBatch` on watermark advance).
+  *    The sentinel's OWN window can never be emitted — its end exceeds
   *    the final watermark by construction (end > sentinel_ts >
   *    watermark + delay) — and readback filters its key defensively.
-  *  - The interval join emits inner matches eagerly (the watermark
-  *    only bounds state eviction), so both sides consumed in batch 0
-  *    ⇒ the complete match set, no sentinel needed.
-  * What a one-file replay cannot exercise — late-row eviction across
-  * batches, state bounds, recovery — stays pinned in
-  * StreamingSpec/RecoverySpec, which drive multi-batch MemoryStreams.
+  *  - The interval join emits inner matches eagerly; a left row's
+  *    state survives until the watermark passes ts + bound, by which
+  *    point every right row that could match it has arrived (right
+  *    rows ≤ watermark + delay are in earlier-or-current slices) ⇒
+  *    the complete match set, no sentinel needed. Both sides slice on
+  *    the SAME global time boundaries so their watermarks advance
+  *    together.
+  *  - stream_dedup stays a ONE-file single-batch replay on purpose:
+  *    its oracle is full DISTINCT, which only equals streaming dedup
+  *    while no state evicts — a key evicted mid-stream would re-emit
+  *    a later duplicate nondeterministically w.r.t. slice geometry.
+  *    Horizon eviction for dedup stays pinned in StreamingSpec.
+  * What file replay cannot exercise — genuinely late data, recovery —
+  * stays pinned in StreamingSpec/RecoverySpec, which drive multi-batch
+  * MemoryStreams.
   *
   * Time: events.ts is epoch-nano LONG under nanosAsLong (Extras header
   * note); all operators need a real timestamp column, so each query
@@ -58,11 +79,36 @@ object Streaming {
     timestamp_micros(lit(maxUs + 400L * 86400 * 1000000))
   }
 
-  /** Replay `in` (already on disk as one file) through `mk` and
-    * materialize the sink; returns the sink read back. */
+  /** Write `df` as `k` parquet files holding CONTIGUOUS [lo, hi]
+    * event-time ranges, oldest first — one sequential write job per
+    * slice, so file modification times (the file source's processing
+    * order) agree with event time. Slice membership is integer-exact:
+    * slice = (us − lo)·k / span, floored — both engines never see it,
+    * it only shapes batch geometry. Empty slices are fine (fewer
+    * batches). Callers append any flush sentinel AFTER, so it is the
+    * last file processed. */
+  private def writeTimeSliced(df: DataFrame, tsCol: String, dir: String,
+      k: Int, loHi: Option[(Long, Long)] = None): Unit = {
+    val (lo, hi) = loHi.getOrElse {
+      val r = df.agg(min(unix_micros(col(tsCol))),
+        max(unix_micros(col(tsCol)))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val span = math.max(hi - lo + 1, 1L)
+    val sliced = df.withColumn("_slice", least(lit(k - 1),
+      ((unix_micros(col(tsCol)) - lo) * k / span).cast("int")))
+    for (b <- 0 until k)
+      sliced.filter(col("_slice") === b).drop("_slice")
+        .coalesce(1).write.mode("append").parquet(dir)
+  }
+
+  /** Replay the time-sliced files under `in` through `mk`, one file
+    * per micro-batch, and materialize the sink; returns the sink read
+    * back. */
   private def replay(s: SparkSession, t: String, inDir: String)
       (mk: DataFrame => DataFrame): DataFrame = {
     val q = mk(s.readStream.schema(s.read.parquet(inDir).schema)
+        .option("maxFilesPerTrigger", "1")
         .parquet(inDir))
       .writeStream.format("parquet")
       .option("path", s"$t/out")
@@ -84,9 +130,10 @@ object Streaming {
       import s.implicits._
       val data = withEts(s, d).select($"ets", $"event_type", $"value")
       val inDir = s"$t/in"
-      data.unionAll(s.range(1).select(flushTs(data, "ets").as("ets"),
-          lit("__flush__").as("event_type"), lit(0.0).as("value")))
-        .coalesce(1).write.mode("overwrite").parquet(inDir)
+      writeTimeSliced(data, "ets", inDir, k = 8)
+      s.range(1).select(flushTs(data, "ets").as("ets"),
+          lit("__flush__").as("event_type"), lit(0.0).as("value"))
+        .coalesce(1).write.mode("append").parquet(inDir)
       replay(s, t, inDir) { in =>
         StreamOps.windowedAgg(in, "ets",
           watermark = "10 minutes", windowDur = "1 hour",
@@ -133,9 +180,10 @@ object Streaming {
       import s.implicits._
       val data = withEts(s, d).select($"ets", $"user_id", $"value")
       val inDir = s"$t/in"
-      data.unionAll(s.range(1).select(flushTs(data, "ets").as("ets"),
-          lit(-1L).as("user_id"), lit(0.0).as("value")))
-        .coalesce(1).write.mode("overwrite").parquet(inDir)
+      writeTimeSliced(data, "ets", inDir, k = 8)
+      s.range(1).select(flushTs(data, "ets").as("ets"),
+          lit(-1L).as("user_id"), lit(0.0).as("value"))
+        .coalesce(1).write.mode("append").parquet(inDir)
       replay(s, t, inDir) { in =>
         StreamOps.sessionAgg(in, "ets",
           watermark = "10 minutes", gap = "30 minutes",
@@ -176,22 +224,33 @@ object Streaming {
     * signup of the same user, both sides watermarked, the right
     * event-time column auto-renamed by the operator (both sides arrive
     * named `ets`, exercising the collision path). Inclusive bounds
-    * [l.ts, l.ts + bound] on both engines. Two single-file sources
-    * consumed in one batch ⇒ the complete inner-match set (emission is
-    * eager; the watermark only bounds state eviction). */
+    * [l.ts, l.ts + bound] on both engines. Both sources are consumed
+    * as 8 aligned time-ordered slices, one per micro-batch: emission
+    * is eager and a left row's state survives until the watermark
+    * passes ts + bound — after every matching right row has arrived —
+    * so the match set is complete while state stays bounded by the
+    * watermark horizon instead of holding both full inputs (the
+    * single-batch replay's state grew with the input and cost 26.7×
+    * at the sf1→sf10 decade). */
   val stream_interval_join = GQuery(
     "stream_interval_join",
     (s, d) => graft.GQuery.withTempTable(s, "graft-stream-ij") { t =>
       import s.implicits._
       val e = withEts(s, d)
-      e.filter($"event_type" === "signup")
+      val signups = e.filter($"event_type" === "signup")
         .select($"user_id", $"event_id".as("signup_id"), $"ets")
-        .coalesce(1).write.mode("overwrite").parquet(s"$t/in_s")
-      e.filter($"event_type" === "error")
+      val errors = e.filter($"event_type" === "error")
         .select($"user_id", $"event_id".as("error_id"), $"ets")
-        .coalesce(1).write.mode("overwrite").parquet(s"$t/in_e")
+      // both sides slice on the SAME global boundaries so their
+      // per-source watermarks advance together
+      val mm = e.filter($"event_type".isin("signup", "error"))
+        .agg(min(unix_micros($"ets")), max(unix_micros($"ets"))).head()
+      val bounds = Some((mm.getLong(0), mm.getLong(1)))
+      writeTimeSliced(signups, "ets", s"$t/in_s", k = 8, bounds)
+      writeTimeSliced(errors, "ets", s"$t/in_e", k = 8, bounds)
       def src(dir: String) =
-        s.readStream.schema(s.read.parquet(dir).schema).parquet(dir)
+        s.readStream.schema(s.read.parquet(dir).schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
       val q = StreamOps.intervalJoin(src(s"$t/in_s"), src(s"$t/in_e"),
           key = "user_id", leftTs = "ets", rightTs = "ets",
           watermark = "10 minutes", bound = "10 minutes")
