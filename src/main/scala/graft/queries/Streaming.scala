@@ -79,6 +79,16 @@ object Streaming {
     timestamp_micros(lit(maxUs + 400L * 86400 * 1000000))
   }
 
+  /** Batch count for an `n`-row replay: one slice per ~250k rows,
+    * floor 2 (the hash gate always exercises ≥2 micro-batches — a
+    * watermark advance, append finalization across a batch boundary,
+    * and eviction), cap 8. Each micro-batch costs a fixed ~1s of
+    * RocksDB commit + planning, so slicing a 60k-row sf0.1 input 8
+    * ways would tax the bench ~10s per gate for no added coverage,
+    * while 6M rows at sf10 want all 8 slices to bound state. */
+  private def sliceCount(n: Long): Int =
+    math.min(math.max(((n + 249999L) / 250000L).toInt, 2), 8)
+
   /** Write `df` as `k` parquet files holding CONTIGUOUS [lo, hi]
     * event-time ranges, oldest first — one sequential write job per
     * slice, so file modification times (the file source's processing
@@ -130,7 +140,7 @@ object Streaming {
       import s.implicits._
       val data = withEts(s, d).select($"ets", $"event_type", $"value")
       val inDir = s"$t/in"
-      writeTimeSliced(data, "ets", inDir, k = 8)
+      writeTimeSliced(data, "ets", inDir, sliceCount(data.count()))
       s.range(1).select(flushTs(data, "ets").as("ets"),
           lit("__flush__").as("event_type"), lit(0.0).as("value"))
         .coalesce(1).write.mode("append").parquet(inDir)
@@ -180,7 +190,7 @@ object Streaming {
       import s.implicits._
       val data = withEts(s, d).select($"ets", $"user_id", $"value")
       val inDir = s"$t/in"
-      writeTimeSliced(data, "ets", inDir, k = 8)
+      writeTimeSliced(data, "ets", inDir, sliceCount(data.count()))
       s.range(1).select(flushTs(data, "ets").as("ets"),
           lit(-1L).as("user_id"), lit(0.0).as("value"))
         .coalesce(1).write.mode("append").parquet(inDir)
@@ -244,10 +254,12 @@ object Streaming {
       // both sides slice on the SAME global boundaries so their
       // per-source watermarks advance together
       val mm = e.filter($"event_type".isin("signup", "error"))
-        .agg(min(unix_micros($"ets")), max(unix_micros($"ets"))).head()
+        .agg(min(unix_micros($"ets")), max(unix_micros($"ets")),
+          count(lit(1))).head()
       val bounds = Some((mm.getLong(0), mm.getLong(1)))
-      writeTimeSliced(signups, "ets", s"$t/in_s", k = 8, bounds)
-      writeTimeSliced(errors, "ets", s"$t/in_e", k = 8, bounds)
+      val k = sliceCount(mm.getLong(2))
+      writeTimeSliced(signups, "ets", s"$t/in_s", k, bounds)
+      writeTimeSliced(errors, "ets", s"$t/in_e", k, bounds)
       def src(dir: String) =
         s.readStream.schema(s.read.parquet(dir).schema)
           .option("maxFilesPerTrigger", "1").parquet(dir)
