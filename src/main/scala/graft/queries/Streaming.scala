@@ -79,15 +79,21 @@ object Streaming {
     timestamp_micros(lit(maxUs + 400L * 86400 * 1000000))
   }
 
-  /** Batch count for an `n`-row replay: one slice per ~250k rows,
-    * floor 2 (the hash gate always exercises ≥2 micro-batches — a
-    * watermark advance, append finalization across a batch boundary,
+  /** Batch count for an `n`-row replay: one slice per `rowsPerSlice`
+    * rows, floor 2 (the hash gate always exercises ≥2 micro-batches —
+    * a watermark advance, append finalization across a batch boundary,
     * and eviction), cap 8. Each micro-batch costs a fixed ~1s of
     * RocksDB commit + planning, so slicing a 60k-row sf0.1 input 8
     * ways would tax the bench ~10s per gate for no added coverage,
-    * while 6M rows at sf10 want all 8 slices to bound state. */
-  private def sliceCount(n: Long): Int =
-    math.min(math.max(((n + 249999L) / 250000L).toInt, 2), 8)
+    * while 6M rows at sf10 want all 8 slices to bound state.
+    * Aggregation state is per-GROUP (keys/windows, far fewer than
+    * rows) — 250k rows/slice holds; the stream-stream join keeps
+    * per-ROW state on both sides until the watermark clears ts+bound,
+    * so its gate slices 2.5× finer (measured at sf10: 700k join rows
+    * at 3 slices ran 174 s, at 8 slices 138 s — peak state, not join
+    * work, is the cost driver). */
+  private def sliceCount(n: Long, rowsPerSlice: Long = 250000L): Int =
+    math.min(math.max(((n + rowsPerSlice - 1) / rowsPerSlice).toInt, 2), 8)
 
   /** Write `df` as `k` parquet files holding CONTIGUOUS [lo, hi]
     * event-time ranges, oldest first — one sequential write job per
@@ -257,7 +263,7 @@ object Streaming {
         .agg(min(unix_micros($"ets")), max(unix_micros($"ets")),
           count(lit(1))).head()
       val bounds = Some((mm.getLong(0), mm.getLong(1)))
-      val k = sliceCount(mm.getLong(2))
+      val k = sliceCount(mm.getLong(2), rowsPerSlice = 100000L)
       writeTimeSliced(signups, "ets", s"$t/in_s", k, bounds)
       writeTimeSliced(errors, "ets", s"$t/in_e", k, bounds)
       def src(dir: String) =
