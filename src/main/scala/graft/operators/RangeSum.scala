@@ -31,9 +31,12 @@ import org.apache.spark.sql.functions._
   * (sum of ones), and anything derived from them (AVG = sum/count,
   * population variance via sum + sum-of-squares + count). MIN/MAX have
   * no inverse: knowing min(prefix ≤ v) and min(prefix < v−W) says
-  * nothing about the min of their difference-set, so a sliding-range
-  * MIN/MAX needs a different structure (monotonic deque per partition,
-  * inherently sequential per key) and is deliberately NOT offered here.
+  * nothing about the min of their difference-set — so they take a
+  * different decomposition, [[slidingRangeMinMax]] below: an integral
+  * frame width W buckets values into width-W blocks, the frame
+  * [v−W, v] then spans exactly two adjacent blocks, and each block
+  * half is a GROWING running min/max Spark processes incrementally.
+  * Same O(rows log rows) bound, no per-row frame re-aggregation.
   */
 object RangeSum {
 
@@ -85,5 +88,74 @@ object RangeSum {
     else
       run.agg(sum(col("_rs_sgn") * col("_rs_run")).as(sumCol),
         sum(col("_rs_sgn") * col("_rs_crun")).as(cntCol))
+  }
+
+  /** MIN and MAX of `valCol` over rows of the same `partCol` whose
+    * `valCol` lies in [v − width, v] (ties at both bounds per RANGE
+    * semantics), without sliding-frame re-aggregation and without the
+    * (nonexistent) subtraction law the prefix kernel needs.
+    *
+    * Block decomposition: bucket values into width-sized blocks
+    * b = ⌊v/W⌋. The frame [v−W, v] spans exactly blocks {b−1, b} —
+    * ⌊(v−W)/W⌋ = ⌊v/W⌋ − 1 identically for integral W — so
+    *
+    *   frame_max(v) = max( ascMax_b(v), descMax_{b−1}(v−W) )
+    *
+    * (min symmetric): ascMax is the ascending running max within a
+    * block (values ≤ v, ties included) read at the data row itself;
+    * descMax is the descending running max within a block (values ≥
+    * v−W, ties included) read at a PROBE row injected at sort value
+    * v−W into block b−1. Probes contribute no value, so a probe's
+    * running extreme is exactly the prev-block portion of the frame —
+    * null when that portion is empty, dropped by the final null-
+    * skipping min/max re-group. Both windows are GROWING frames Spark
+    * processes incrementally; work is O(rows log rows) in two block-
+    * partitioned sorts, independent of frame width. Block arithmetic
+    * is exact for negatives too: the non-negative `pmod` remainder is
+    * stripped first, making `DIV`'s truncation equal floor division.
+    *
+    * `valCol` must be non-null integral; `idCols` must identify rows
+    * uniquely. Output columns: idCols ++ partCol ++ minCol ++ maxCol.
+    */
+  def slidingRangeMinMax(df: DataFrame, partCol: String,
+      idCols: Seq[String], valCol: String, width: Long,
+      minCol: String, maxCol: String): DataFrame = {
+    require(width > 0, s"width must be positive, got $width")
+    val keep = (idCols :+ partCol).map(col)
+    val internal = Seq("_rm_bv", "_rm_b", "_rm_v", "_rm_c", "_rm_p",
+      "_rm_mx", "_rm_mn")
+    require(internal.forall(c => !df.columns.contains(c)),
+      s"input must not carry ${internal.mkString(", ")}")
+    val v = col(valCol).cast("long")
+    val base = df
+      .withColumn("_rm_bv", v - pmod(v, lit(width)))
+      .withColumn("_rm_b", expr(s"_rm_bv DIV ${width}L"))
+    val data = base.select(
+      keep :+ v.as("_rm_v") :+ col("_rm_b") :+ v.as("_rm_c") :+
+        lit(0).as("_rm_p"): _*)
+    val probes = base.select(
+      keep :+ (v - width).as("_rm_v") :+ (col("_rm_b") - 1)
+        .as("_rm_b") :+ lit(null).cast("long").as("_rm_c") :+
+        lit(1).as("_rm_p"): _*)
+    val block = Seq(col(partCol), col("_rm_b"))
+    val asc = Window.partitionBy(block: _*).orderBy(col("_rm_v"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val desc = Window.partitionBy(block: _*)
+      .orderBy(col("_rm_v").desc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    // own-block half, read at each data row (probes excluded — their
+    // sort value v−W never lands in block b, but keeping them out of
+    // this pass entirely is free)
+    val own = data.select(
+      keep :+ max(col("_rm_c")).over(asc).as("_rm_mx") :+
+        min(col("_rm_c")).over(asc).as("_rm_mn"): _*)
+    // prev-block half, read at each probe row over data ∪ probes
+    val prev = data.unionAll(probes).select(
+      keep :+ col("_rm_p") :+ max(col("_rm_c")).over(desc)
+        .as("_rm_mx") :+ min(col("_rm_c")).over(desc).as("_rm_mn"): _*)
+      .where(col("_rm_p") === 1)
+      .select(keep :+ col("_rm_mx") :+ col("_rm_mn"): _*)
+    own.unionAll(prev).groupBy(keep: _*)
+      .agg(min(col("_rm_mn")).as(minCol), max(col("_rm_mx")).as(maxCol))
   }
 }

@@ -427,8 +427,8 @@ object Relational {
     * prefix-difference kernel's sum+count pass
     * ([[graft.operators.RangeSum.slidingRangeSumCount]]) — the
     * decomposable-aggregate side of the RangeSum boundary (MIN/MAX
-    * have no subtraction law and are deliberately not offered; see
-    * the RangeSum scaladoc). The division discipline is explicit on
+    * have no subtraction law and take the block decomposition
+    * instead; see w7_range_minmax). The division discipline is explicit on
     * both engines — exact long cent-sum cast to double, divided by
     * the exact long count, then by 100.0, in that order — rather
     * than a native AVG whose internal accumulation order differs. */
@@ -453,6 +453,42 @@ object Relational {
              COUNT(cents) OVER w AS nearby_n,
              CAST(SUM(cents) OVER w AS DOUBLE)
                / COUNT(cents) OVER w / 100.0 AS nearby_avg
+      FROM (SELECT o_orderkey, o_orderpriority,
+              CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders)
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY cents
+                   RANGE BETWEEN 1000000 PRECEDING AND CURRENT ROW)
+      ORDER BY o_orderkey"""))
+
+  /** MIN/MAX over the same value-bounded sliding frame — the
+    * NON-decomposable side of the RangeSum boundary, through the
+    * block-decomposition kernel
+    * ([[graft.operators.RangeSum.slidingRangeMinMax]]): the frame
+    * spans exactly two width-sized value blocks, each half a growing
+    * running extreme Spark processes incrementally — O(n log n)
+    * independent of frame width, where the native RANGE frame
+    * re-scans the frame per row. Oracle: DuckDB computes the frame
+    * natively, pinning the reformulation bit-for-bit on the same
+    * exact-cents framing as w4/w5/w6. */
+  val w7_range_minmax = GQuery(
+    "w7_range_minmax",
+    (s, d) => {
+      import s.implicits._
+      val o = T.orders(s, d).select(
+        $"o_orderkey", $"o_orderpriority",
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      graft.operators.RangeSum.slidingRangeMinMax(o,
+          "o_orderpriority", Seq("o_orderkey"), "cents",
+          width = 1000000L, "cents_min", "cents_max")
+        .select($"o_orderkey", $"o_orderpriority",
+          ($"cents_min".cast("double") / 100.0).as("nearby_min"),
+          ($"cents_max".cast("double") / 100.0).as("nearby_max"))
+        .orderBy($"o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey, o_orderpriority,
+             CAST(MIN(cents) OVER w AS DOUBLE) / 100.0 AS nearby_min,
+             CAST(MAX(cents) OVER w AS DOUBLE) / 100.0 AS nearby_max
       FROM (SELECT o_orderkey, o_orderpriority,
               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
             FROM orders)
@@ -531,5 +567,5 @@ object Relational {
     unpivot_measures, w3_distribution, agg_percentiles,
     agg_approx_percentile, str_funcs, hof_tokens, skew_salted_join,
     sub_exists, sub_scalar_corr, c8_calendar, agg_collect,
-    w4_range_frame, w5_range_prefix, w6_range_avg)
+    w4_range_frame, w5_range_prefix, w6_range_avg, w7_range_minmax)
 }

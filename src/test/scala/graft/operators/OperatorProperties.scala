@@ -178,4 +178,30 @@ object OperatorProperties extends Properties("operators") {
       }.toMap
       got == want
     }
+
+  property("slidingRangeMinMax == brute-force frame min/max on random " +
+      "data (negative values stress the block floor division)") =
+    forAll(Gen.choose(1, 60), Gen.choose(1L, 40L),
+      Gen.choose(1L, 10000L)) { (nRows, width, seed) =>
+      import spark.implicits._
+      val rnd = new scala.util.Random(seed)
+      // small domain CENTERED ON ZERO: boundary ties stay constant
+      // and negative values exercise pmod-corrected block assignment
+      val rows = (1 to nRows).map(i =>
+        (i.toLong, if (rnd.nextBoolean()) "A" else "B",
+          (rnd.nextInt(60) - 30).toLong))
+      val got = RangeSum.slidingRangeMinMax(
+          rows.toDF("id", "part", "v"), "part", Seq("id"), "v",
+          width, "mn", "mx")
+        .collect()
+        .map(r => r.getAs[Long]("id") ->
+          (r.getAs[Long]("mn"), r.getAs[Long]("mx"))).toMap
+      val want = rows.map { case (id, part, v) =>
+        val frame = rows.filter { case (_, p2, v2) =>
+          p2 == part && v2 >= v - width && v2 <= v
+        }.map(_._3)
+        id -> (frame.min, frame.max)
+      }.toMap
+      got == want
+    }
 }
