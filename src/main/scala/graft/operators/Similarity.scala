@@ -287,6 +287,106 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
+  /** Product-quantization ANN (ADC scan + exact rerank): each vector
+    * compresses to `m` sub-codes by quantizing its m dim/m-wide
+    * subspaces against per-subspace `ksub`-entry codebooks, trained
+    * like the IVF coarse quantizer — bounded hash-ordered driver
+    * sample, seeded Lloyd per subspace, fully deterministic. A query
+    * scans ALL codes in the compressed domain: approximate dot =
+    * Σ_j LUT_j[code_j] — m table lookups per pair instead of a
+    * dim-wide float dot, with the per-query LUT (m × ksub sub-dots)
+    * built once, map-side. The best `rerank` candidates per query are
+    * then re-scored exactly against the true vectors.
+    *
+    * Scale shape: a code row is m small ints + one stored norm vs
+    * 4·dim bytes of floats (32× at dim 64, m 8) — the scan's working
+    * set fits executor memory at corpus sizes where raw vectors
+    * cannot. The code table never shuffles: queries (with their LUTs)
+    * broadcast into the scan, and the Q·rerank candidate set
+    * broadcasts into the rerank join against the vector table. The
+    * ADC scan only SELECTS — ranking among survivors is exact — so
+    * with rerank ≥ N the result equals brute force exactly
+    * (hash-gated by sim_pq_fullrerank; quality at bounded rerank is
+    * gated by sim_pq_topk's recall contract). Returns (query_id,
+    * neighbor_id, rank, cos). */
+  def pqTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int = 8, ksub: Int = 16,
+      rerank: Int = 32, seed: Long = 42L): DataFrame = {
+    val sample = vectors.select(col(vecCol))
+      .where(col(vecCol).isNotNull)
+      .orderBy(xxhash64(col(vecCol)))
+      .limit(math.max(ksub * 256, 4096))
+      .collect().map(_.getSeq[Float](0).toArray)
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    // independent per-subspace codebooks; the seed offset decorrelates
+    // subspace quantizers trained on the same sample
+    val books = Array.tabulate(m)(j =>
+      localLloyd(sample.map(_.slice(j * dsub, (j + 1) * dsub)),
+        ksub, iters = 8, seed = seed + j))
+    def sub(vec: Column, j: Int): Column = slice(vec, j * dsub + 1, dsub)
+    // per-subspace code: argmin-L2 == argmax(2·v·c − |c|²); struct
+    // comparison tie-breaks on code id like the IVF cell assignment
+    def codeOf(vec: Column, j: Int): Column = {
+      val entries = array(books(j).zipWithIndex.map { case (cv, i) =>
+        struct(lit(i).as("c"), typedlit(cv).as("cv"),
+          lit(cv.foldLeft(0.0)((a, x) => a + x.toDouble * x)).as("n2"))
+      }: _*)
+      array_max(transform(entries, e =>
+        struct((fdot(sub(vec, j), e.getField("cv")) * lit(2.0) -
+          e.getField("n2")).as("score"), e.getField("c").as("c"))))
+        .getField("c")
+    }
+    val codes = array((0 until m).map(codeOf(col(vecCol), _)): _*)
+    // codebook norms as one nested literal: vn2 ≈ |v|² reconstructs
+    // from the codes alone, stored beside them like the codes
+    val n2Lit = typedlit(books.map(_.map(cv =>
+      cv.foldLeft(0.0)((a, x) => a + x.toDouble * x)).toSeq).toSeq)
+    val enc = vectors.where(col(vecCol).isNotNull).select(
+      col(idCol).as("neighbor_id"), codes.as("pq_codes"),
+      aggregate(transform(codes, (c, j) =>
+        element_at(element_at(n2Lit, (j + lit(1)).cast("int")),
+          (c + lit(1)).cast("int"))),
+        lit(0.0), (acc, x) => acc + x).as("vn2"))
+    val bookLits = (0 until m).map(j =>
+      typedlit(books(j).map(_.toSeq).toSeq))
+    val q = queries.where(col(vecCol).isNotNull).select(
+      col(idCol).as("query_id"), col(vecCol).as("qv"),
+      fnorm(col(vecCol)).as("qn"),
+      array((0 until m).map(j => transform(bookLits(j),
+        cv => fdot(sub(col(vecCol), j), cv))): _*).as("lut"))
+    // the compressed-domain linear scan: m lookups per (query, code)
+    val scanned = enc.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", aggregate(
+        transform(col("pq_codes"), (c, j) =>
+          element_at(element_at(col("lut"), (j + lit(1)).cast("int")),
+            (c + lit(1)).cast("int"))),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("approx_cos",
+        col("adc") / (col("qn") * sqrt(col("vn2"))))
+    val wSel = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("approx_cos").desc, col("neighbor_id"))
+    val cand = scanned.withColumn("sel", row_number().over(wSel))
+      .filter(col("sel") <= rerank)
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("qn"))
+    val exact = broadcast(cand).join(
+        vectors.where(col(vecCol).isNotNull).select(
+          col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+          fnorm(col(vecCol)).as("cn")),
+        Seq("neighbor_id"))
+      .withColumn("cos",
+        pairCos(fdot(col("qv"), col("cv")), col("qn"), col("cn")))
+    val wK = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(wK))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
   /** Hash width for sign-LSH bucketing: the smallest b with
     * 2^b · 128 ≥ n (floor 6, cap 20) — expected bucket occupancy stays
     * ≤ ~128 as the corpus grows, so within-bucket pair generation stays
