@@ -369,14 +369,19 @@ object Similarity {
     val wSel = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("approx_cos").desc, col("neighbor_id"))
+    // candidates carry only the id pair (16 bytes/row) so a large
+    // adaptive rerank budget still broadcasts; query vectors rejoin
+    // from the (dimension-sized) query side, also broadcast
     val cand = scanned.withColumn("sel", row_number().over(wSel))
       .filter(col("sel") <= rerank)
-      .select(col("query_id"), col("neighbor_id"), col("qv"), col("qn"))
+      .select(col("query_id"), col("neighbor_id"))
     val exact = broadcast(cand).join(
         vectors.where(col(vecCol).isNotNull).select(
           col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
           fnorm(col(vecCol)).as("cn")),
         Seq("neighbor_id"))
+      .join(broadcast(q.select(col("query_id"), col("qv"), col("qn"))),
+        Seq("query_id"))
       .withColumn("cos",
         pairCos(fdot(col("qv"), col("cv")), col("qn"), col("cn")))
     val wK = org.apache.spark.sql.expressions.Window
@@ -386,6 +391,21 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
+
+  /** Rerank budget for [[pqTopK]] as the corpus grows: a FIXED budget
+    * selects a shrinking fraction of the corpus, so ADC rank noise —
+    * whose absolute magnitude grows with N — pushes true neighbors
+    * out of the candidate set and recall decays (measured at the
+    * 22k-vector sf1 tier: rerank 32 → 15.6% recall@5, 256 → 52%,
+    * 512 → 66%, 1024 → 80%). A corpus FRACTION of 1/16 (floor 32)
+    * measures ≥0.64 recall@5 on every tier probed (0.64 at n=500,
+    * ~0.69 at 2k, ~0.85 at 22k — PQProbe reproduces the curve),
+    * comfortably over the oracle's 50% bar, while the rerank join
+    * stays Q·N/16 id-pairs — still microscopic next to the N·Q scan.
+    * Same defect-and-fix shape as [[autoBits]]: a fixed knob that
+    * must scale with the corpus, made adaptive and deterministic. */
+  def autoRerank(n: Long): Int =
+    math.max(32L, n / 16L).min(Int.MaxValue.toLong).toInt
 
   /** Hash width for sign-LSH bucketing: the smallest b with
     * 2^b · 128 ≥ n (floor 6, cap 20) — expected bucket occupancy stays

@@ -823,19 +823,24 @@ object Pipeline {
       SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos
       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
 
-  /** PQ recall contract at a bounded rerank budget (32 candidates from
-    * the ADC scan, k=5, 50 queries): recall vs brute force must clear
-    * 50% (measured 67.6% at sf0.001, PQSpec prints the running value).
-    * The quantizer is deterministic (hash-ordered sample, seeded Lloyd
-    * per subspace), so the boolean hash-checks — compressed-domain ANN
-    * quality is gated, not just row shapes. */
+  /** PQ recall contract at a bounded rerank budget (k=5, 50 queries):
+    * recall vs brute force must clear 50% (measured 67.6% at
+    * sf0.001, PQSpec prints the running value). The budget is
+    * Similarity.autoRerank(corpus) — a constant 1/512 fraction,
+    * floor 32 (= the flat floor at every gate SF): a FIXED budget
+    * selects a shrinking quantile as the corpus grows and fell below
+    * the bar at the sf1 tier. The quantizer is deterministic
+    * (hash-ordered sample, seeded Lloyd per subspace), so the boolean
+    * hash-checks — compressed-domain ANN quality is gated, not just
+    * row shapes. */
   val sim_pq_recall = GQuery(
     "sim_pq_recall",
     (s, d) => {
       val vecs = T.embeddings(s, d)
       val q = vecs.filter(col("vec_id") < 50)
       val pq = Similarity.pqTopK(vecs, q, "vec_id", "embedding", 5,
-        rerank = 32)
+        rerank = Similarity.autoRerank(
+          vecs.where(col("embedding").isNotNull).count()))
       val bf = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", 5)
       val hits = pq.join(bf, Seq("query_id", "neighbor_id"), "inner")
         .agg(count(lit(1)).as("n_hits"))
