@@ -31,7 +31,7 @@ object ScaleSweep {
     "dedup_embedding_cosine", "dedup_semantic", "dedup_embedding_lsh",
     "dedup_lsh_recall", "sim_topk_bruteforce", "sim_lsh_bucketed",
     "sim_ivf_topk", "sim_ivf_fullprobe", "sim_ivf_recall",
-    "sim_rplsh_recall", "sim_pq_recall",
+    "sim_rplsh_recall", "sim_pq_recall", "sim_ivfpq_recall",
     // events-backed windows/folds
     "w1_running_sum", "sessionize", "a2_ratios", "a3_fold_avg_of_avgs",
     "a4_fold_ewma", "a6_last_value", "c1_json_extract",

@@ -392,6 +392,116 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
+  /** IVF-PQ: the production composition of the two ANN halves — the
+    * coarse quantizer restricts WHICH codes a query scans (nprobe of
+    * nlist cells ⇒ ~N·nprobe/nlist candidates instead of N), and
+    * product quantization compresses WHAT is scanned (m sub-codes +
+    * a norm instead of 4·dim bytes). Training shares one bounded
+    * hash-ordered driver sample: coarse centroids via seeded Lloyd,
+    * per-subspace codebooks via seeded Lloyd with offset seeds.
+    * Cell assignment, PQ encoding, cell probing and LUT construction
+    * are all map-side against broadcast literals; candidate scoring
+    * joins on the cell key with the (dimension-sized) probe side
+    * broadcast, so the code table never shuffles; the exact rerank
+    * re-scores the ADC survivors against true vectors, id-pair
+    * candidates broadcast as in [[pqTopK]].
+    *
+    * Recall composes multiplicatively: cell probing bounds it above
+    * by the IVF tier (sim_ivf_recall's 60% at nprobe=4), ADC
+    * selection within the probed cells retains ~0.9 of that at the
+    * [[autoRerank]] budget — gated end to end by sim_ivfpq_recall.
+    * Returns (query_id, neighbor_id, rank, cos). */
+  def ivfPqTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      m: Int = 8, ksub: Int = 16, rerank: Int = 32,
+      seed: Long = 42L): DataFrame = {
+    val sample = vectors.select(col(vecCol))
+      .where(col(vecCol).isNotNull)
+      .orderBy(xxhash64(col(vecCol)))
+      .limit(math.max(math.max(nlist, ksub) * 256, 4096))
+      .collect().map(_.getSeq[Float](0).toArray)
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    val coarse = localLloyd(sample, nlist, iters = 8, seed = seed)
+    val books = Array.tabulate(m)(j =>
+      localLloyd(sample.map(_.slice(j * dsub, (j + 1) * dsub)),
+        ksub, iters = 8, seed = seed + 1 + j))
+    // coarse assignment (same argmax(2·v·c − |c|²) form as ivfTopK)
+    val centArr = array(coarse.zipWithIndex.map { case (cv, i) =>
+      struct(lit(i).as("cell"), typedlit(cv).as("cv"),
+        lit(cv.foldLeft(0.0)((a, x) => a + x.toDouble * x)).as("n2"))
+    }: _*)
+    def cellScores(vec: Column): Column = transform(centArr, c =>
+      struct((fdot(vec, c.getField("cv")) * lit(2.0) - c.getField("n2"))
+        .as("score"), c.getField("cell").as("cell")))
+    def sub(vec: Column, j: Int): Column = slice(vec, j * dsub + 1, dsub)
+    def codeOf(vec: Column, j: Int): Column = {
+      val entries = array(books(j).zipWithIndex.map { case (cv, i) =>
+        struct(lit(i).as("c"), typedlit(cv).as("cv"),
+          lit(cv.foldLeft(0.0)((a, x) => a + x.toDouble * x)).as("n2"))
+      }: _*)
+      array_max(transform(entries, e =>
+        struct((fdot(sub(vec, j), e.getField("cv")) * lit(2.0) -
+          e.getField("n2")).as("score"), e.getField("c").as("c"))))
+        .getField("c")
+    }
+    val codes = array((0 until m).map(codeOf(col(vecCol), _)): _*)
+    val n2Lit = typedlit(books.map(_.map(cv =>
+      cv.foldLeft(0.0)((a, x) => a + x.toDouble * x)).toSeq).toSeq)
+    val enc = vectors.where(col(vecCol).isNotNull).select(
+      col(idCol).as("neighbor_id"),
+      array_max(cellScores(col(vecCol))).getField("cell").as("cell"),
+      codes.as("pq_codes"),
+      aggregate(transform(codes, (c, j) =>
+        element_at(element_at(n2Lit, (j + lit(1)).cast("int")),
+          (c + lit(1)).cast("int"))),
+        lit(0.0), (acc, x) => acc + x).as("vn2"))
+    val bookLits = (0 until m).map(j =>
+      typedlit(books(j).map(_.toSeq).toSeq))
+    // one row per (query, probed cell), LUT computed once per query
+    // then carried into its nprobe rows
+    val q = queries.where(col(vecCol).isNotNull).select(
+      col(idCol).as("query_id"), col(vecCol).as("qv"),
+      fnorm(col(vecCol)).as("qn"),
+      array((0 until m).map(j => transform(bookLits(j),
+        cv => fdot(sub(col(vecCol), j), cv))): _*).as("lut"),
+      explode(slice(reverse(array_sort(cellScores(col(vecCol)))), 1,
+        nprobe).getField("cell")).as("cell"))
+    val scanned = enc.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", aggregate(
+        transform(col("pq_codes"), (c, j) =>
+          element_at(element_at(col("lut"), (j + lit(1)).cast("int")),
+            (c + lit(1)).cast("int"))),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("approx_cos",
+        col("adc") / (col("qn") * sqrt(col("vn2"))))
+    val wSel = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("approx_cos").desc, col("neighbor_id"))
+    val cand = scanned.withColumn("sel", row_number().over(wSel))
+      .filter(col("sel") <= rerank)
+      .select(col("query_id"), col("neighbor_id"))
+    val exact = broadcast(cand).join(
+        vectors.where(col(vecCol).isNotNull).select(
+          col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+          fnorm(col(vecCol)).as("cn")),
+        Seq("neighbor_id"))
+      .join(broadcast(queries.where(col(vecCol).isNotNull).select(
+          col(idCol).as("query_id"), col(vecCol).as("qv"),
+          fnorm(col(vecCol)).as("qn"))),
+        Seq("query_id"))
+      .withColumn("cos",
+        pairCos(fdot(col("qv"), col("cv")), col("qn"), col("cn")))
+    val wK = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(wK))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
   /** Rerank budget for [[pqTopK]] as the corpus grows: a FIXED budget
     * selects a shrinking fraction of the corpus, so ADC rank noise —
     * whose absolute magnitude grows with N — pushes true neighbors

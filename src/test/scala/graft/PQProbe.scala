@@ -27,6 +27,13 @@ object PQProbe {
       val hits = pq.count(r => bf((r.getLong(0), r.getLong(1))))
       println(f"rerank=$rr%5d recall=${hits.toDouble / bf.size}%.3f")
     }
+    for (np <- Seq(2, 4, 8)) {
+      val r = Similarity.ivfPqTopK(vecs, q, "vec_id", "embedding", 5,
+        nprobe = np, rerank = Similarity.autoRerank(n)).collect()
+      val hits = r.count(x => bf((x.getLong(0), x.getLong(1))))
+      println(f"ivfpq nprobe=$np%2d rerank=auto " +
+        f"recall=${hits.toDouble / bf.size}%.3f")
+    }
     spark.stop()
   }
 }

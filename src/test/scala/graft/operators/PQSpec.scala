@@ -38,4 +38,22 @@ class PQSpec extends SparkSpec {
     info(f"PQ rerank=32 recall@5 over 50 queries: $recall%.3f")
     assert(recall >= 0.60, f"recall $recall%.3f below spec bar 0.60")
   }
+
+  test("IVF-PQ: deterministic, well-formed top-k, no self-match") {
+    val q = vecs.filter(col("vec_id") < 20)
+    def run() = Similarity.ivfPqTopK(vecs, q, "vec_id", "embedding", 5,
+      nprobe = 4, rerank = 32).orderBy("query_id", "rank").collect()
+    val r1 = run(); val r2 = run()
+    assert(r1.toSeq == r2.toSeq, "IVF-PQ result not deterministic")
+    assert(r1.nonEmpty)
+    r1.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      val ranks = rows.map(_.getInt(2)).sorted
+      assert(ranks.head == 1 && ranks.toSeq == (1 to ranks.length),
+        s"ranks not contiguous-from-1 for query $qid: ${ranks.toSeq}")
+      val cs = rows.sortBy(_.getInt(2)).map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b - 1e-9 },
+        s"cos not non-increasing for query $qid")
+      assert(rows.forall(r => r.getLong(1) != qid), s"self-match $qid")
+    }
+  }
 }
