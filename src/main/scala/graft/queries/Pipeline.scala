@@ -842,7 +842,8 @@ object Pipeline {
         rerank = Similarity.autoRerank(
           vecs.where(col("embedding").isNotNull).count()))
       val bf = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", 5)
-      val hits = pq.join(bf, Seq("query_id", "neighbor_id"), "inner")
+      val hits = pq.join(broadcast(bf), Seq("query_id", "neighbor_id"),
+          "inner")
         .agg(count(lit(1)).as("n_hits"))
       bf.agg(countDistinct(col("query_id")).as("n_queries"))
         .crossJoin(hits)
@@ -870,7 +871,8 @@ object Pipeline {
         nprobe = 4, rerank = Similarity.autoRerank(
           vecs.where(col("embedding").isNotNull).count()))
       val bf = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", 5)
-      val hits = r.join(bf, Seq("query_id", "neighbor_id"), "inner")
+      val hits = r.join(broadcast(bf), Seq("query_id", "neighbor_id"),
+          "inner")
         .agg(count(lit(1)).as("n_hits"))
       bf.agg(countDistinct(col("query_id")).as("n_queries"))
         .crossJoin(hits)

@@ -313,6 +313,18 @@ class PlanAuditSpec extends SparkSpec {
       "global window in curriculum_buckets:\n" + p)
   }
 
+  test("PQ family: the code table never sort-merge-joins — queries " +
+      "broadcast into the scan, candidates broadcast into the rerank") {
+    for (name <- Seq("sim_pq_recall", "sim_ivfpq_recall")) {
+      val p = plan(name, "simple")
+      assert(!p.contains("SortMergeJoin"),
+        s"$name: a shuffle join reached the ANN path:\n" + p)
+      assert(p.contains("BroadcastHashJoin") ||
+        p.contains("BroadcastNestedLoopJoin"),
+        s"$name: expected broadcast joins on the scan/rerank path:\n" + p)
+    }
+  }
+
   test("heavy hitters recount: candidate filter is applied before the " +
       "aggregation shuffle (map-side), never after") {
     val q = Registry.queryMap("heavy_hitters")(spark, sf)
