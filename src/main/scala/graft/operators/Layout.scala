@@ -49,6 +49,33 @@ object Layout {
       .parquet(path)
   }
 
+  /** Write `df` Z-order-clustered on two dimension columns: rows are
+    * range-partitioned and sorted by the Morton interleave of
+    * `(dimA, dimB)` (see [[graft.functions.ZOrderCols]]), so each
+    * output file covers a small axis-aligned tile of the 2-D key
+    * space and its parquet min/max footer stats prune box predicates
+    * on EITHER or BOTH dimensions. A 1-D range-clustered layout
+    * ([[clusteredWrite]]) prunes only its cluster column; the z
+    * layout trades a little pruning power on dimA for pruning power
+    * on dimB — the right layout when the scan workload filters on
+    * two independent columns.
+    *
+    * Both dimension columns must be integral and non-negative
+    * (< 2^31 — the morton spread masks higher bits). The helper `_z`
+    * key is dropped before writing; sort order survives the
+    * projection, so files still cover contiguous z ranges. */
+  def zorderWrite(df: DataFrame, path: String,
+      targetRowsPerFile: Long, dimA: String, dimB: String): Unit = {
+    val z = graft.functions.ZOrderCols.mortonCode(col(dimA), col(dimB))
+    df.withColumn("_z", z)
+      .repartitionByRange(col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", targetRowsPerFile)
+      .parquet(path)
+  }
+
   /** Compact a directory of (possibly many small) parquet files into
     * ~`targetRowsPerFile`-sized files at `destPath`. Reads the source
     * once and writes a fresh directory (never in-place — readers of the

@@ -1527,6 +1527,162 @@ object Pipeline {
              TRUE AS compact_rows_ok, TRUE AS report_ok
       FROM per_lang"""))
 
+  // ---------------------------------------------------------- z-order
+  /** The Morton (Z-order) curve key itself under the hash gate: every
+    * order's 2-D key (custkey, exact price cents) interleaved into one
+    * long by [[graft.functions.ZOrderCols.mortonCode]] — pure shift/
+    * mask column algebra, bit-exact in DuckDB via the identical spread
+    * sequence. This is the sort key [[layout_zorder]] clusters files
+    * by; gating it exactly means the layout query's pruning contract
+    * rests on a verified curve, not an assumed one. */
+  val zorder_curve = GQuery(
+    "zorder_curve",
+    (s, d) => {
+      import s.implicits._
+      T.orders(s, d)
+        .select($"o_orderkey", $"o_custkey".as("a"),
+          round($"o_totalprice" * 100).cast("long").as("b"))
+        .withColumn("z",
+          graft.functions.ZOrderCols.mortonCode($"a", $"b"))
+        .orderBy($"z", $"o_orderkey")
+    },
+    Some("""
+      WITH t AS (
+        SELECT o_orderkey, o_custkey AS a,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS b
+        FROM orders),
+      s0 AS (SELECT o_orderkey, a, b,
+              a & 2147483647 AS xa, b & 2147483647 AS xb FROM t),
+      s1 AS (SELECT o_orderkey, a, b,
+              (xa | (xa << 16)) & 281470681808895 AS xa,
+              (xb | (xb << 16)) & 281470681808895 AS xb FROM s0),
+      s2 AS (SELECT o_orderkey, a, b,
+              (xa | (xa << 8)) & 71777214294589695 AS xa,
+              (xb | (xb << 8)) & 71777214294589695 AS xb FROM s1),
+      s3 AS (SELECT o_orderkey, a, b,
+              (xa | (xa << 4)) & 1085102592571150095 AS xa,
+              (xb | (xb << 4)) & 1085102592571150095 AS xb FROM s2),
+      s4 AS (SELECT o_orderkey, a, b,
+              (xa | (xa << 2)) & 3689348814741910323 AS xa,
+              (xb | (xb << 2)) & 3689348814741910323 AS xb FROM s3),
+      s5 AS (SELECT o_orderkey, a, b,
+              (xa | (xa << 1)) & 6148914691236517205 AS xa,
+              (xb | (xb << 1)) & 6148914691236517205 AS xb FROM s4)
+      SELECT o_orderkey, a, b, xa | (xb << 1) AS z FROM s5
+      ORDER BY z, o_orderkey"""))
+
+  /** Multi-dimensional data skipping under the hash gate: the same
+    * orders keyed on (custkey, price cents) written twice — 1-D
+    * range-clustered on custkey ([[graft.operators.Layout.clusteredWrite]])
+    * vs Z-order-clustered on the Morton interleave
+    * ([[graft.operators.Layout.zorderWrite]]) — then an 8×8 grid of
+    * 2-D box predicates is answered from each layout using ONLY the
+    * files whose per-file (min,max) envelopes intersect the box, the
+    * file-skipping a footer-stats reader performs. Two contracts:
+    * (a) correctness — for BOTH layouts the pruned reads return
+    * exactly the per-box row counts the oracle computes from pure SQL
+    * (pruning never loses a row); (b) efficiency — the z layout's
+    * total candidate-file count over the workload is strictly below
+    * the linear layout's (the point of interleaving: the 1-D layout
+    * cannot skip anything on the second dimension). File counts and
+    * envelopes depend on range-partition sampling, so they enter only
+    * through these booleans; rows, box geometry, and per-box maxima
+    * are exact columns the oracle rebuilds.
+    *
+    * Scale: both writes are one range shuffle; stats and pruned reads
+    * are scans grouped by file name; the box table is 64 rows,
+    * broadcast. At 100 TB the same arrangement holds per partition —
+    * z-clustering is a write-time sort, not a global structure. */
+  val layout_zorder = GQuery(
+    "layout_zorder",
+    (s, d) => graft.GQuery.withTempTable(s, "graft-zorder-q") { dir =>
+      import s.implicits._
+      import org.apache.spark.sql.DataFrame
+      import graft.operators.Layout
+      val src = T.orders(s, d).select($"o_orderkey",
+        $"o_custkey".as("a"),
+        round($"o_totalprice" * 100).cast("long").as("b"))
+      val head = src.agg(max($"a"), max($"b"), count(lit(1))).head()
+      val (maxA, maxB, nRows) =
+        (head.getLong(0), head.getLong(1), head.getLong(2))
+      val g = 8L
+      val stepA = maxA / g + 1L // every a in [0,maxA] hits strip a/stepA < g
+      val stepB = maxB / g + 1L
+      // file size scales with input so the file count stays ~bounded
+      // (the contract is about envelopes, not file-count magnitude)
+      val rpf = math.max(64L, nRows / 256L)
+      val lin = s"$dir/lin"; val zd = s"$dir/z"
+      Layout.clusteredWrite(src, lin, rpf, clusterCols = Seq("a"))
+      Layout.zorderWrite(src, zd, rpf, "a", "b")
+      val boxes = s.range(g * g).select(
+        expr(s"id DIV $g").as("bi"), (col("id") % g).as("bj"))
+        .select($"bi", $"bj",
+          ($"bi" * stepA).as("boxLoA"),
+          (($"bi" + 1L) * stepA - 1L).as("boxHiA"),
+          ($"bj" * stepB).as("boxLoB"),
+          (($"bj" + 1L) * stepB - 1L).as("boxHiB"))
+      def stats(path: String): DataFrame =
+        s.read.parquet(path)
+          .groupBy(input_file_name().as("file"))
+          .agg(min($"a").as("loA"), max($"a").as("hiA"),
+            min($"b").as("loB"), max($"b").as("hiB"))
+      def candidates(st: DataFrame): DataFrame =
+        st.join(broadcast(boxes),
+          $"loA" <= $"boxHiA" && $"hiA" >= $"boxLoA" &&
+            $"loB" <= $"boxHiB" && $"hiB" >= $"boxLoB")
+      // exact per-box counts straight from the source (what any reader
+      // must return for the box regardless of layout)
+      val exact = src
+        .select(expr(s"a DIV $stepA").as("bi"),
+          expr(s"b DIV $stepB").as("bj"))
+        .groupBy($"bi", $"bj").agg(count(lit(1)).as("n_exact"))
+      // rows per box read ONLY from candidate files: equal to exact ⇔
+      // the envelope pruning lost nothing
+      def prunedOk(path: String, cand: DataFrame) =
+        s.read.parquet(path)
+          .withColumn("file", input_file_name())
+          .join(broadcast(cand.select($"file", $"bi", $"bj", $"boxLoA",
+            $"boxHiA", $"boxLoB", $"boxHiB")), Seq("file"))
+          .filter($"a" >= $"boxLoA" && $"a" <= $"boxHiA" &&
+            $"b" >= $"boxLoB" && $"b" <= $"boxHiB")
+          .groupBy($"bi", $"bj").agg(count(lit(1)).as("n"))
+          .join(exact, Seq("bi", "bj"), "full")
+          .agg(coalesce(min(coalesce($"n", lit(0L)) ===
+            coalesce($"n_exact", lit(0L))), lit(true)).as("ok"))
+      val linCand = candidates(stats(lin))
+      val zCand = candidates(stats(zd))
+      exact.agg(count(lit(1)).as("n_nonempty_boxes"),
+          max($"n_exact").as("max_box_rows"))
+        .crossJoin(zCand.agg(count(lit(1)).as("z_cand")))
+        .crossJoin(linCand.agg(count(lit(1)).as("lin_cand")))
+        .crossJoin(prunedOk(zd, zCand)
+          .withColumnRenamed("ok", "z_rows_ok"))
+        .crossJoin(prunedOk(lin, linCand)
+          .withColumnRenamed("ok", "lin_rows_ok"))
+        .select(lit(nRows).as("total_rows"), lit(g * g).as("n_boxes"),
+          $"n_nonempty_boxes", $"max_box_rows", $"z_rows_ok",
+          $"lin_rows_ok", ($"z_cand" < $"lin_cand").as("z_prunes_better"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT o_custkey AS a,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS b
+        FROM orders),
+      m AS (SELECT MAX(a) AS ma, MAX(b) AS mb,
+                   CAST(COUNT(*) AS BIGINT) AS n FROM t),
+      geo AS (SELECT (ma // 8) + 1 AS stepA, (mb // 8) + 1 AS stepB,
+                     n FROM m),
+      bx AS (SELECT a // stepA AS bi, b // stepB AS bj,
+                    CAST(COUNT(*) AS BIGINT) AS nb
+             FROM t, geo GROUP BY 1, 2)
+      SELECT geo.n AS total_rows, CAST(64 AS BIGINT) AS n_boxes,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM bx)
+               AS n_nonempty_boxes,
+             (SELECT MAX(nb) FROM bx) AS max_box_rows,
+             TRUE AS z_rows_ok, TRUE AS lin_rows_ok,
+             TRUE AS z_prunes_better
+      FROM geo"""))
+
   val all: Seq[GQuery] = Seq(
     dedup_exact, dedup_minhash_lsh, dedup_simhash, dedup_ngram_jaccard,
     dedup_ngram_steep, dedup_ngram_steep_recall,
@@ -1540,5 +1696,6 @@ object Pipeline {
     decontaminate_bloom,
     split_shuffle, mix_temperature, curriculum_buckets, pack_sequences,
     heavy_hitters, text_tfidf,
-    upsert_snapshot, upsert_time_travel, layout_report)
+    upsert_snapshot, upsert_time_travel, layout_report,
+    zorder_curve, layout_zorder)
 }
