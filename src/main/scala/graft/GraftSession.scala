@@ -13,7 +13,9 @@ import org.apache.spark.sql.SparkSession
   *    registered via SparkSessionExtensions,
   *  - the RocksDB state store for streaming state (required by
   *    transformWithState, and the right choice for large keyed state),
-  *  - UTC session time and nano-parquet reads matching the test data.
+  *  - UTC session time — timestamp columns are TIMESTAMP_NTZ µs in the
+  *    test data, and the UTC pin makes `cast("timestamp")` /
+  *    `unix_micros` an exact instant reinterpretation.
   *
   * On a real cluster, master/shuffle-partitions come from spark-submit;
   * only [[tuned]] is applied. Shuffle-partition count is a per-job
@@ -25,6 +27,8 @@ object GraftSession {
   def tuned(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
+    // legacy flag kept for pre-r7-format data (TIMESTAMP(NANOS) parquet
+    // → epoch-nano long); inert on the current µs-precision testdata
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .config("spark.sql.streaming.stateStore.providerClass",

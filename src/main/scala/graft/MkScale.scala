@@ -107,19 +107,23 @@ object MkScale {
       .repartition(8)
       .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
 
-    // events.ts is read as an epoch-NANO long (nanosAsLong) — keep it a
-    // long end-to-end; a cast to timestamp would interpret it as
-    // seconds AND flip the column type the queries expect.
+    // events.ts is TIMESTAMP_NTZ at µs precision: shift replicas in
+    // exact integer µs (unix_micros under the UTC-pinned session — the
+    // seconds-granularity hop orders uses below would round away the
+    // sub-second spacing the session/window queries depend on) and
+    // rebuild the NTZ column so the derived tier keeps the source schema
     val ev = spark.read.parquet(s"$src/events.parquet")
     val nEvents = ev.count()
     val evStride = stride(ev, "event_id")
+    val tsUs = unix_micros($"ts".cast("timestamp"))
     val span = ev.agg(
-        (max($"ts") - min($"ts") + 86400L * 1000000000L).as("span"))
+        (max(tsUs) - min(tsUs) + 86400L * 1000000L).as("span"))
       .head().getLong(0)
     ev.crossJoin(replicas)
       .select(
         ($"event_id" + $"r".cast("long") * evStride).as("event_id"),
-        ($"ts" + $"r".cast("long") * span).as("ts"),
+        timestamp_micros(tsUs + $"r".cast("long") * span)
+          .cast("timestamp_ntz").as("ts"),
         $"user_id", $"event_type", $"value", $"props")
       .repartition(8)
       .write.mode("overwrite").parquet(s"$dst/events.parquet")

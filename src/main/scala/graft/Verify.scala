@@ -12,9 +12,9 @@ object Verify {
     val only = args.drop(2).toSet
     def keep(name: String) = only.isEmpty || only(name)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // tuned() carries the nanosAsLong conf the driver testdata needs
-    // (events.ts is parquet TIMESTAMP(NANOS) → epoch-nano longs, which
-    // order/compare identically to DuckDB's TIMESTAMP_NS)
+    // tuned() pins the session to UTC: events.ts is parquet
+    // TIMESTAMP(MICROS) → TIMESTAMP_NTZ, and the UTC pin makes
+    // unix_micros(ts.cast("timestamp")) equal DuckDB's epoch_us(ts)
     val spark = GraftSession.tuned(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

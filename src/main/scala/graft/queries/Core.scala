@@ -15,8 +15,8 @@ import graft.{GQuery, Tables => T}
   *  - averages are computed as double(sum_decimal)/double(count) and
   *    rounded, so both engines perform the identical IEEE division;
   *  - every query has a total ORDER BY;
-  *  - raw nanosecond timestamps are never emitted (Spark truncates
-  *    parquet ns → µs, DuckDB keeps ns).
+  *  - timestamps are µs-precision on both engines (parquet
+  *    TIMESTAMP(MICROS)), so emitted timestamp columns compare exactly.
   */
 object Core {
 

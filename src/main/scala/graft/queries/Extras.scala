@@ -9,9 +9,12 @@ import graft.operators.Multimodal
   * and ML surface (rows-only where no deterministic SQL oracle can
   * exist).
   *
-  * NB on time: events.ts is nanosecond parquet; Spark reads epoch-nano
-  * longs (nanosAsLong), DuckDB truncates to µs — so every cross-engine
-  * time computation here works in microseconds (floor division).
+  * NB on time: events.ts is parquet TIMESTAMP(MICROS) → TIMESTAMP_NTZ
+  * in Spark (the pre-r7 testdata was TIMESTAMP(NANOS) read as epoch-nano
+  * longs). The session is UTC-pinned (GraftSession), so
+  * `unix_micros(ts.cast("timestamp"))` is the exact epoch-µs long and
+  * equals DuckDB's `epoch_us(ts)` — both engines see the identical
+  * integer, no truncation step remains.
   */
 object Extras {
 
@@ -22,17 +25,13 @@ object Extras {
     "sessionize",
     (s, d) => {
       import s.implicits._
-      // window order is (floored µs, event_id) on BOTH engines — raw
-      // ns `ts` order could disagree with it on same-µs ties and move
-      // an event across a session boundary only on one side
+      // window order is (epoch µs, event_id) on BOTH engines; us is an
+      // exact integer reinterpretation of the µs-precision NTZ column
+      // under the UTC-pinned session (header note)
       val wOrder = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
       val gapUs = 30L * 60 * 1000 * 1000
-      // integer floor division (ts DIV 1000): floor($"ts" / 1000)
-      // divides in DOUBLE, and at 2024-epoch nanos (~1.7e18, ulp 256)
-      // the floored µs can differ ±1 from the oracle's exact
-      // epoch_us for ~6% of rows (ADVICE r6)
       val sessions = T.events(s, d)
-        .withColumn("us", expr("ts DIV 1000"))
+        .withColumn("us", unix_micros($"ts".cast("timestamp")))
         .withColumn("gap", $"us" - lag($"us", 1).over(wOrder))
         .withColumn("new_session",
           when($"gap".isNull || $"gap" > gapUs, 1L).otherwise(0L))
@@ -535,8 +534,9 @@ object Extras {
     (s, d) => {
       import s.implicits._
       val hourUs = 3600L * 1000 * 1000
-      // integer floor division, same ±1-µs rationale as sessionize above
-      val e = T.events(s, d).withColumn("us", expr("ts DIV 1000"))
+      // exact epoch-µs long, same header-note rationale as sessionize
+      val e = T.events(s, d)
+        .withColumn("us", unix_micros($"ts".cast("timestamp")))
       val signups = e.filter($"event_type" === "signup")
         .select($"user_id", $"event_id".as("signup_id"),
           $"us".as("lo"), ($"us" + hourUs).as("hi"))

@@ -56,16 +56,18 @@ import graft.streaming.StreamOps
   * stays pinned in StreamingSpec/RecoverySpec, which drive multi-batch
   * MemoryStreams.
   *
-  * Time: events.ts is epoch-nano LONG under nanosAsLong (Extras header
-  * note); all operators need a real timestamp column, so each query
-  * derives `ets = timestamp_micros(ts DIV 1000)` — integer floor
-  * division, exactly DuckDB's epoch_us() truncation (a double-precision
-  * `/ 1000` would wobble ±1 µs at 2023-epoch magnitudes).
+  * Time: events.ts is parquet TIMESTAMP(MICROS), read as TIMESTAMP_NTZ
+  * (the pre-r7 testdata was TIMESTAMP(NANOS) read as an epoch-nano long
+  * under nanosAsLong). The session is UTC-pinned (GraftSession), so
+  * `ets = ts.cast("timestamp")` reinterprets the same µs instant as the
+  * TimestampType the watermark operators expect, and `unix_micros(ets)`
+  * equals DuckDB's `epoch_us(ts)` exactly — no precision conversion
+  * exists anywhere for it to wobble.
   */
 object Streaming {
 
   private def withEts(s: SparkSession, d: String) =
-    T.events(s, d).withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
+    T.events(s, d).withColumn("ets", col("ts").cast("timestamp"))
 
   private def decSum(c: Column): Column =
     sum(c.cast("decimal(38,2)")).cast("double")

@@ -213,7 +213,7 @@ class PlanAuditSpec extends SparkSpec {
   private def etsEvents = {
     import org.apache.spark.sql.functions._
     Tables.events(spark, sf)
-      .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("ets", col("ts").cast("timestamp"))
   }
 
   test("stream gates: window agg is one shuffle with map-side partial; " +
