@@ -5,7 +5,8 @@ package graft
 object Registry {
   def all: Seq[GQuery] =
     queries.Core.all ++ queries.Pipeline.all ++ queries.Extras.all ++
-      queries.Relational.all ++ queries.Streaming.all
+      queries.Relational.all ++ queries.Streaming.all ++
+      queries.Retrieval.all
 
   def queryMap: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

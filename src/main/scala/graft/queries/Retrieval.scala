@@ -1,0 +1,190 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{GQuery, Tables => T}
+
+/** Retrieval surface over the document corpus: an inverted-index build
+  * and BM25 ranking — the two operations an LLM-data pipeline runs to
+  * serve "find training docs like/about X" (RAG indexing, targeted
+  * decontamination, corpus exploration). The reference has no retrieval
+  * layer; this extends the text-analysis family (TF-IDF already ships
+  * in `operators/TextAnalysis`) with the ranking step that makes it
+  * queryable.
+  *
+  * Tokenization is the corpus-wide convention shared with the TF-IDF
+  * and repetition queries: lowercase, split on single spaces, drop
+  * empty tokens — spelled identically in the oracle
+  * (`list_filter(string_split(lower(text),' '), t -> t <> '')`).
+  *
+  * Scale notes:
+  *  - `index_postings` is two bounded shuffles: (term, doc) partial
+  *    count, then term-partitioned window + final agg that REUSES the
+  *    term partitioning (no third exchange). The posting list is a
+  *    bounded PREFIX (5 smallest doc_ids) selected via row_number
+  *    before any collect_list, so no executor ever materializes a full
+  *    stopword posting list — the classic inverted-index skew hazard.
+  *  - `bm25_topk` never shuffles the corpus at all: per-document term
+  *    frequencies come from scan-local array HOFs (no explode), global
+  *    stats are a 1-row aggregate broadcast back by cross join, and
+  *    top-k plans as TakeOrderedAndProject. At 100 TB it is two scans
+  *    and a 10-row result.
+  *
+  * Determinism: every quantity crossing an aggregation boundary is an
+  * exact integer (tf, df, dl, N, Σdl); doubles appear only in the final
+  * per-row score expression, written as the IDENTICAL tree on both
+  * engines (same literals, same association), then rounded to 6
+  * decimals with doc_id tie-break.
+  */
+object Retrieval {
+
+  /** BM25 parameters (Robertson–Spärck Jones defaults). k1+1 and 1−b
+    * are spelled as the literals 2.2 / 0.25 in [[bm25w]] so the Spark
+    * expression carries the IDENTICAL double constants the oracle SQL
+    * parses — never trust compile-time float arithmetic to reproduce a
+    * parsed literal. */
+  private val K1 = 1.2
+  private val B = 0.75
+
+  /** The fixed demo query: one rare term (df ≈ 5% of docs — high idf,
+    * dominates ranking) and two common ones (df ≈ 77%). */
+  private val QueryTerms = Seq("dup", "vector", "spark")
+
+  private def toks(text: Column): Column =
+    filter(split(lower(text), " "), t => t =!= "")
+
+  /** Inverted-index statistics per term: document frequency, total
+    * term frequency, and the 5-smallest-doc_id posting prefix. */
+  val index_postings = GQuery(
+    "index_postings",
+    (s, d) => {
+      import s.implicits._
+      val pairs = T.documents(s, d)
+        .select($"doc_id", explode(toks($"text")).as("term"))
+        .groupBy($"term", $"doc_id")
+        .agg(count(lit(1)).as("tf"))
+      val byTerm = Window.partitionBy($"term").orderBy($"doc_id")
+      pairs
+        .withColumn("rn", row_number().over(byTerm))
+        .groupBy($"term")
+        .agg(
+          count(lit(1)).as("df"),
+          sum($"tf").as("total_tf"),
+          concat_ws(",",
+            transform(
+              sort_array(collect_list(when($"rn" <= 5, $"doc_id"))),
+              _.cast("string"))).as("postings"))
+        .orderBy($"term")
+    },
+    Some("""
+      WITH pairs AS (
+        SELECT term, doc_id, COUNT(*) AS tf FROM (
+          SELECT doc_id,
+                 unnest(list_filter(string_split(lower(text), ' '),
+                                    t -> t <> '')) AS term
+          FROM documents)
+        GROUP BY term, doc_id),
+      r AS (
+        SELECT term, doc_id, tf,
+               ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+        FROM pairs)
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+             CAST(SUM(tf) AS BIGINT) AS total_tf,
+             array_to_string(list_sort(list(doc_id) FILTER (WHERE rn <= 5)),
+                             ',') AS postings
+      FROM r GROUP BY term ORDER BY term"""))
+
+  /** One BM25 term weight. `tf`/`df`/`dl` are exact integers from the
+    * scan; the expression tree below is mirrored token-for-token in the
+    * oracle SQL (same literals, same association) so both engines run
+    * the identical IEEE sequence. */
+  private def bm25w(tf: Column, df: Column, dl: Column,
+      nDocs: Column, avgdl: Column): Column = {
+    val tfD = tf.cast("double")
+    val dfD = df.cast("double")
+    val idf = log(lit(1.0) +
+      (nDocs.cast("double") - dfD + lit(0.5)) / (dfD + lit(0.5)))
+    idf * (tfD * lit(2.2)) /
+      (tfD + lit(K1) * (lit(0.25) + lit(B) * dl.cast("double") / avgdl))
+  }
+
+  /** Top-10 documents for the fixed query under BM25(k1=1.2, b=0.75). */
+  val bm25_topk = GQuery(
+    "bm25_topk",
+    (s, d) => {
+      import s.implicits._
+      // size() is INT; the oracle's len() is BIGINT — cast so the
+      // driver's schema compare sees identical types
+      val tfCols = QueryTerms.map { t =>
+        size(filter(toks($"text"), x => x === t)).cast("long").as(s"tf_$t")
+      }
+      val base = T.documents(s, d)
+        .select(($"doc_id" +:
+          size(toks($"text")).cast("long").as("dl") +: tfCols): _*)
+      val statCols =
+        count(lit(1)).as("n_docs") +: sum($"dl").as("sum_dl") +:
+          QueryTerms.map(t =>
+            sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+      val stats = base.agg(statCols.head, statCols.tail: _*)
+      val avgdl = $"sum_dl".cast("double") / $"n_docs".cast("double")
+      val score = QueryTerms
+        .map(t => bm25w(col(s"tf_$t"), col(s"df_$t"), $"dl",
+          $"n_docs", avgdl))
+        .reduce(_ + _)
+      base.crossJoin(broadcast(stats))
+        .select(($"doc_id" +: QueryTerms.map(t => col(s"tf_$t")) :+
+          round(score, 6).as("score")): _*)
+        .orderBy($"score".desc, $"doc_id")
+        .limit(10)
+    },
+    Some("""
+      WITH base AS (
+        SELECT doc_id,
+               len(list_filter(string_split(lower(text), ' '),
+                               t -> t <> '')) AS dl,
+               len(list_filter(string_split(lower(text), ' '),
+                               t -> t = 'dup')) AS tf_dup,
+               len(list_filter(string_split(lower(text), ' '),
+                               t -> t = 'vector')) AS tf_vector,
+               len(list_filter(string_split(lower(text), ' '),
+                               t -> t = 'spark')) AS tf_spark
+        FROM documents),
+      stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS BIGINT) AS sum_dl,
+               CAST(SUM(CASE WHEN tf_dup > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS df_dup,
+               CAST(SUM(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS df_vector,
+               CAST(SUM(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS df_spark
+        FROM base)
+      SELECT doc_id, tf_dup, tf_vector, tf_spark,
+             ROUND(
+               ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_dup AS DOUBLE)
+                         + 0.5) / (CAST(df_dup AS DOUBLE) + 0.5))
+                 * (CAST(tf_dup AS DOUBLE) * 2.2)
+                 / (CAST(tf_dup AS DOUBLE)
+                    + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                             / (CAST(sum_dl AS DOUBLE)
+                                / CAST(n_docs AS DOUBLE))))
+             + ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_vector AS DOUBLE)
+                         + 0.5) / (CAST(df_vector AS DOUBLE) + 0.5))
+                 * (CAST(tf_vector AS DOUBLE) * 2.2)
+                 / (CAST(tf_vector AS DOUBLE)
+                    + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                             / (CAST(sum_dl AS DOUBLE)
+                                / CAST(n_docs AS DOUBLE))))
+             + ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_spark AS DOUBLE)
+                         + 0.5) / (CAST(df_spark AS DOUBLE) + 0.5))
+                 * (CAST(tf_spark AS DOUBLE) * 2.2)
+                 / (CAST(tf_spark AS DOUBLE)
+                    + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                             / (CAST(sum_dl AS DOUBLE)
+                                / CAST(n_docs AS DOUBLE)))), 6) AS score
+      FROM base, stats
+      ORDER BY score DESC, doc_id LIMIT 10"""))
+
+  val all: Seq[GQuery] = Seq(index_postings, bm25_topk)
+}

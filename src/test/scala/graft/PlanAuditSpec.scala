@@ -337,4 +337,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(ex >= 0 && flt > ex,
       "candidate filter not map-side below the agg exchange:\n" + p)
   }
+
+  test("bm25: corpus never shuffles — stats broadcast onto the scan, " +
+      "top-k is TakeOrderedAndProject") {
+    val p = plan("bm25_topk", "simple")
+    // the only exchange allowed is the 1-row stats side of the
+    // broadcast cross join; the corpus side must go scan → project →
+    // join → topk with no hashpartitioning exchange anywhere
+    assert(!p.contains("Exchange hashpartitioning"),
+      "corpus-side shuffle in bm25:\n" + p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), "stats not broadcast:\n" + p)
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k fell back to a global sort:\n" + p)
+    assert(!p.contains("Generate"), // no explode: HOF tf counting
+      "bm25 exploded the corpus:\n" + p)
+  }
+
+  test("index postings: two bounded exchanges, posting prefix selected " +
+      "by row_number below the final agg (no unbounded collect_list)") {
+    val p = plan("index_postings", "simple")
+    // (term, doc) count exchange + term window exchange; the final agg
+    // reuses the window's term partitioning — no third data exchange
+    assert(p.split("Exchange hashpartitioning").length - 1 == 2,
+      "exchange count changed:\n" + p)
+    // prefix filter (rn <= 5 inside the collect's when) must exist in
+    // the aggregate expressions, bounding per-term state
+    assert(p.contains("_w0 <= 5") || p.contains("rn#") || p.contains("<= 5"),
+      "posting prefix bound lost:\n" + p)
+  }
 }
