@@ -255,6 +255,52 @@ object Dedup {
     labels
   }
 
+  /** Incremental dedup: the rows of a NEW `batch` whose `fpCol` does
+    * not already exist in the `base` corpus — the per-ingest step of a
+    * continuously-growing training set, where re-deduplicating the
+    * whole corpus per batch is the naive O(corpus) trap.
+    *
+    * The base corpus NEVER shuffles and is scanned once:
+    *  1. a Bloom filter over xxhash64(base fp) (a few MB at any base
+    *     cardinality) probes the batch map-side — no false negatives,
+    *     so non-candidates are PROVEN new;
+    *  2. candidate fps (true hits + ~fpp of the batch) broadcast into
+    *     a map-side semi-join against base, yielding the exact set of
+    *     fps actually present;
+    *  3. the batch anti-joins that (still broadcast-sized) present set
+    *     — survivors are exact, Bloom false positives corrected.
+    * Cost at 100 TB: one base scan + one batch scan + two broadcasts
+    * bounded by the candidate count; the only exchanges are the
+    * candidate/present distincts (bounded by collisions, not corpus).
+    * In-batch duplicates are NOT collapsed here — batch-side grouping
+    * is the caller's policy (see the dedup_incremental query). */
+  def incrementalNew(base: DataFrame, batch: DataFrame, fpCol: String,
+      fpp: Double = 0.01): DataFrame = {
+    // lineage cut: the hashed base fp set feeds the sizing count and
+    // the bloom build; without it both actions re-scan the base
+    val hashedBase = base.select(xxhash64(col(fpCol)).as("h"))
+      .distinct().localCheckpoint()
+    val nBase = math.max(hashedBase.count(), 1L)
+    val bloom = hashedBase.stat.bloomFilter("h", nBase, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val candFps = batch
+      .filter(Contamination.bloomProbe(bytes, col(fpCol)))
+      .select(col(fpCol)).distinct().localCheckpoint()
+    // lineage cut on the (candidate-bounded) present set: Catalyst
+    // pushes the anti-join through any Union in the batch, duplicating
+    // the build-side subplan per branch — without the cut the base
+    // scan + semi-join re-executes once per batch branch (caught by
+    // PlanAuditSpec: 3 base scans for a 3-branch batch)
+    val present = base
+      .join(broadcast(candFps), Seq(fpCol), "left_semi")
+      .select(col(fpCol)).distinct().localCheckpoint()
+    batch.join(broadcast(present), Seq(fpCol), "left_anti")
+  }
+
   /** SimHash fingerprint (bits from the first bits/4 hex nibbles of each
     * token's md5; per-bit ±1 votes summed over tokens; fp bit = vote>0).
     * Near-dup candidates then join on fingerprint (or low Hamming

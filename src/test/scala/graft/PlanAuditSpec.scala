@@ -338,6 +338,27 @@ class PlanAuditSpec extends SparkSpec {
       "candidate filter not map-side below the agg exchange:\n" + p)
   }
 
+  test("incremental dedup: base corpus never shuffles — candidate and " +
+      "present sets broadcast, exchanges bounded by collisions") {
+    val p = plan("dedup_incremental", "simple")
+    // base reaches its semi-join map-side against the broadcast
+    // candidate set; batch anti-joins the broadcast present set — both
+    // joins broadcast, never sort-merge
+    assert(!p.contains("SortMergeJoin"),
+      "a sort-merge join reached the incremental dedup path:\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "anti join not broadcast:\n" + p)
+    // the checkpointed present set leaves exactly one data exchange in
+    // the final plan — the survivor fp-groupBy (bounded by the batch).
+    // Catalyst pushes the anti-join through the batch Union; without
+    // the present-side lineage cut that duplicated the base scan +
+    // semi-join per branch (3 base scans — the bug this pins against)
+    assert(p.split("Exchange hashpartitioning").length - 1 <= 1,
+      "unexpected exchange (base shuffle or un-cut present?):\n" + p)
+    assert(p.split("FileScan parquet").length - 1 <= 3,
+      "base scan duplicated into the union branches:\n" + p)
+  }
+
   test("bm25: corpus never shuffles — stats broadcast onto the scan, " +
       "top-k is TakeOrderedAndProject") {
     val p = plan("bm25_topk", "simple")
