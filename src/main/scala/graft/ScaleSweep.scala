@@ -27,7 +27,7 @@ object ScaleSweep {
     "split_shuffle", "mix_temperature", "curriculum_buckets",
     "pack_sequences",
     "heavy_hitters", "text_tfidf", "layout_report",
-    "index_postings", "bm25_topk", "dedup_incremental",
+    "index_postings", "bm25_topk", "bm25_join_topk", "dedup_incremental",
     // embeddings-backed similarity/dedup
     "dedup_embedding_cosine", "dedup_semantic", "dedup_embedding_lsh",
     "dedup_lsh_recall", "sim_topk_bruteforce", "sim_lsh_bucketed",

@@ -186,5 +186,89 @@ object Retrieval {
       FROM base, stats
       ORDER BY score DESC, doc_id LIMIT 10"""))
 
-  val all: Seq[GQuery] = Seq(index_postings, bm25_topk)
+  /** BM25 with the query as DATA: terms arrive as a (broadcast) table
+    * joined against the exploded corpus — the production retrieval
+    * shape, where queries change without recompiling a plan (the HOF
+    * variant above bakes terms into the projection). The only corpus-
+    * sized work is the scan: the explode is filtered by the broadcast
+    * query join BEFORE the tf aggregation, so the shuffle carries only
+    * query-term occurrences, not the corpus token stream. Matched docs
+    * only (docs containing no query term cannot reach a top-k that
+    * has ≥k matches). Per-(doc,term) weights cross the per-doc sum as
+    * DECIMAL(38,12) so 1–3-row float addition order cannot perturb the
+    * rounded score. */
+  val bm25_join_topk = GQuery(
+    "bm25_join_topk",
+    (s, d) => {
+      import s.implicits._
+      val q = QueryTerms.toDF("term")
+      val docs = T.documents(s, d)
+      val toksed = docs.select($"doc_id",
+        size(toks($"text")).cast("long").as("dl"),
+        explode(toks($"text")).as("term"))
+      val tfs = toksed.join(broadcast(q), Seq("term"))
+        .groupBy($"doc_id", $"dl", $"term")
+        .agg(count(lit(1)).as("tf"))
+      // df as a window over the (already tiny) matched-tf table — a
+      // separate groupBy+broadcast-join would re-execute the whole tfs
+      // subplan (a third corpus scan) to build its broadcast side
+      // (caught by PlanAuditSpec's scan count)
+      val byTerm = Window.partitionBy($"term")
+      val withDf = tfs.withColumn("df", count(lit(1)).over(byTerm))
+      val stats = docs
+        .select(size(toks($"text")).cast("long").as("dl"))
+        .agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"))
+      val avgdl = $"sum_dl".cast("double") / $"n_docs".cast("double")
+      withDf
+        .crossJoin(broadcast(stats))
+        .withColumn("wd",
+          bm25w($"tf", $"df", $"dl", $"n_docs", avgdl)
+            .cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_terms"),
+          round(sum($"wd").cast("double"), 6).as("score"))
+        .orderBy($"score".desc, $"doc_id")
+        .limit(10)
+    },
+    Some("""
+      WITH q(term) AS (VALUES ('dup'), ('vector'), ('spark')),
+      toksed AS (
+        SELECT doc_id,
+               len(list_filter(string_split(lower(text), ' '),
+                               t -> t <> '')) AS dl,
+               unnest(list_filter(string_split(lower(text), ' '),
+                                  t -> t <> '')) AS term
+        FROM documents),
+      tfs AS (
+        SELECT t.doc_id, t.dl, t.term, COUNT(*) AS tf
+        FROM toksed t JOIN q USING (term)
+        GROUP BY t.doc_id, t.dl, t.term),
+      tfd AS (
+        SELECT doc_id, dl, term, tf,
+               COUNT(*) OVER (PARTITION BY term) AS df
+        FROM tfs),
+      stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS BIGINT) AS sum_dl
+        FROM (SELECT doc_id,
+                     len(list_filter(string_split(lower(text), ' '),
+                                     t -> t <> '')) AS dl
+              FROM documents)),
+      w AS (
+        SELECT tfd.doc_id,
+               CAST(
+                 ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)
+                           + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+                   * (CAST(tf AS DOUBLE) * 2.2)
+                   / (CAST(tf AS DOUBLE)
+                      + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                               / (CAST(sum_dl AS DOUBLE)
+                                  / CAST(n_docs AS DOUBLE))))
+                 AS DECIMAL(38,12)) AS wd
+        FROM tfd, stats)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+             ROUND(CAST(SUM(wd) AS DOUBLE), 6) AS score
+      FROM w GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10"""))
+
+  val all: Seq[GQuery] = Seq(index_postings, bm25_topk, bm25_join_topk)
 }

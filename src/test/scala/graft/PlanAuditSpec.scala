@@ -375,6 +375,24 @@ class PlanAuditSpec extends SparkSpec {
       "bm25 exploded the corpus:\n" + p)
   }
 
+  test("bm25 join variant: token stream filtered by the broadcast query " +
+      "join BEFORE the tf exchange; no sort-merge join") {
+    val p = plan("bm25_join_topk", "simple")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the corpus appears exactly twice: the token scan and the stats
+    // scan — a third scan means a subplan was duplicated
+    assert(p.split("FileScan parquet").length - 1 == 2,
+      "corpus scan count changed:\n" + p)
+    // the broadcast query join must sit BELOW the (doc,dl,term)
+    // aggregation exchange (plan prints top-down: deeper = later
+    // index), so the shuffle carries only query-term occurrences
+    val ex = p.indexOf("Exchange hashpartitioning(doc_id")
+    val bj = p.indexOf("BroadcastHashJoin [term", ex)
+    assert(ex >= 0 && bj > ex,
+      "query filter not below the tf exchange:\n" + p)
+  }
+
   test("index postings: two bounded exchanges, posting prefix selected " +
       "by row_number below the final agg (no unbounded collect_list)") {
     val p = plan("index_postings", "simple")

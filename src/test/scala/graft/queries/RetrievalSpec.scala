@@ -30,6 +30,21 @@ class RetrievalSpec extends SparkSpec {
       "a doc without the rare term reached the top 10")
   }
 
+  test("bm25 HOF and join variants agree: same top-10 docs, same " +
+      "rounded scores (two independent plans, one ranking function)") {
+    val hof = Retrieval.bm25_topk.fn(spark, sf)
+      .select($"doc_id", $"score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val join = Retrieval.bm25_join_topk.fn(spark, sf)
+      .select($"doc_id", $"score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(hof.map(_._1).toSeq == join.map(_._1).toSeq,
+      s"rankings diverge: ${hof.toSeq} vs ${join.toSeq}")
+    hof.zip(join).foreach { case ((_, a), (_, b)) =>
+      assert(math.abs(a - b) <= 1e-6, s"scores diverge: $a vs $b")
+    }
+  }
+
   test("postings: prefix is the 5 smallest doc_ids, ascending; df/tf " +
       "are consistent") {
     val rows = Retrieval.index_postings.fn(spark, sf).collect()
