@@ -70,6 +70,40 @@ object Extras {
              CAST(SUM(n_events) AS BIGINT) AS n_events
       FROM per_session GROUP BY user_id ORDER BY user_id"""))
 
+  /** Parquet schema evolution on read: a table written by two writer
+    * "eras" — the old era lacks the `source` column — read back as one
+    * frame with `mergeSchema`, era-1 rows NULL-filled for the column
+    * they predate. This is the source-layer contract a growing corpus
+    * depends on (columns accrete over time; history is never
+    * rewritten). The oracle rebuilds the same counts from the original
+    * table using the era-split rule, so the hash proves merge-on-read
+    * semantics: n_legacy counts rows whose file HAS NO source column,
+    * via `source IS NULL` over the merged frame. */
+  val schema_evolution = GQuery(
+    "schema_evolution",
+    (s, d) => graft.GQuery.withTempTable(s, "graft-schema-evo") { t =>
+      import s.implicits._
+      val docs = T.documents(s, d)
+      docs.filter($"doc_id" % 2 === 0).select($"doc_id", $"lang")
+        .write.mode("append").parquet(s"$t/tbl")
+      docs.filter($"doc_id" % 2 === 1)
+        .select($"doc_id", $"lang", $"source")
+        .write.mode("append").parquet(s"$t/tbl")
+      s.read.option("mergeSchema", "true").parquet(s"$t/tbl")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"source".isNull, 1L).otherwise(0L)).as("n_legacy"),
+          count($"source").as("n_with_source"))
+        .orderBy($"lang")
+    },
+    Some("""
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_legacy,
+             CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_with_source
+      FROM documents GROUP BY lang ORDER BY lang"""))
+
   /** CUBE multidimensional aggregate (SURVEY §2.5 "free in Spark SQL"
     * row, made concrete). */
   val agg_cube = GQuery(
@@ -715,7 +749,8 @@ object Extras {
              CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
       FROM events GROUP BY user_id ORDER BY user_id"""))
 
-  val all: Seq[GQuery] = Seq(sessionize, agg_cube, mm_binary_meta,
+  val all: Seq[GQuery] = Seq(sessionize, schema_evolution, agg_cube,
+    mm_binary_meta,
     mm_feature_extract, mm_frame_sample, mm_resize,
     mm_audio_meta, mm_audio_downsample,
     agg_approx_distinct, ml_kmeans_profiles, ml_kmeans_contract,
