@@ -301,6 +301,78 @@ object Dedup {
     batch.join(broadcast(present), Seq(fpCol), "left_anti")
   }
 
+  /** C4-style sub-document span dedup: each document's token stream is
+    * cut into fixed-width spans of `span` tokens (the last span may be
+    * shorter); every span that already occurred EARLIER in the corpus
+    * (smaller (doc id, position)) is dropped; survivors are reassembled
+    * in document order. This is the granularity the whole-document
+    * dedup family above cannot reach — boilerplate repeated across
+    * otherwise-distinct documents (the C4 "deduplicate three-sentence
+    * spans" step, arXiv:1910.10683 §2.2).
+    *
+    * Output: one row per input document —
+    * (idCol, n_spans, n_kept, text_md5 of the reassembled text; a doc
+    * whose every span was seen earlier keeps 0 spans and hashes "").
+    *
+    * Scale shape: the winner per span value is `min` over a
+    * fixed-width zero-padded "(id):(pos)" sort key (lexicographic min
+    * = (id, pos) min for non-negative longs) — a scalar min the
+    * planner keeps HASH-aggregated (a `min(struct(..))` spelling falls
+    * back to SortAggregate, which sorts every partition's occurrence
+    * stream; verified on the sf0.1 plan). So the per-span work is a
+    * map-side-combinable agg — NOT a row_number window, and no sort of
+    * the occurrence stream — and the survivors filter is a join back
+    * on the SAME span key (co-partitioned with the agg's exchange at
+    * scale; AQE broadcasts the winner side at test SFs). Reassembly is
+    * one keyed shuffle on the doc id. A mega-frequent span (site
+    * boilerplate at 100 TB) costs its occurrence count in the
+    * combiner, never a sorted frame. */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+      span: Int = 3): DataFrame = {
+    require(span >= 1)
+    val id = col(idCol)
+    val toksed = df.select(id,
+      filter(split(col(textCol), " "), t => t =!= "").as("toks"))
+    // ceil(len/span) in double is exact far beyond any document length
+    val withN = toksed.withColumn("n_spans",
+      ceil(size(col("toks")).cast("double") / span).cast("long"))
+    val chunks = withN
+      .select(id, col("n_spans"),
+        // sequence(0,-1) counts DOWN (same pitfall as shingles) —
+        // empty docs must yield an empty span array, not [0,-1]
+        posexplode(when(col("n_spans") > 0, transform(
+          sequence(lit(0L), col("n_spans") - 1),
+          i => concat_ws(" ",
+            slice(col("toks"), (i * span + 1).cast("int"), lit(span)))))
+          .otherwise(array().cast("array<string>"))))
+      .select(id, col("pos").cast("long").as("p"), col("col").as("chunk"))
+    // single-long pack: (id << 20) | pos orders exactly like (id, pos)
+    // for id < 2^43, pos < 2^20 (a 3M-token doc) — a LONG min is the
+    // only spelling the planner hash-aggregates (struct and string
+    // buffers both fall back to SortAggregate over the occurrence
+    // stream; verified on the sf0.1 plan). Out-of-range inputs fail
+    // loudly rather than dedup wrongly.
+    def packed = when(id < (1L << 43) && id >= 0 && col("p") < (1L << 20),
+      shiftleft(id, 20) + col("p"))
+      .otherwise(raise_error(lit(
+        "spanDedup: doc id >= 2^43 or span position >= 2^20")))
+    val winners = chunks.groupBy(col("chunk"))
+      .agg(min(packed).as("w"))
+    val kept = chunks.join(winners, "chunk")
+      .filter(packed === col("w"))
+      .select(id, col("p"), col("chunk"))
+    val reassembled = kept.groupBy(id)
+      .agg(count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("p"), col("chunk")))),
+            s => s.getField("chunk")))).as("text_md5"))
+    withN.select(id, col("n_spans"))
+      .join(reassembled, Seq(idCol), "left")
+      .select(id, col("n_spans"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_md5"), md5(lit(""))).as("text_md5"))
+  }
+
   /** SimHash fingerprint (bits from the first bits/4 hex nibbles of each
     * token's md5; per-bit ±1 votes summed over tokens; fp bit = vote>0).
     * Near-dup candidates then join on fingerprint (or low Hamming

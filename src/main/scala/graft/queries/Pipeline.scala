@@ -85,6 +85,53 @@ object Pipeline {
 
   /** MinHash+LSH candidate pairs: 3-shingles → 8 md5-permutation minima
     * → 4 bands of 2 → same-bucket join. */
+  /** Sub-document span dedup (C4's "three-sentence span" step scaled to
+    * the token corpus): 3-token spans, first occurrence by (doc_id,
+    * position) wins corpus-wide, survivors reassembled per document.
+    * ~19% of the sf0.01 spans are corpus-level repeats, so the query
+    * drops real content (1,756 of 9,216 spans), not just planted rows.
+    * The oracle takes a deliberately different plan to the same rows —
+    * a ROW_NUMBER window per span vs the engine's min-struct hash agg
+    * + co-partitioned survivor join (one shuffle on the span key, no
+    * occurrence sort — the shape that survives boilerplate skew at
+    * 100 TB). Reassembled text crosses the gate as md5 so the result
+    * stays row-per-doc narrow at any SF. */
+  val dedup_spans = GQuery(
+    "dedup_spans",
+    (s, d) => Dedup.spanDedup(T.documents(s, d), "doc_id", "text", 3)
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents),
+      e AS (
+        SELECT doc_id, toks,
+               unnest(range(CAST(ceil(len(toks) / 3.0) AS BIGINT))) AS p
+        FROM t),
+      c AS (
+        SELECT doc_id, p,
+               array_to_string(list_slice(toks, p * 3 + 1, p * 3 + 3),
+                               ' ') AS chunk
+        FROM e),
+      k AS (
+        SELECT doc_id, p, chunk,
+               ROW_NUMBER() OVER (PARTITION BY chunk
+                                  ORDER BY doc_id, p) AS rn
+        FROM c),
+      r AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+               md5(string_agg(chunk, ' ' ORDER BY p)) AS text_md5
+        FROM k WHERE rn = 1 GROUP BY doc_id),
+      n AS (
+        SELECT doc_id, CAST(ceil(len(toks) / 3.0) AS BIGINT) AS n_spans
+        FROM t)
+      SELECT n.doc_id, n.n_spans,
+             COALESCE(r.n_kept, 0) AS n_kept,
+             COALESCE(r.text_md5, md5('')) AS text_md5
+      FROM n LEFT JOIN r ON n.doc_id = r.doc_id
+      ORDER BY n.doc_id"""))
+
   val dedup_minhash_lsh = GQuery(
     "dedup_minhash_lsh",
     (s, d) => Dedup.minhashCandidates(T.documents(s, d), "doc_id", "text")
@@ -1742,7 +1789,7 @@ object Pipeline {
       FROM geo"""))
 
   val all: Seq[GQuery] = Seq(
-    dedup_exact, dedup_incremental,
+    dedup_exact, dedup_incremental, dedup_spans,
     dedup_minhash_lsh, dedup_simhash, dedup_ngram_jaccard,
     dedup_ngram_steep, dedup_ngram_steep_recall,
     dedup_clusters, dedup_embedding_cosine, dedup_semantic,

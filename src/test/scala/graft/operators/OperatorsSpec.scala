@@ -87,6 +87,22 @@ class OperatorsSpec extends SparkSpec {
     assert(hamming(fp(1L), fp(2L)) <= hamming(fp(1L), fp(3L)))
   }
 
+  test("span dedup: first occurrence wins, survivors reassemble in order") {
+    val out = Dedup.spanDedup(docs, "doc_id", "text", 3).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    def m(s: String) =
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    assert(out(1L) == ((3L, 3L,
+      m("the quick brown fox jumps over the lazy dog"))))
+    // doc 2 shares its first two 3-token spans with doc 1 → only the
+    // differing tail survives
+    assert(out(2L) == ((3L, 1L, m("the lazy cat"))))
+    assert(out(3L)._2 == 2L)                  // unique doc keeps all
+    assert(out(4L) == ((3L, 0L, m(""))))      // exact dup loses everything
+    assert(out(5L) == ((1L, 1L, m("kurz")))) // short tail span survives
+  }
+
   test("exact dedup collapses duplicate keys") {
     val d = Dedup.exactDedup(docs, Seq("text"), "doc_id")
       .filter($"n_duplicates" > 1).collect()
