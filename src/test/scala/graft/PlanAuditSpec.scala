@@ -405,4 +405,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("_w0 <= 5") || p.contains("rn#") || p.contains("<= 5"),
       "posting prefix bound lost:\n" + p)
   }
+
+  test("span dedup: winner argmin stays HASH-aggregated (the packed-long " +
+      "spelling) — struct/string buffers would demote to SortAggregate " +
+      "over the occurrence stream") {
+    val p = plan("dedup_spans", "simple")
+    // the only sort-free shapes allowed below the reassembly are hash
+    // aggregates; the reassembly itself (collect_list of structs) is
+    // ObjectHashAggregate. A SortAggregate anywhere means the winner
+    // min demoted.
+    assert(!p.contains("SortAggregate"),
+      "span winner aggregation demoted to SortAggregate:\n" + p)
+    assert(p.contains("ObjectHashAggregate"), p) // reassembly agg
+  }
+
+  test("profile columns: the multi-distinct Expand aggregate is " +
+      "HashAggregate (string min/max split out keyless)") {
+    val p = plan("profile_columns", "simple")
+    assert(p.contains("Expand"), p)
+    // the Expand agg and its partials must be hash-based; the only
+    // SortAggregates permitted are the keyless string-min/max side agg
+    // (partial + final = 2)
+    assert(p.split("SortAggregate").length - 1 <= 2,
+      "fixed-width stats demoted to SortAggregate:\n" + p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("histogram: bounds are a broadcast 1-row aggregate over the scan " +
+      "(no sort, no wide shuffle)") {
+    val p = plan("histogram_prices", "simple")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
