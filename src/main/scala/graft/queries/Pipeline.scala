@@ -1632,6 +1632,68 @@ object Pipeline {
              TRUE AS compact_rows_ok, TRUE AS report_ok
       FROM per_lang"""))
 
+  /** Partition pruning, MEASURED — the single biggest lever a 100 TB
+    * table has. Inside the lifecycle dir, orders is written
+    * hive-partitioned by order year (7 dirs) plus a tiny year-tag dim;
+    * then two reads execute and the gate reads the pruning evidence
+    * off their own executed plans' scan metrics
+    * ([[graft.operators.ScanAudit]], the numbers the Spark UI shows):
+    *  - STATIC: `oy = 1996` must read exactly 1 of the 7 partitions
+    *    (predicate → partition filter at plan time);
+    *  - DYNAMIC (DPP): a join to the dim filtered on a NON-key column
+    *    (`tag = 'y1997'`) gives the optimizer nothing to prune
+    *    statically — the scan must still read only 1 partition, proving
+    *    the runtime re-filter of the partition list from the broadcast
+    *    dim result actually engaged.
+    * A regression to either (lost partition filter, DPP disabled, dim
+    * side too big to broadcast) flips `*_pruned` to false and the row
+    * count of partitions read — a hash-gate failure, not a silent
+    * slowdown. The oracle recomputes the row counts and year
+    * cardinality relationally; the pruned-partition counts are exact
+    * literals (1 partition each). */
+  val partition_prune = GQuery(
+    "partition_prune",
+    (s, d) => graft.GQuery.withTempTable(s, "graft-prune") { dir =>
+      import s.implicits._
+      import graft.operators.ScanAudit
+      val factPath = s"$dir/fact"
+      T.orders(s, d).withColumn("oy", year($"o_orderdate"))
+        .write.partitionBy("oy").parquet(factPath)
+      val dimPath = s"$dir/dim"
+      T.orders(s, d).select(year($"o_orderdate").as("yr")).distinct()
+        .withColumn("tag", concat(lit("y"), $"yr".cast("string")))
+        .write.parquet(dimPath)
+      val nYears = s.read.parquet(dimPath).count()
+      val fact = s.read.parquet(factPath)
+      val (statRows, statParts) = ScanAudit.rowsAndPartitionsRead(
+        fact.filter($"oy" === 1996).select($"o_orderkey", $"oy"),
+        "fact")
+      val dim = s.read.parquet(dimPath).filter($"tag" === "y1997")
+      val (dppRows, dppParts) = ScanAudit.rowsAndPartitionsRead(
+        fact.join(dim, $"oy" === $"yr").select($"o_orderkey", $"tag"),
+        "fact")
+      s.range(1).select(
+        lit(statRows).as("static_rows"),
+        lit(dppRows).as("dpp_rows"),
+        lit(nYears).as("n_years"),
+        lit(statParts).as("static_parts_read"),
+        lit(dppParts).as("dpp_parts_read"),
+        lit(statParts == 1L).as("static_pruned"),
+        lit(dppParts == 1L).as("dpp_pruned"))
+    },
+    Some("""
+      WITH y AS (
+        SELECT EXTRACT(year FROM o_orderdate) AS yr FROM orders)
+      SELECT
+        CAST((SELECT COUNT(*) FROM y WHERE yr = 1996) AS BIGINT)
+          AS static_rows,
+        CAST((SELECT COUNT(*) FROM y WHERE yr = 1997) AS BIGINT)
+          AS dpp_rows,
+        CAST((SELECT COUNT(DISTINCT yr) FROM y) AS BIGINT) AS n_years,
+        CAST(1 AS BIGINT) AS static_parts_read,
+        CAST(1 AS BIGINT) AS dpp_parts_read,
+        TRUE AS static_pruned, TRUE AS dpp_pruned"""))
+
   // ---------------------------------------------------------- z-order
   /** The Morton (Z-order) curve key itself under the hash gate: every
     * order's 2-D key (custkey, exact price cents) interleaved into one
@@ -1803,5 +1865,5 @@ object Pipeline {
     split_shuffle, mix_temperature, curriculum_buckets, pack_sequences,
     heavy_hitters, text_tfidf,
     upsert_snapshot, upsert_time_travel, layout_report,
-    zorder_curve, layout_zorder)
+    zorder_curve, layout_zorder, partition_prune)
 }
