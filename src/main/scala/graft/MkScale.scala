@@ -146,7 +146,29 @@ object MkScale {
       .repartition(8)
       .write.mode("overwrite").parquet(s"$dst/orders.parquet")
 
+    // lineitem rides orders' stride so replica join keys stay valid
+    // (l_orderkey must land on the SAME shifted o_orderkey); dates
+    // advance by the orders span for rough temporal alignment. Values
+    // (qty/price/discount/tax/flags) are kept — fresh business rows
+    // reuse the same value domains, so NDV of the value columns stays
+    // put while key NDV grows 10×, which is the realistic profile
+    // shape (profile_columns/histogram_prices sweep).
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    val nLines = li.count()
+    val sdSec = $"l_shipdate".cast("timestamp_ltz").cast("long")
+    li.crossJoin(replicas)
+      .select(
+        ($"l_orderkey" + $"r".cast("long") * ordStride).as("l_orderkey"),
+        $"l_partkey", $"l_suppkey", $"l_linenumber", $"l_quantity",
+        $"l_extendedprice", $"l_discount", $"l_tax", $"l_returnflag",
+        $"l_linestatus",
+        (sdSec + $"r".cast("long") * ordSpan)
+          .cast("timestamp_ltz").cast("timestamp_ntz").as("l_shipdate"))
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+
     println(s"wrote $dst: documents=${nDocs * factor} " +
+      s"lineitem=${nLines * factor} " +
       s"embeddings=${nVecs * factor} events=${nEvents * factor} " +
       s"orders=${nOrders * factor}")
     spark.stop()

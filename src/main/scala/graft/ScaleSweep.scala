@@ -40,7 +40,11 @@ object ScaleSweep {
     "stream_dedup",
     // orders-backed windows
     "w2_rank_lag", "w3_distribution", "w4_range_frame",
-    "w5_range_prefix", "w6_range_avg", "w7_range_minmax", "c7_date_agg")
+    "w5_range_prefix", "w6_range_avg", "w7_range_minmax", "c7_date_agg",
+    // r7 late additions: documents (spans), lineitem (profiling),
+    // orders lifecycle (partition pruning)
+    "dedup_spans", "profile_columns", "histogram_prices",
+    "partition_prune")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
