@@ -16,6 +16,30 @@ import org.apache.spark.sql.execution.adaptive.QueryStageExec
   * parquet-backed query. */
 object ScanAudit {
 
+  /** Fully execute `df` and count (shuffle exchanges, sort-merge
+    * joins) in its final adaptive plan — the evidence a bucketed
+    * (SMB) join needs: the join itself contributing ZERO exchanges.
+    * Recurses through AQE query stages like
+    * [[rowsAndPartitionsRead]]. */
+  def exchangesAndMergeJoins(df: DataFrame): (Long, Int, Int) = {
+    val rows = graft.Registry.force(df)
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    def cnt(p: SparkPlan): (Int, Int) =
+      p.collect {
+        case q: QueryStageExec => cnt(q.plan)
+        case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+          (1, 0)
+        case _: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+          (0, 1)
+      }.foldLeft((0, 0)) { case ((a, b), (c, d)) => (a + c, b + d) }
+    val (ex, smj) = cnt(finalPlan)
+    (rows, ex, smj)
+  }
+
   /** Fully execute `df` (every row and column, same action as the
     * bench) and return (rows produced, partitions read) for the ONE
     * FileSourceScanExec whose root path contains `pathPart`.

@@ -1694,6 +1694,67 @@ object Pipeline {
         CAST(1 AS BIGINT) AS dpp_parts_read,
         TRUE AS static_pruned, TRUE AS dpp_pruned"""))
 
+  /** Bucketed (sort-merge-bucket) join, MEASURED — the co-location
+    * story for fact⋈fact joins that cannot broadcast: both tables are
+    * written `bucketBy(8, key).sortBy(key)` into catalog tables backed
+    * by the lifecycle dir, then the orders⋈lineitem join runs with a
+    * MERGE hint (so AQE cannot quietly broadcast the small side at
+    * test SF and vacuously pass) and the gate counts shuffles in the
+    * EXECUTED adaptive plan: exactly 1 exchange (the downstream
+    * 5-group aggregate) and exactly 1 SortMergeJoin — i.e. the join
+    * itself moved ZERO rows. At 100 TB this is the difference between
+    * a join that reshuffles both fact tables every run and one that
+    * reads co-located buckets; a lost bucket spec (e.g. a writer that
+    * stopped bucketing, or a bucket-count mismatch) adds an exchange
+    * and flips the gated boolean. Table names are fixed and
+    * DROP'd in finally — the harness executes serially. */
+  val bucketed_join = GQuery(
+    "bucketed_join",
+    (s, d) => graft.GQuery.withTempTable(s, "graft-bucket") { dir =>
+      import s.implicits._
+      import graft.operators.ScanAudit
+      s.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+      s.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
+      try {
+        T.orders(s, d).write.format("parquet")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"$dir/orders").saveAsTable("graft_bkt_orders")
+        T.lineitem(s, d).write.format("parquet")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$dir/lineitem")
+          .saveAsTable("graft_bkt_lineitem")
+        val agg = s.table("graft_bkt_orders")
+          .join(s.table("graft_bkt_lineitem").hint("MERGE"),
+            $"o_orderkey" === $"l_orderkey")
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            sum(round($"l_extendedprice" * 100).cast("long"))
+              .as("total_cents"))
+        val (_, nExchanges, nSmj) =
+          ScanAudit.exchangesAndMergeJoins(agg)
+        // materialize the (≤ n_priorities = 5 row) report BEFORE the
+        // finally drops the tables: the harness re-executes the
+        // returned frame, which must not depend on dropped catalog
+        // entries. Bounded driver collect, same class as the 2-row
+        // serving aggregates.
+        val rows = agg.orderBy($"o_orderpriority").collect().toSeq
+        s.createDataFrame(
+            s.sparkContext.parallelize(rows, 1), agg.schema)
+          .withColumn("join_shuffle_free", lit(nExchanges == 1))
+          .withColumn("smj_used", lit(nSmj == 1))
+      } finally {
+        s.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+        s.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
+      }
+    },
+    Some("""
+      SELECT o_orderpriority, COUNT(*) AS n_items,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+               AS BIGINT) AS total_cents,
+             TRUE AS join_shuffle_free, TRUE AS smj_used
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   // ---------------------------------------------------------- z-order
   /** The Morton (Z-order) curve key itself under the hash gate: every
     * order's 2-D key (custkey, exact price cents) interleaved into one
@@ -1865,5 +1926,5 @@ object Pipeline {
     split_shuffle, mix_temperature, curriculum_buckets, pack_sequences,
     heavy_hitters, text_tfidf,
     upsert_snapshot, upsert_time_travel, layout_report,
-    zorder_curve, layout_zorder, partition_prune)
+    zorder_curve, layout_zorder, partition_prune, bucketed_join)
 }
