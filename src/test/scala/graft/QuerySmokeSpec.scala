@@ -43,6 +43,39 @@ class QuerySmokeSpec extends SparkSpec {
     } finally pool.shutdown()
   }
 
+  test("registry-wide: no ScalaUDF/PythonUDF in any query's optimized " +
+      "plan (codegen'd expressions only)") {
+    val sf = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+    // Framework-INTERNAL UDFs, not authored in this repo: MLlib's
+    // model.transform prediction column is a ScalaUDF inside Spark
+    // itself (the KMeans/regression contract queries are spec-mandated
+    // MLlib), and df.stat.sampleBy's per-stratum filter is a Spark
+    // ScalaUDF. Everything the ENGINE authors must be codegen'd
+    // expressions; any new name appearing here is a regression.
+    val frameworkUdfQueries = Set(
+      "ml_kmeans_contract", "ml_quadfit_contract", "sample_stratified")
+    val offenders = Registry.all
+      .filterNot(q => frameworkUdfQueries(q.name)).flatMap { q =>
+      // analyzed, not executed: lifecycle queries run their table
+      // setup when fn is invoked, but plan inspection adds no second
+      // execution
+      val plan = q.fn(spark, sf).queryExecution.optimizedPlan
+      val hasUdf = plan.expressions.exists(_.exists {
+        case _: ScalaUDF => true
+        case e => e.getClass.getSimpleName.contains("PythonUDF")
+      }) || plan.collect {
+        case p if p.expressions.exists(_.exists {
+          case _: ScalaUDF => true
+          case e => e.getClass.getSimpleName.contains("PythonUDF")
+        }) => p
+      }.nonEmpty
+      if (hasUdf) Some(q.name) else None
+    }
+    assert(offenders.isEmpty,
+      s"queries carrying UDFs in the hot path: $offenders")
+  }
+
   test("every registered query executes at sf0.001") {
     val sf = "/root/testdata/sf0.001"
     val failures = Registry.all.flatMap { q =>
