@@ -44,7 +44,7 @@ object ScaleSweep {
     // r7 late additions: documents (spans), lineitem (profiling),
     // orders lifecycle (partition pruning)
     "dedup_spans", "profile_columns", "histogram_prices",
-    "partition_prune", "bucketed_join")
+    "partition_prune", "bucketed_join", "profile_ndv_approx", "text_clean")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

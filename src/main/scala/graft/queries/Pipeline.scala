@@ -1036,6 +1036,56 @@ object Pipeline {
   /** Gopher-style repetition/symbol quality gates (token-count
     * analogues of Rae et al. 2021 §A1.1), explode-based bigram mode —
     * per-doc work linear in doc length. */
+  /** Markup stripping (the C4/RefinedWeb boilerplate-removal step).
+    * The corpus ships clean text, so markup is PLANTED identically on
+    * both engines: every 7th document is wrapped in a div carrying its
+    * doc_id and gets a <br/> mid-text — then the cleaner must strip
+    * every tag and re-collapse the doubled spaces, and the gate proves
+    * byte-exact recovery of the original text (md5 equality per doc),
+    * pass-through for unmarked docs included. Tag regex `<[^>]*>` and
+    * the ` +` collapse are semantics-identical in Java regex and RE2,
+    * the same parity text_pii_scrub already leans on. Pure scan-side
+    * column algebra: zero shuffles, zero UDFs — at 100 TB this is a
+    * map-only pass fused into whatever scan follows it. */
+  val text_clean = GQuery(
+    "text_clean",
+    (s, d) => {
+      import s.implicits._
+      val docs = T.documents(s, d)
+      val marked = when($"doc_id" % 7 === 0,
+        concat(lit("<div id=\""), $"doc_id".cast("string"), lit("\"> "),
+          regexp_replace($"text", lit(" spark "), lit(" <br/> spark ")),
+          lit(" </div>")))
+        .otherwise($"text")
+      val stripped = trim(regexp_replace(
+        regexp_replace(marked, lit("<[^>]*>"), lit("")),
+        lit(" +"), lit(" ")))
+      docs.select($"doc_id",
+          ($"doc_id" % 7 === 0).as("had_markup"),
+          md5(stripped).as("clean_md5"),
+          (md5(stripped) === md5($"text")).as("recovered"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH m AS (
+        SELECT doc_id, text,
+               CASE WHEN doc_id % 7 = 0 THEN
+                 '<div id="' || CAST(doc_id AS VARCHAR) || '"> ' ||
+                 regexp_replace(text, ' spark ', ' <br/> spark ', 'g')
+                 || ' </div>'
+               ELSE text END AS marked
+        FROM documents),
+      c AS (
+        SELECT doc_id, text,
+               trim(regexp_replace(
+                 regexp_replace(marked, '<[^>]*>', '', 'g'),
+                 ' +', ' ', 'g')) AS stripped
+        FROM m)
+      SELECT doc_id, doc_id % 7 = 0 AS had_markup,
+             md5(stripped) AS clean_md5,
+             md5(stripped) = md5(text) AS recovered
+      FROM c ORDER BY doc_id"""))
+
   val text_repetition = GQuery(
     "text_repetition",
     (s, d) => TA.repetitionMetrics(T.documents(s, d), "doc_id", "text")
@@ -1921,7 +1971,7 @@ object Pipeline {
     sim_lsh_bucketed, sim_ivf_topk, sim_ivf_fullprobe, sim_ivf_recall,
     sim_rplsh_recall, sim_pq_fullrerank, sim_pq_recall, sim_ivfpq_recall,
     text_tokens, text_quality, text_langid,
-    text_fingerprint, text_pii_scrub, text_repetition, decontaminate,
+    text_fingerprint, text_pii_scrub, text_clean, text_repetition, decontaminate,
     decontaminate_bloom,
     split_shuffle, mix_temperature, curriculum_buckets, pack_sequences,
     heavy_hitters, text_tfidf,

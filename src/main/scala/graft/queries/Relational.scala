@@ -671,6 +671,68 @@ object Relational {
              MIN(l_linestatus), MAX(l_linestatus) FROM li
       ORDER BY col_name"""))
 
+  /** The SCALE path for [[profile_columns]]' NDV report, gated: HLL++
+    * `approx_count_distinct` (rsd 0.02) per column — a single
+    * fixed-size sketch per column, NO Expand, partial-merge always
+    * reduces (the exact report's partial stage stops reducing once key
+    * NDV grows with the data — 11.6× at the sf1→sf10 decade,
+    * docs/PERF.md). The contract recomputes the exact NDV in the same
+    * query and gates |approx−exact|/exact ≤ 5%; the oracle rebuilds
+    * exact NDV relationally and emits the booleans — so the sketch's
+    * accuracy is hash-gated, not assumed, while its VALUE (engine-
+    * specific) never crosses the gate. */
+  val profile_ndv_approx = GQuery(
+    "profile_ndv_approx",
+    (s, d) => {
+      import s.implicits._
+      val li = T.lineitem(s, d)
+        .withColumn("l_tax_pos", when($"l_tax" > 0, $"l_tax"))
+      val cols = Seq(
+        "l_orderkey" -> $"l_orderkey",
+        "l_quantity" -> $"l_quantity",
+        "l_extendedprice" -> $"l_extendedprice",
+        "l_tax_pos" -> $"l_tax_pos",
+        "l_returnflag" -> $"l_returnflag")
+      // the sketches live in their OWN aggregate: mixed with the
+      // count_distincts, the distinct-rewrite Expand's first stage
+      // evaluates every HLL buffer per (gid, value) GROUP — ~1.2 M
+      // groups × 5 × 4 KB buffers, measured 55 s vs 4.4 s at sf0.1.
+      // Split, the exact side is the same Expand profile_columns
+      // pays and the sketch side is one scan with 5 buffers total
+      // per partition.
+      val exactAggs = cols.map { case (n, c) =>
+        count_distinct(c).as(s"nd_$n") }
+      val apxAggs = cols.map { case (n, c) =>
+        approx_count_distinct(c, 0.02).as(s"na_$n") }
+      val rows = cols.map { case (n, _) => struct(
+        lit(n).as("col_name"),
+        col(s"nd_$n").as("n_distinct"),
+        (abs(col(s"na_$n") - col(s"nd_$n")).cast("double") /
+          col(s"nd_$n").cast("double") <= 0.05).as("approx_ok")) }
+      li.agg(exactAggs.head, exactAggs.tail: _*)
+        .crossJoin(broadcast(li.agg(apxAggs.head, apxAggs.tail: _*)))
+        .select(explode(array(rows: _*)).as("c"))
+        .select($"c.col_name", $"c.n_distinct", $"c.approx_ok")
+        .orderBy($"col_name")
+    },
+    Some("""
+      WITH li AS (
+        SELECT *, CASE WHEN l_tax > 0 THEN l_tax END AS l_tax_pos
+        FROM lineitem)
+      SELECT 'l_orderkey' AS col_name,
+             COUNT(DISTINCT l_orderkey) AS n_distinct, TRUE AS approx_ok
+      FROM li
+      UNION ALL
+      SELECT 'l_quantity', COUNT(DISTINCT l_quantity), TRUE FROM li
+      UNION ALL
+      SELECT 'l_extendedprice', COUNT(DISTINCT l_extendedprice), TRUE
+      FROM li
+      UNION ALL
+      SELECT 'l_tax_pos', COUNT(DISTINCT l_tax_pos), TRUE FROM li
+      UNION ALL
+      SELECT 'l_returnflag', COUNT(DISTINCT l_returnflag), TRUE FROM li
+      ORDER BY col_name"""))
+
   /** Equi-width histogram with data-derived bounds: 20 buckets of
     * l_extendedprice between the global min and max. All bucketing is
     * EXACT integer arithmetic on long cents — ((cents−min)·20) DIV
@@ -714,5 +776,5 @@ object Relational {
     agg_approx_percentile, str_funcs, hof_tokens, skew_salted_join,
     sub_exists, sub_scalar_corr, c8_calendar, agg_collect,
     w4_range_frame, w5_range_prefix, w6_range_avg, w7_range_minmax,
-    profile_columns, histogram_prices)
+    profile_columns, profile_ndv_approx, histogram_prices)
 }
