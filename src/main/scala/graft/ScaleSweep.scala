@@ -34,7 +34,7 @@ object ScaleSweep {
     "sim_ivf_topk", "sim_ivf_fullprobe", "sim_ivf_recall",
     "sim_rplsh_recall", "sim_pq_recall", "sim_ivfpq_recall",
     // events-backed windows/folds
-    "w1_running_sum", "sessionize", "a2_ratios", "a3_fold_avg_of_avgs",
+    "w1_running_sum", "sessionize", "scd2_islands", "a2_ratios", "a3_fold_avg_of_avgs",
     "a4_fold_ewma", "a6_last_value", "c1_json_extract",
     "stream_window_agg", "stream_sessions", "stream_interval_join",
     "stream_dedup",

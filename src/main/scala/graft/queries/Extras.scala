@@ -70,6 +70,56 @@ object Extras {
              CAST(SUM(n_events) AS BIGINT) AS n_events
       FROM per_session GROUP BY user_id ORDER BY user_id"""))
 
+  /** Gaps-and-islands → SCD2-style validity intervals: consecutive
+    * same-type events per user collapse into (type, valid_from,
+    * valid_to, n_events) intervals — the standard derivation of a
+    * type-2 slowly-changing dimension from a change log, and the
+    * VALUE-change twin of [[sessionize]]'s TIME-gap islands. Same
+    * deterministic discipline: exact epoch-µs longs, (us, event_id)
+    * window order on both engines, island ordinal from a running sum
+    * of change flags. One keyed sort window + one keyed aggregation —
+    * partition-parallel over users, per-key cost ∝ that user's
+    * history, no global window anywhere. */
+  val scd2_islands = GQuery(
+    "scd2_islands",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      T.events(s, d)
+        .withColumn("us", unix_micros($"ts".cast("timestamp")))
+        .withColumn("chg",
+          when(lag($"event_type", 1).over(w).isNull ||
+            lag($"event_type", 1).over(w) =!= $"event_type", 1L)
+            .otherwise(0L))
+        .withColumn("island", sum($"chg").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"island", $"event_type")
+        .agg(min($"us").as("valid_from_us"),
+          max($"us").as("valid_to_us"),
+          count(lit(1)).as("n_events"))
+        .select($"user_id", $"island", $"event_type",
+          $"valid_from_us", $"valid_to_us", $"n_events")
+        .orderBy($"user_id", $"island")
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+        FROM events),
+      f AS (
+        SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+                         OR lag(event_type) OVER w <> event_type
+                       THEN 1 ELSE 0 END AS chg
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      i AS (
+        SELECT *, SUM(chg) OVER (PARTITION BY user_id
+          ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS island
+        FROM f)
+      SELECT user_id, CAST(island AS BIGINT) AS island, event_type,
+             MIN(us) AS valid_from_us, MAX(us) AS valid_to_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM i GROUP BY user_id, island, event_type
+      ORDER BY user_id, island"""))
+
   /** Parquet schema evolution on read: a table written by two writer
     * "eras" — the old era lacks the `source` column — read back as one
     * frame with `mergeSchema`, era-1 rows NULL-filled for the column
@@ -749,7 +799,7 @@ object Extras {
              CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
       FROM events GROUP BY user_id ORDER BY user_id"""))
 
-  val all: Seq[GQuery] = Seq(sessionize, schema_evolution, agg_cube,
+  val all: Seq[GQuery] = Seq(sessionize, scd2_islands, schema_evolution, agg_cube,
     mm_binary_meta,
     mm_feature_extract, mm_frame_sample, mm_resize,
     mm_audio_meta, mm_audio_downsample,
