@@ -733,6 +733,54 @@ object Relational {
       SELECT 'l_returnflag', COUNT(DISTINCT l_returnflag), TRUE FROM li
       ORDER BY col_name"""))
 
+  /** The Observation API (`df.observe` → CollectMetrics), gated: data-
+    * quality counters piggyback on a pass that is doing OTHER work —
+    * here a selective filter whose survivors are the pass's real
+    * output — and the observed metrics see every pre-filter row
+    * without a second scan or a separate aggregation job. At 100 TB
+    * this is how a pipeline watches its own health (rows in, nulls,
+    * checksums) for free; the gate proves the observed values are the
+    * exact relational aggregates by rebuilding them in the oracle.
+    * The observation is harvested driver-side after one forced
+    * execution and returned as a literal row (ScanAudit pattern), so
+    * the harness's re-executions never touch the one-shot
+    * `Observation.get`. */
+  val observed_metrics = GQuery(
+    "observed_metrics",
+    (s, d) => {
+      import s.implicits._
+      val obs = org.apache.spark.sql.Observation()
+      val pass = T.lineitem(s, d)
+        .observe(obs,
+          count(lit(1)).as("n_rows"),
+          sum(round($"l_extendedprice" * 100).cast("long"))
+            .as("sum_cents"),
+          max($"l_quantity").as("max_qty"))
+        .filter($"l_quantity" > 45)
+        .select($"l_orderkey", $"l_quantity")
+      // a DATASET action, deliberately not Registry.force: the
+      // observation completes via the SQLExecution listener, which
+      // `queryExecution.toRdd` bypasses — obs.get would block forever
+      // (CollectMetrics is a pruning barrier, so count() still
+      // evaluates the observed expressions over every row)
+      val survivors = pass.count()
+      val m = obs.get
+      s.range(1).select(
+        lit(survivors).as("n_survivors"),
+        lit(m("n_rows").asInstanceOf[Long]).as("n_rows"),
+        lit(m("sum_cents").asInstanceOf[Long]).as("sum_cents"),
+        lit(m("max_qty").asInstanceOf[Double]).as("max_qty"))
+    },
+    Some("""
+      SELECT
+        CAST(SUM(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_survivors,
+        CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+          AS BIGINT) AS sum_cents,
+        MAX(l_quantity) AS max_qty
+      FROM lineitem"""))
+
   /** Equi-width histogram with data-derived bounds: 20 buckets of
     * l_extendedprice between the global min and max. All bucketing is
     * EXACT integer arithmetic on long cents — ((cents−min)·20) DIV
@@ -776,5 +824,6 @@ object Relational {
     agg_approx_percentile, str_funcs, hof_tokens, skew_salted_join,
     sub_exists, sub_scalar_corr, c8_calendar, agg_collect,
     w4_range_frame, w5_range_prefix, w6_range_avg, w7_range_minmax,
-    profile_columns, profile_ndv_approx, histogram_prices)
+    profile_columns, profile_ndv_approx, histogram_prices,
+    observed_metrics)
 }
