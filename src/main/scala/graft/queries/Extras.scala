@@ -154,6 +154,71 @@ object Extras {
                AS BIGINT) AS n_with_source
       FROM documents GROUP BY lang ORDER BY lang"""))
 
+  /** Time-series resampling + forward fill: each user's event stream
+    * becomes a dense hourly grid between their first and last
+    * observation, gaps carry the last observed value forward (LOCF —
+    * the standard feature-store/training-snapshot densification).
+    * Spark-first shape: the grid is `sequence`+`explode` off a keyed
+    * min/max (map-side after one agg — never a driver loop or a
+    * cross join with a calendar table), the last-obs-per-hour pick is
+    * one keyed window, the fill is `last(ignoreNulls)` over a second
+    * keyed window. Everything partitions by user_id; at 100 TB the
+    * grid grows with user-hours (MkScale's decade extends the SPAN,
+    * so output scales linearly with input — priced in the sweep).
+    * Values are copied, never computed, so doubles hash exactly; the
+    * per-hour pick tie-breaks on (us, event_id) DESC on BOTH engines.
+    * A user's first grid hour is their first observation's hour, so
+    * the fill never sees a leading null. */
+  val resample_ffill = GQuery(
+    "resample_ffill",
+    (s, d) => {
+      import s.implicits._
+      val hourUs = 3600L * 1000 * 1000
+      val ev = T.events(s, d)
+        .withColumn("us", unix_micros($"ts".cast("timestamp")))
+        .withColumn("h", ($"us" / hourUs).cast("long"))
+      val lastInHour = Window.partitionBy($"user_id", $"h")
+        .orderBy($"us".desc, $"event_id".desc)
+      val obs = ev
+        .withColumn("rn", row_number().over(lastInHour))
+        .filter($"rn" === 1)
+        .select($"user_id", $"h", $"value".as("obs_v"))
+      val grid = ev.groupBy($"user_id")
+        .agg(min($"h").as("hmin"), max($"h").as("hmax"))
+        .select($"user_id", explode(sequence($"hmin", $"hmax")).as("h"))
+      val fill = Window.partitionBy($"user_id").orderBy($"h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(obs, Seq("user_id", "h"), "left")
+        .select($"user_id", $"h",
+          last($"obs_v", ignoreNulls = true).over(fill).as("v"),
+          $"obs_v".isNotNull.as("is_observed"))
+        .orderBy($"user_id", $"h")
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, value, epoch_us(ts) AS us,
+               epoch_us(ts) // 3600000000 AS h
+        FROM events),
+      b AS (SELECT user_id, MIN(h) AS hmin, MAX(h) AS hmax
+            FROM e GROUP BY user_id),
+      grid AS (SELECT user_id, UNNEST(generate_series(hmin, hmax)) AS h
+               FROM b),
+      obs AS (
+        SELECT user_id, h, value AS obs_v FROM (
+          SELECT user_id, h, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, h
+                   ORDER BY us DESC, event_id DESC) AS rn
+          FROM e)
+        WHERE rn = 1)
+      SELECT g.user_id, g.h,
+             LAST_VALUE(o.obs_v IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v,
+             o.obs_v IS NOT NULL AS is_observed
+      FROM grid g LEFT JOIN obs o
+        ON g.user_id = o.user_id AND g.h = o.h
+      ORDER BY g.user_id, g.h"""))
+
   /** CUBE multidimensional aggregate (SURVEY §2.5 "free in Spark SQL"
     * row, made concrete). */
   val agg_cube = GQuery(
@@ -799,7 +864,8 @@ object Extras {
              CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
       FROM events GROUP BY user_id ORDER BY user_id"""))
 
-  val all: Seq[GQuery] = Seq(sessionize, scd2_islands, schema_evolution, agg_cube,
+  val all: Seq[GQuery] = Seq(sessionize, scd2_islands, schema_evolution,
+    resample_ffill, agg_cube,
     mm_binary_meta,
     mm_feature_extract, mm_frame_sample, mm_resize,
     mm_audio_meta, mm_audio_downsample,
