@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative / combinatorial graph analytics as keyed join+aggregate
+  * rounds — the same execution shape as [[Dedup.connectedComponents]]:
+  * no vertex program, no driver-side adjacency, every round is one
+  * shuffle on the vertex key with a `localCheckpoint` lineage cut.
+  *
+  * Reference scope: the reference engine has no graph surface at all
+  * (its "graph" is the player↔team membership it flattens relationally,
+  * `master.py:120`); these operators extend the engine to link-analysis
+  * shapes a training-data pipeline needs (source-authority weighting,
+  * citation graphs over document corpora).
+  */
+object GraphOps {
+
+  /** Integer-exact PageRank: ranks are longs scaled by `unit` = 1e9,
+    * a node's per-edge contribution is `rank DIV outdeg`, and the
+    * damped update is `(15·unit) DIV 100 + (85 · Σ contrib) DIV 100`.
+    * Every operation is integral, so the result is INDEPENDENT of
+    * partitioning, aggregation order, and cluster size — bit-equal on
+    * local[1] and a 1000-executor cluster, and exactly mirrorable in
+    * the DuckDB oracle (`//` = `DIV` on non-negative longs; DuckDB's
+    * HUGEINT sum re-narrows losslessly). The floor in DIV leaks at
+    * most `outdeg−1` rank units per node per round — 9 significant
+    * digits survive, which is ranking-grade; the point of the integer
+    * spelling is determinism, the float spelling would be
+    * shuffle-order-dependent.
+    *
+    * Overflow boundary: the damped sum is computed as `85 · Σ` in
+    * LongType; Σ at a node is bounded by the total rank mass
+    * `n_nodes · unit`, so the spelling is safe while
+    * `85 · n_nodes · 1e9 < 2^63` — i.e. up to ~10^8 nodes, far past
+    * any single-table corpus here. Past that, raise to DecimalType
+    * sums (DuckDB's side is already exact via HUGEINT).
+    *
+    * Requires every node to have at least one out-edge (true for any
+    * symmetrized edge set — pass an undirected graph as both
+    * directions); dangling-node redistribution is out of scope.
+    *
+    * @param edges directed edge list; for undirected graphs pass both
+    *              directions
+    * @return (node, pr) — pr after `iters` damped rounds
+    */
+  def pagerankExact(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, unit: Long = 1000000000L): DataFrame = {
+    // materialize the (possibly expensive) edge derivation ONCE, with
+    // the out-degree pre-joined — the iteration plan references it
+    // `iters` times, and without the cut each reference would re-run
+    // the whole upstream derivation (common subplans are only deduped
+    // via exchange reuse, which a join+distinct chain defeats)
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val deg = e0.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val ed = e0.join(deg, "src").localCheckpoint()
+    var ranks = deg.select(col("src").as("node"), lit(unit).as("pr"))
+    val teleport = (15L * unit) / 100L
+    // each round ends in a lineage cut: a fully lazy `iters`-deep
+    // unroll is one enormous plan whose optimization + AQE re-planning
+    // dominates the cold run (measured 12.8 s vs 7.6 s at sf0.1);
+    // cutting per round keeps every plan two joins deep, and the
+    // node-sized round outputs are cheap to hold
+    for (_ <- 1 to iters) {
+      val contrib = ed
+        .join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("pr DIV deg").as("c"))
+      ranks = contrib.groupBy(col("dst"))
+        .agg((lit(teleport) +
+          expr("(85 * sum(c)) DIV 100")).as("pr"))
+        .select(col("dst").as("node"), col("pr"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
+  /** Mirror of [[pagerankExact]] as generated DuckDB SQL (unrolled
+    * CTE chain — one `pr_i` level per round, the exact integer
+    * recurrence). `edgeCte` must define `edges(src, dst)`. */
+  def pagerankOracle(edgeCte: String, iters: Int,
+      unit: Long = 1000000000L): String = {
+    val teleport = (15L * unit) / 100L
+    val steps = (1 to iters).map { i =>
+      s""", pr$i AS (
+        SELECT e.dst AS node,
+               CAST($teleport + (85 * SUM(p.pr // g.deg)) // 100
+                 AS BIGINT) AS pr
+        FROM pr${i - 1} p
+        JOIN deg g ON p.node = g.src
+        JOIN edges e ON p.node = e.src
+        GROUP BY e.dst)"""
+    }.mkString
+    s"""$edgeCte,
+      deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+      pr0 AS (SELECT src AS node, CAST($unit AS BIGINT) AS pr FROM deg)
+      $steps
+      SELECT node, pr FROM pr$iters ORDER BY node"""
+  }
+
+  /** Exact global triangle and wedge counts over an undirected graph,
+    * via the degree-orientation trick: orient every edge from its
+    * lower-(degree, id) endpoint to the higher one, enumerate wedges
+    * only from ORIENTED out-neighbors (out-degree is O(√m) even on
+    * power-law graphs — this is what makes the join survive hub
+    * nodes), and close each wedge against the oriented edge set.
+    * Two keyed shuffles; no node ever enumerates its full
+    * neighborhood squared.
+    *
+    * @param und undirected unique edges, u < v per row
+    * @return single row (n_triangles, n_wedges) — n_wedges is the
+    *         raw Σ C(deg,2), so global clustering = 3·T/W
+    */
+  def triangleCounts(und: DataFrame, uCol: String, vCol: String)
+      : DataFrame = {
+    val e0 = und.select(col(uCol).as("u"), col(vCol).as("v"))
+      .localCheckpoint()
+    val sym = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    // raw wedge count: sum C(deg, 2) — no join needed
+    val wedges = deg.agg(
+      sum(expr("deg * (deg - 1) DIV 2")).as("n_wedges"))
+    // orientation rank: (deg, id) totally orders nodes; keep edges
+    // pointing "up" that order, and carry the DST's rank so wedge
+    // pairs can be canonicalized in the same order
+    val dd = sym
+      .join(deg.select(col("u").as("u2"), col("deg").as("du")),
+        col("u") === col("u2"))
+      .join(deg.select(col("u").as("v2"), col("deg").as("dv")),
+        col("v") === col("v2"))
+      .filter(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v")))
+      .select(col("u").as("src"), col("v").as("dst"),
+        col("dv").as("ddeg"))
+      .localCheckpoint()
+    // oriented wedges from a common apex, the two out-neighbors
+    // ordered by THEIR orientation rank — so if the closing edge
+    // exists it is exactly (b → c) in `dd`, and the close is a single
+    // equi-join (an OR-of-sides condition would plan as a nested loop)
+    val w = dd.as("x").join(dd.as("y"),
+        col("x.src") === col("y.src") &&
+          (col("x.ddeg") < col("y.ddeg") ||
+            (col("x.ddeg") === col("y.ddeg") &&
+              col("x.dst") < col("y.dst"))))
+      .select(col("x.dst").as("b"), col("y.dst").as("c"))
+    val tri = w.join(dd.select(col("src"), col("dst")),
+        col("b") === col("src") && col("c") === col("dst"))
+      .agg(count(lit(1)).as("n_triangles"))
+    tri.crossJoin(wedges)
+      .select(col("n_triangles"), col("n_wedges"))
+  }
+}

@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pagerank: symmetric pair splits mass equally, exact recurrence") {
+    // undirected single edge 1–2 (both directions): by symmetry both
+    // nodes keep the same rank; one hand-computed round pins the
+    // integer recurrence: contrib = 1e9 DIV 1 = 1e9,
+    // pr' = 15e7 + (85 * 1e9) DIV 100 = 150000000 + 850000000 = 1e9
+    val e = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val r = GraphOps.pagerankExact(e, "src", "dst", iters = 3)
+      .orderBy($"node").as[(Long, Long)].collect()
+    assert(r.toSeq == Seq((1L, 1000000000L), (2L, 1000000000L)))
+  }
+
+  test("pagerank: star center accumulates rank, leaves shed it") {
+    // star 0–{1,2,3} symmetrized; after one round:
+    // center gets 15e7 + 85*(3 * 1e9) DIV 100 = 2700000000
+    // each leaf gets 15e7 + 85*(1e9 DIV 3) DIV 100 = 433333333
+    val und = Seq((0L, 1L), (0L, 2L), (0L, 3L))
+    val e = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val r1 = GraphOps.pagerankExact(e, "src", "dst", iters = 1)
+      .orderBy($"node").as[(Long, Long)].collect().toSeq
+    assert(r1.head == (0L, 2700000000L))
+    assert(r1.tail.forall(_._2 == 150000000L + 85L * (1000000000L / 3) / 100))
+    // more rounds keep the center strictly above the leaves
+    val r5 = GraphOps.pagerankExact(e, "src", "dst", iters = 5)
+      .orderBy($"node").as[(Long, Long)].collect().toSeq
+    assert(r5.head._2 > r5.tail.map(_._2).max)
+    // leaves stay mutually identical (graph automorphism ⇒ exact tie)
+    assert(r5.tail.map(_._2).distinct.size == 1)
+  }
+
+  test("triangles: K4, a path, and a square with one diagonal") {
+    // K4: C(4,3)=4 triangles; wedges = 4 nodes × C(3,2) = 12
+    val k4 = (for {
+      u <- 0L to 3L; v <- 0L to 3L if u < v
+    } yield (u, v)).toDF("u", "v")
+    val t4 = GraphOps.triangleCounts(k4, "u", "v")
+      .as[(Long, Long)].head()
+    assert(t4 == ((4L, 12L)))
+    // path 0-1-2-3: no triangles, wedges = 2 (at nodes 1 and 2)
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("u", "v")
+    assert(GraphOps.triangleCounts(path, "u", "v")
+      .as[(Long, Long)].head() == ((0L, 2L)))
+    // square 0-1-2-3-0 plus diagonal 0-2: exactly 2 triangles
+    val sq = Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 3L), (0L, 2L))
+      .toDF("u", "v")
+    assert(GraphOps.triangleCounts(sq, "u", "v")
+      .as[(Long, Long)].head()._1 == 2L)
+  }
+}
