@@ -1961,8 +1961,73 @@ object Pipeline {
              TRUE AS z_prunes_better
       FROM geo"""))
 
+  /** Blocked fuzzy record linkage (edit-distance matching): planted
+    * single-character-deletion twins (every doc_id ≡ 3 mod 7, the
+    * deleted position varies with the id and sits past the block
+    * prefix) must be recovered by a prefix-16 blocked self-join +
+    * `levenshtein ≤ 1` verify. The blocking is what makes this a
+    * 100 TB shape: candidates are equi-join groups on a scan-local
+    * key (block sizes stay O(1) on real text), the quadratic
+    * verify only ever runs inside a block, and a cheap |len| ≤ 1
+    * prefilter guards the O(L²) edit-distance kernel. Exact-dup
+    * pairs already present in the corpus match at distance 0 —
+    * deterministic, and mirrored by the oracle, which replays the
+    * identical plant + block + verify in SQL (`is_planted` marks the
+    * recovered twins: the b-side id is a-side + 10⁷ by construction,
+    * so the gate also proves 100% planted recall through the blocked
+    * path). */
+  val fuzzy_match_blocked = GQuery(
+    "fuzzy_match_blocked",
+    (s, d) => {
+      import s.implicits._
+      val docs = T.documents(s, d).select($"doc_id", $"text")
+      val twins = docs.filter($"doc_id" % 7 === 3)
+        .select($"doc_id", $"text",
+          (lit(20) + ($"doc_id" % 16)).cast("int").as("p"))
+        .select(($"doc_id" + 10000000L).as("doc_id"),
+          expr("concat(substring(text, 1, p), substring(text, p + 2))")
+            .as("text"))
+      val corpus = docs.unionByName(twins)
+        .select($"doc_id", $"text",
+          substring($"text", 1, 16).as("blk"),
+          length($"text").as("len"))
+      corpus.as("a").join(corpus.as("b"),
+          col("a.blk") === col("b.blk") &&
+            col("a.doc_id") < col("b.doc_id") &&
+            abs(col("a.len") - col("b.len")) <= 1)
+        .withColumn("dist",
+          levenshtein(col("a.text"), col("b.text")).cast("long"))
+        .filter($"dist" <= 1)
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          $"dist",
+          (col("b.doc_id") === col("a.doc_id") + 10000000L)
+            .as("is_planted"))
+        .orderBy($"a_id", $"b_id")
+    },
+    Some("""
+      WITH twins AS (
+        SELECT doc_id + 10000000 AS doc_id,
+               concat(substr(text, 1, p), substr(text, p + 2)) AS text
+        FROM (SELECT doc_id, text,
+                     CAST(20 + doc_id % 16 AS INT) AS p
+              FROM documents WHERE doc_id % 7 = 3)),
+      corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id, text FROM twins),
+      c AS (SELECT doc_id, text, substr(text, 1, 16) AS blk,
+                   length(text) AS len
+            FROM corpus)
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             levenshtein(a.text, b.text) AS dist,
+             b.doc_id = a.doc_id + 10000000 AS is_planted
+      FROM c a JOIN c b
+        ON a.blk = b.blk AND a.doc_id < b.doc_id
+           AND abs(a.len - b.len) <= 1
+      WHERE levenshtein(a.text, b.text) <= 1
+      ORDER BY a_id, b_id"""))
+
   val all: Seq[GQuery] = Seq(
-    dedup_exact, dedup_incremental, dedup_spans,
+    dedup_exact, dedup_incremental, dedup_spans, fuzzy_match_blocked,
     dedup_minhash_lsh, dedup_simhash, dedup_ngram_jaccard,
     dedup_ngram_steep, dedup_ngram_steep_recall,
     dedup_clusters, dedup_embedding_cosine, dedup_semantic,
