@@ -154,6 +154,54 @@ object Extras {
                AS BIGINT) AS n_with_source
       FROM documents GROUP BY lang ORDER BY lang"""))
 
+  /** PERMISSIVE corrupt-record routing on a JSON source: a JSONL file
+    * is written with a syntactically-truncated line planted for every
+    * doc_id ≡ 0 mod 13, read back with an explicit schema +
+    * `columnNameOfCorruptRecord`, and the report proves Spark routed
+    * exactly the planted lines — corrupt rows surface with all schema
+    * fields null and the RAW line preserved, so the corrupt bucket's
+    * byte count is checkable against the oracle's reconstruction of
+    * the identical truncated string. One scan: good-row aggregates
+    * and the corrupt bucket come out of a single groupBy over
+    * `coalesce(lang, '_corrupt')` (also why this never trips Spark's
+    * corrupt-column-only query restriction). At 100 TB this is the
+    * difference between a pipeline that dies on the first bad byte
+    * and one that quarantines it with evidence. */
+  val json_corrupt_routing = GQuery(
+    "json_corrupt_routing",
+    (s, d) => graft.GQuery.withTempTable(s, "graft-json-corrupt") { t =>
+      import s.implicits._
+      val docs = T.documents(s, d)
+      val good = docs.filter($"doc_id" % 13 =!= 0)
+        .select(to_json(struct($"doc_id", $"lang", $"n_chars"))
+          .as("value"))
+      val bad = docs.filter($"doc_id" % 13 === 0)
+        .select(concat(lit("{\"doc_id\": "), $"doc_id",
+          lit(", \"lang\": \"xx")).as("value"))
+      good.unionByName(bad).write.text(s"$t/jsonl")
+      s.read
+        .schema("doc_id LONG, lang STRING, n_chars LONG, " +
+          "_corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(s"$t/jsonl")
+        .groupBy(coalesce($"lang", lit("_corrupt")).as("lang"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(coalesce($"n_chars",
+            length($"_corrupt_record").cast("long"))).as("chars"))
+        .orderBy($"lang")
+    },
+    Some("""
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(n_chars) AS BIGINT) AS chars
+      FROM documents WHERE doc_id % 13 <> 0 GROUP BY lang
+      UNION ALL
+      SELECT '_corrupt', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(length('{"doc_id": ' || doc_id ||
+               ', "lang": "xx')) AS BIGINT)
+      FROM documents WHERE doc_id % 13 = 0
+      ORDER BY lang"""))
+
   /** Time-series resampling + forward fill: each user's event stream
     * becomes a dense hourly grid between their first and last
     * observation, gaps carry the last observed value forward (LOCF —
@@ -865,7 +913,7 @@ object Extras {
       FROM events GROUP BY user_id ORDER BY user_id"""))
 
   val all: Seq[GQuery] = Seq(sessionize, scd2_islands, schema_evolution,
-    resample_ffill, agg_cube,
+    json_corrupt_routing, resample_ffill, agg_cube,
     mm_binary_meta,
     mm_feature_extract, mm_frame_sample, mm_resize,
     mm_audio_meta, mm_audio_downsample,
