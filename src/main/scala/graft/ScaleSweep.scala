@@ -44,7 +44,12 @@ object ScaleSweep {
     // r7 late additions: documents (spans), lineitem (profiling),
     // orders lifecycle (partition pruning)
     "dedup_spans", "profile_columns", "histogram_prices",
-    "partition_prune", "bucketed_join", "profile_ndv_approx", "text_clean")
+    "partition_prune", "bucketed_join", "profile_ndv_approx", "text_clean",
+    // round-7 second wave: events grid (resample_ffill), lineitem
+    // graph + observation (graph_*, observed_metrics), documents
+    // linkage/routing (fuzzy_match_blocked, json_corrupt_routing)
+    "resample_ffill", "graph_pagerank", "graph_triangles",
+    "observed_metrics", "fuzzy_match_blocked", "json_corrupt_routing")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
