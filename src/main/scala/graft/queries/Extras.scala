@@ -154,6 +154,64 @@ object Extras {
                AS BIGINT) AS n_with_source
       FROM documents GROUP BY lang ORDER BY lang"""))
 
+  /** Snapshot reconciliation (table diff): planted drops (deleted),
+    * text edits (modified), and key-shifted copies (added) against the
+    * original table must come back as exactly the planted change set.
+    * The 100 TB shape: ONE co-partitioned full-outer join on the key,
+    * comparing per-row MD5 fingerprints instead of full rows — the
+    * wide payload never rides the shuffle twice, and unchanged rows
+    * (the overwhelming majority in a real reconciliation) are filtered
+    * before the output sort. Deletion wins over modification when a
+    * row is planted with both (it is absent from the new side), and
+    * added rows derive from the ORIGINAL text — both encoded
+    * identically in the oracle's reconstruction. */
+  val table_diff = GQuery(
+    "table_diff",
+    (s, d) => {
+      import s.implicits._
+      val base = T.documents(s, d).select($"doc_id", $"text", $"lang")
+      val newT = base.filter(!($"doc_id" % 11 === 5))
+        .withColumn("text",
+          when($"doc_id" % 9 === 2, concat($"text", lit(" v2")))
+            .otherwise($"text"))
+        .unionByName(base.filter($"doc_id" % 17 === 4)
+          .select(($"doc_id" + 20000000L).as("doc_id"), $"text", $"lang"))
+      def fp(df: org.apache.spark.sql.DataFrame, as: String) =
+        df.select($"doc_id",
+          md5(concat_ws("\u0001", $"text", $"lang")).as(as))
+      fp(base, "h_old").join(fp(newT, "h_new"), Seq("doc_id"), "full_outer")
+        .select($"doc_id",
+          when($"h_old".isNull, "added")
+            .when($"h_new".isNull, "deleted")
+            .when($"h_old" =!= $"h_new", "modified")
+            .as("change"))
+        .filter($"change".isNotNull)
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH base AS (SELECT doc_id, text, lang FROM documents),
+      newt AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 9 = 2 THEN text || ' v2' ELSE text END
+                 AS text,
+               lang
+        FROM base WHERE doc_id % 11 <> 5
+        UNION ALL
+        SELECT doc_id + 20000000, text, lang
+        FROM base WHERE doc_id % 17 = 4),
+      o AS (SELECT doc_id, md5(concat_ws(chr(1), text, lang)) AS h_old
+            FROM base),
+      n AS (SELECT doc_id, md5(concat_ws(chr(1), text, lang)) AS h_new
+            FROM newt),
+      j AS (
+        SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'deleted'
+                    WHEN h_old <> h_new THEN 'modified' END AS change
+        FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+      SELECT doc_id, change FROM j WHERE change IS NOT NULL
+      ORDER BY doc_id"""))
+
   /** PERMISSIVE corrupt-record routing on a JSON source: a JSONL file
     * is written with a syntactically-truncated line planted for every
     * doc_id ≡ 0 mod 13, read back with an explicit schema +
@@ -206,17 +264,27 @@ object Extras {
     * becomes a dense hourly grid between their first and last
     * observation, gaps carry the last observed value forward (LOCF —
     * the standard feature-store/training-snapshot densification).
-    * Spark-first shape: the grid is `sequence`+`explode` off a keyed
-    * min/max (map-side after one agg — never a driver loop or a
-    * cross join with a calendar table), the last-obs-per-hour pick is
-    * one keyed window, the fill is `last(ignoreNulls)` over a second
-    * keyed window. Everything partitions by user_id; at 100 TB the
-    * grid grows with user-hours (MkScale's decade extends the SPAN,
-    * so output scales linearly with input — priced in the sweep).
-    * Values are copied, never computed, so doubles hash exactly; the
-    * per-hour pick tie-breaks on (us, event_id) DESC on BOTH engines.
-    * A user's first grid hour is their first observation's hour, so
-    * the fill never sees a leading null. */
+    * Spark-first shape — no join anywhere: the grid is
+    * `sequence`+`explode` off a keyed min/max (never a driver loop or
+    * a calendar cross join), the last-obs-per-hour pick is a `max_by`
+    * aggregate with map-side partials (the struct ordering key demotes
+    * it to SortAggregate — profile_columns' buffer lesson — but the
+    * partial agg still collapses each task's events to one row per
+    * (user,hour) BEFORE the exchange, where a row_number window would
+    * ship every event), and obs ∪ grid rows flow through ONE
+    * user-partitioned window ordered by (h, pri) with obs rows
+    * sorting immediately before their grid hour: the LOCF fill is
+    * `last(ignoreNulls)`, and `is_observed` falls out of `lag(h)` on
+    * the same window (the only row that can precede a grid row at its
+    * own hour is that hour's single obs row). The join spelling this
+    * replaces paid an extra (user,h) exchange of the grid plus the
+    * join itself.
+    * At 100 TB the grid grows with user-hours (MkScale's decade
+    * extends the SPAN, so output scales linearly with input — priced
+    * in the sweep). Values are copied, never computed, so doubles
+    * hash exactly; the per-hour pick tie-breaks on (us, event_id)
+    * on BOTH engines. A user's first grid hour is their first
+    * observation's hour, so the fill never sees a leading null. */
   val resample_ffill = GQuery(
     "resample_ffill",
     (s, d) => {
@@ -225,21 +293,21 @@ object Extras {
       val ev = T.events(s, d)
         .withColumn("us", unix_micros($"ts".cast("timestamp")))
         .withColumn("h", ($"us" / hourUs).cast("long"))
-      val lastInHour = Window.partitionBy($"user_id", $"h")
-        .orderBy($"us".desc, $"event_id".desc)
-      val obs = ev
-        .withColumn("rn", row_number().over(lastInHour))
-        .filter($"rn" === 1)
-        .select($"user_id", $"h", $"value".as("obs_v"))
+      val obs = ev.groupBy($"user_id", $"h")
+        .agg(max_by($"value", struct($"us", $"event_id")).as("obs_v"))
+        .select($"user_id", $"h", $"obs_v", lit(0).as("pri"))
       val grid = ev.groupBy($"user_id")
         .agg(min($"h").as("hmin"), max($"h").as("hmax"))
-        .select($"user_id", explode(sequence($"hmin", $"hmax")).as("h"))
-      val fill = Window.partitionBy($"user_id").orderBy($"h")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      grid.join(obs, Seq("user_id", "h"), "left")
-        .select($"user_id", $"h",
-          last($"obs_v", ignoreNulls = true).over(fill).as("v"),
-          $"obs_v".isNotNull.as("is_observed"))
+        .select($"user_id", explode(sequence($"hmin", $"hmax")).as("h"),
+          lit(null).cast("double").as("obs_v"), lit(1).as("pri"))
+      val w = Window.partitionBy($"user_id").orderBy($"h", $"pri")
+      val fill = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      obs.unionByName(grid)
+        .withColumn("v", last($"obs_v", ignoreNulls = true).over(fill))
+        .withColumn("prev_h", lag($"h", 1).over(w))
+        .filter($"pri" === 1)
+        .select($"user_id", $"h", $"v",
+          ($"prev_h" <=> $"h").as("is_observed"))
         .orderBy($"user_id", $"h")
     },
     Some("""
@@ -913,7 +981,7 @@ object Extras {
       FROM events GROUP BY user_id ORDER BY user_id"""))
 
   val all: Seq[GQuery] = Seq(sessionize, scd2_islands, schema_evolution,
-    json_corrupt_routing, resample_ffill, agg_cube,
+    table_diff, json_corrupt_routing, resample_ffill, agg_cube,
     mm_binary_meta,
     mm_feature_extract, mm_frame_sample, mm_resize,
     mm_audio_meta, mm_audio_downsample,
