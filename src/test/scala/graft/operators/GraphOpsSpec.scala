@@ -35,6 +35,27 @@ class GraphOpsSpec extends SparkSpec {
     assert(r5.tail.map(_._2).distinct.size == 1)
   }
 
+  test("k-core peel: pendant drops, cycle survives, cascade empties") {
+    // square 0-1-2-3-0 with pendant 4 off node 0: 2-core = the square
+    // (pendant peels round 1; square is 2-regular, stable)
+    val g = Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 3L), (0L, 4L))
+      .toDF("u", "v")
+    val p2 = GraphOps.kCorePeel(g, "u", "v", k = 2, rounds = 3)
+    assert(p2.last.select($"u").distinct().as[Long].collect().sorted
+      .toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(p2(2).count() == p2(3).count()) // converged
+    // 3-core of the same graph: empty (square is only 2-regular) —
+    // the cascade must empty, not stabilize on a remnant
+    val p3 = GraphOps.kCorePeel(g, "u", "v", k = 3, rounds = 3)
+    assert(p3.last.count() == 0)
+    // a path peels from both ends one round at a time: 0-1-2-3-4 at
+    // k=2 loses ONLY its endpoints each round — fixed-round output is
+    // the partially-peeled state when rounds is too small
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val pp = GraphOps.kCorePeel(path, "u", "v", k = 2, rounds = 1)
+    assert(pp.last.select($"u").distinct().count() == 3) // 1,2,3 remain
+  }
+
   test("triangles: K4, a path, and a square with one diagonal") {
     // K4: C(4,3)=4 triangles; wedges = 4 nodes × C(3,2) = 12
     val k4 = (for {
