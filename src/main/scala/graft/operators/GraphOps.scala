@@ -100,12 +100,16 @@ object GraphOps {
   /** k-core peeling: drop every node with degree < k, recompute,
     * repeat — the standard density filter for link/citation graphs
     * (keep only documents embedded in a well-connected neighborhood).
-    * Runs EXACTLY `rounds` peels rather than to a driver-probed
-    * fixpoint, so the result is a pure function of (graph, k, rounds)
-    * and the oracle can replay it as an unrolled CTE chain; once the
-    * peel converges the remaining rounds are no-ops on the fixed
-    * point, and [[kCoreConverged]] (edge counts of the last two
-    * rounds) certifies convergence as part of the gated output. Each
+    * The result is a pure function of (graph, k, rounds) so the
+    * oracle can replay it as an unrolled CTE chain: peeling only ever
+    * REMOVES edges, so an unchanged edge count between rounds means
+    * the exact fixed point — execution stops there and reuses the
+    * converged frame for the remaining slots instead of running
+    * identity rounds (each no-op round would still pay the full
+    * degree-agg + prune + checkpoint; the count that detects this
+    * reads an already-materialized checkpoint, ~ms). The caller's
+    * convergence certificate (edge counts of the last two rounds)
+    * is unaffected: equal counts ⇔ converged, either way. Each
     * round is one keyed degree aggregate + two node-sized semi-join
     * prunes with a lineage cut — the connected-components execution
     * shape again; the `keep` set is node-sized, so at cluster scale
@@ -121,13 +125,20 @@ object GraphOps {
       .localCheckpoint()
     val out = Seq.newBuilder[DataFrame]
     out += e
+    var prev = e.count()
+    var fixed = false
     for (_ <- 1 to rounds) {
-      val keep = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
-        .filter(col("d") >= k).select(col("u"))
-      e = e.join(keep, "u")
-        .join(keep.withColumnRenamed("u", "v"), "v")
-        .select(col("u"), col("v"))
-        .localCheckpoint()
+      if (!fixed) {
+        val keep = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
+          .filter(col("d") >= k).select(col("u"))
+        e = e.join(keep, "u")
+          .join(keep.withColumnRenamed("u", "v"), "v")
+          .select(col("u"), col("v"))
+          .localCheckpoint()
+        val n = e.count()
+        fixed = n == prev
+        prev = n
+      }
       out += e
     }
     out.result()

@@ -82,8 +82,9 @@ object Graph {
 
   /** 80-core of the co-purchase graph by 8 fixed peeling rounds (at
     * this k the graph shows real cascade behavior: k=100 collapses to
-    * an EMPTY core in 5 rounds, k=80 converges to a 210k-edge core in
-    * 6 — the phase transition k-core is used to find). Fixed-round
+    * an EMPTY core in 5 rounds, k=80 converges by round 5 to a
+    * 210k-edge core at sf0.01 / 2.23M at sf0.1 — the phase transition
+    * k-core is used to find). Fixed-round
     * peeling keeps the result a pure function of (graph, k, rounds),
     * so the oracle replays it as an unrolled MATERIALIZED-CTE chain
     * (plain CTEs re-inline the whole prefix per reference — the
