@@ -48,7 +48,7 @@ object ScaleSweep {
     // round-7 second wave: events grid (resample_ffill), lineitem
     // graph + observation (graph_*, observed_metrics), documents
     // linkage/routing (fuzzy_match_blocked, json_corrupt_routing)
-    "resample_ffill", "graph_pagerank", "graph_triangles",
+    "resample_ffill", "graph_pagerank", "graph_triangles", "graph_kcore",
     "observed_metrics", "fuzzy_match_blocked", "json_corrupt_routing")
 
   def main(args: Array[String]): Unit = {
