@@ -6,7 +6,7 @@ object Registry {
   def all: Seq[GQuery] =
     queries.Core.all ++ queries.Pipeline.all ++ queries.Extras.all ++
       queries.Relational.all ++ queries.Streaming.all ++
-      queries.Retrieval.all ++ queries.Graph.all
+      queries.Retrieval.all ++ queries.Graph.all ++ queries.Prep.all
 
   def queryMap: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

@@ -49,7 +49,10 @@ object ScaleSweep {
     // graph + observation (graph_*, observed_metrics), documents
     // linkage/routing (fuzzy_match_blocked, json_corrupt_routing)
     "resample_ffill", "graph_pagerank", "graph_triangles", "graph_kcore",
-    "observed_metrics", "fuzzy_match_blocked", "json_corrupt_routing")
+    "observed_metrics", "fuzzy_match_blocked", "json_corrupt_routing",
+    // round-7 third wave: corpus preparation (documents / embeddings /
+    // events — all MkScale-scaled)
+    "chunk_windows", "embed_quant_int8", "anonymize_ids", "kanon_suppress")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
