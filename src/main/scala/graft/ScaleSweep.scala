@@ -52,7 +52,8 @@ object ScaleSweep {
     "observed_metrics", "fuzzy_match_blocked", "json_corrupt_routing",
     // round-7 third wave: corpus preparation (documents / embeddings /
     // events — all MkScale-scaled)
-    "chunk_windows", "embed_quant_int8", "anonymize_ids", "kanon_suppress")
+    "chunk_windows", "embed_quant_int8", "anonymize_ids", "kanon_suppress",
+    "ivm_agg_refresh")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

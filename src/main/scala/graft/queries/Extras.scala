@@ -980,8 +980,87 @@ object Extras {
              CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
       FROM events GROUP BY user_id ORDER BY user_id"""))
 
+  /** Incremental materialized-view maintenance over the
+    * (user_id, event_type) COUNT/SUM view: the base view is
+    * materialized to parquet, then two SIGNED delta batches
+    * (inserts + retracts, [[graft.operators.IVM]]) are applied,
+    * each refresh reading ONLY the previous view table and its delta
+    * — base facts are never rescanned. Batch composition (all
+    * predicates on event_id, so the oracle replays the identical
+    * signed multiset): base = 80% of events; delta 1 inserts half the
+    * holdout and retracts base rows ≡3 mod 7; delta 2 inserts the
+    * other half and retracts ≡5 mod 7 — plus ALL remaining rows of
+    * the (user_id<3, 'signup') groups, whose inserts are excluded
+    * from both deltas, so those groups hit signed count 0 and must
+    * LEAVE the view (the group-drop path is exercised, not just
+    * claimed). DECIMAL(38,12) sums make incremental ≡ from-scratch an
+    * exact-equality gate; the oracle is the from-scratch signed
+    * recompute. */
+  val ivm_agg_refresh = GQuery(
+    "ivm_agg_refresh",
+    (s, d) => graft.GQuery.withTempTable(s, "graft-ivm") { dir =>
+      import graft.operators.IVM
+      import s.implicits._
+      val keys = Seq("user_id", "event_type")
+      val ev = T.events(s, d)
+        .select($"event_id", $"user_id", $"event_type", $"value")
+      val g = $"user_id" < 3L && $"event_type" === "signup"
+      val base = ev.filter($"event_id" % 5 =!= 4L)
+      val d1 = ev.filter($"event_id" % 5 === 4L &&
+            $"event_id" % 2 === 0L && !g)
+          .withColumn("op", lit(1))
+        .unionByName(base.filter($"event_id" % 7 === 3L)
+          .withColumn("op", lit(-1)))
+      val d2 = ev.filter($"event_id" % 5 === 4L &&
+            $"event_id" % 2 === 1L && !g)
+          .withColumn("op", lit(1))
+        .unionByName(base.filter($"event_id" % 7 === 5L ||
+            (g && $"event_id" % 7 =!= 3L && $"event_id" % 7 =!= 5L))
+          .withColumn("op", lit(-1)))
+      IVM.init(base, keys, "value").write.parquet(s"$dir/v0")
+      IVM.refresh(s.read.parquet(s"$dir/v0"),
+        d1.select($"user_id", $"event_type", $"op", $"value"), keys,
+        "value").write.parquet(s"$dir/v1")
+      IVM.refresh(s.read.parquet(s"$dir/v1"),
+        d2.select($"user_id", $"event_type", $"op", $"value"), keys,
+        "value")
+        .select($"user_id", $"event_type", $"n",
+          round($"val_dec".cast("double"), 6).as("val_sum"))
+        .orderBy($"user_id", $"event_type")
+    },
+    Some("""
+      WITH ev AS (SELECT event_id, user_id, event_type, value
+                  FROM events),
+      base AS (SELECT user_id, event_type, 1 AS op, value
+               FROM ev WHERE event_id % 5 <> 4),
+      signed AS (
+        SELECT * FROM base
+        UNION ALL
+        SELECT user_id, event_type, 1, value FROM ev
+        WHERE event_id % 5 = 4 AND event_id % 2 = 0
+          AND NOT (user_id < 3 AND event_type = 'signup')
+        UNION ALL
+        SELECT user_id, event_type, -1, value FROM ev
+        WHERE event_id % 5 <> 4 AND event_id % 7 = 3
+        UNION ALL
+        SELECT user_id, event_type, 1, value FROM ev
+        WHERE event_id % 5 = 4 AND event_id % 2 = 1
+          AND NOT (user_id < 3 AND event_type = 'signup')
+        UNION ALL
+        SELECT user_id, event_type, -1, value FROM ev
+        WHERE event_id % 5 <> 4
+          AND (event_id % 7 = 5 OR
+               (user_id < 3 AND event_type = 'signup'
+                AND event_id % 7 <> 3 AND event_id % 7 <> 5)))
+      SELECT user_id, event_type, CAST(SUM(op) AS BIGINT) AS n,
+             ROUND(CAST(SUM(CAST(value * op AS DECIMAL(38,12)))
+               AS DOUBLE), 6) AS val_sum
+      FROM signed GROUP BY 1, 2 HAVING SUM(op) > 0
+      ORDER BY user_id, event_type"""))
+
   val all: Seq[GQuery] = Seq(sessionize, scd2_islands, schema_evolution,
-    table_diff, json_corrupt_routing, resample_ffill, agg_cube,
+    table_diff, json_corrupt_routing, resample_ffill, ivm_agg_refresh,
+    agg_cube,
     mm_binary_meta,
     mm_feature_extract, mm_frame_sample, mm_resize,
     mm_audio_meta, mm_audio_downsample,
