@@ -53,7 +53,9 @@ object ScaleSweep {
     // round-7 third wave: corpus preparation (documents / embeddings /
     // events — all MkScale-scaled)
     "chunk_windows", "embed_quant_int8", "anonymize_ids", "kanon_suppress",
-    "ivm_agg_refresh")
+    "ivm_agg_refresh", "drift_chi2")
+  // fk_violations is EXCLUDED: it joins customer/part, which MkScale
+  // does not scale - a sweep would measure a mixed-scale plan.
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

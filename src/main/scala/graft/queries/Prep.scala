@@ -193,6 +193,155 @@ object Prep {
       FROM g WHERE n < 20
       ORDER BY day, event_type"""))
 
+  /** Two-sample distribution-drift report between the reference and
+    * current halves of the event stream (deterministic event_id % 2
+    * split so the oracle replays the identical partition): 20
+    * equi-width buckets over exact integer cents (floor(x·100+0.5)
+    * house tie rule, integer-DIV bucketing — the histogram_prices
+    * shape), then a per-bucket two-sample χ² contribution
+    * (aM−bN)² / (NM(a+b)) with the numerator and denominator
+    * exact integers (DECIMAL(38,0) / HUGEINT — diff² reaches 1e28)
+    * and ONE double division at the end. The statistic is emitted
+    * per-bucket rather than summed: each division is correctly
+    * rounded IEEE and thus engine-identical, while a 20-term double
+    * SUM would depend on aggregation order. PSI's ln() is avoided
+    * deliberately — transcendental libm results are not
+    * correctly-rounded-guaranteed across engines. Two broadcast
+    * 1-row assemblies (bounds, totals); the event table is scanned
+    * once per assembly and never shuffled at width. */
+  val drift_chi2 = GQuery(
+    "drift_chi2",
+    (s, d) => {
+      import s.implicits._
+      val ev = T.events(s, d)
+        .select(floor($"value" * 100d + 0.5d).cast("long").as("cents"),
+          ($"event_id" % 2 === 0L).as("is_ref"))
+      val bounds = ev.agg(min($"cents").as("min_c"),
+        max($"cents").as("max_c"))
+      val buckets = ev.crossJoin(broadcast(bounds))
+        .select(expr("(cents - min_c) * 20 DIV (max_c - min_c + 1)")
+          .as("bucket"), $"is_ref")
+        .groupBy($"bucket")
+        .agg(sum(when($"is_ref", 1L).otherwise(0L)).as("a"),
+          sum(when($"is_ref", 0L).otherwise(1L)).as("b"))
+      val tot = buckets.agg(sum($"a").as("nn"), sum($"b").as("mm"))
+      val diff = ($"a" * $"mm" - $"b" * $"nn").cast("decimal(38,0)")
+      buckets.crossJoin(broadcast(tot))
+        .select($"bucket", $"a".as("n_ref"), $"b".as("n_cur"),
+          round(
+            (diff * diff).cast("double") /
+            (($"nn" * $"mm").cast("decimal(38,0)") *
+              ($"a" + $"b").cast("decimal(38,0)")).cast("double"),
+            6).as("chi2_term"))
+        .orderBy($"bucket")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+               event_id % 2 = 0 AS is_ref
+        FROM events),
+      bounds AS (SELECT MIN(cents) AS min_c, MAX(cents) AS max_c
+                 FROM ev),
+      buckets AS (
+        SELECT (cents - min_c) * 20 // (max_c - min_c + 1) AS bucket,
+               CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
+                 AS a,
+               CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT)
+                 AS b
+        FROM ev, bounds GROUP BY 1),
+      tot AS (SELECT CAST(SUM(a) AS BIGINT) AS nn,
+                     CAST(SUM(b) AS BIGINT) AS mm FROM buckets)
+      SELECT bucket, a AS n_ref, b AS n_cur,
+             ROUND(
+               CAST(CAST(a * mm - b * nn AS HUGEINT)
+                    * CAST(a * mm - b * nn AS HUGEINT) AS DOUBLE) /
+               CAST(CAST(nn * mm AS HUGEINT) * (a + b) AS DOUBLE),
+               6) AS chi2_term
+      FROM buckets, tot ORDER BY bucket"""))
+
+  /** Referential-integrity audit with planted breaks (the
+    * plant-and-detect pattern, dedup_lsh_recall precedent): a
+    * deterministically-corrupted copy of lineitem bumps l_orderkey
+    * out of the parent domain for rows with
+    * (l_orderkey·31 + l_partkey) % 97 = 0, then three FK
+    * relationships are audited by anti-join — the corrupted child
+    * (must surface EXACTLY the planted orphans) and the two clean
+    * ones (must report zero, proving the detector doesn't
+    * false-positive). Parents broadcast at audit SF; at cluster
+    * scale each audit is one keyed shuffle. */
+  val fk_violations = GQuery(
+    "fk_violations",
+    (s, d) => {
+      import s.implicits._
+      val li = T.lineitem(s, d).select($"l_orderkey", $"l_partkey")
+      val corrupted = li.select(
+        when(($"l_orderkey" * 31L + $"l_partkey") % 97 === 0L,
+          $"l_orderkey" + 10000000L).otherwise($"l_orderkey")
+          .as("l_orderkey"),
+        $"l_partkey")
+      val orders = T.orders(s, d).select($"o_orderkey", $"o_custkey")
+      val cust = T.customer(s, d).select($"c_custkey")
+      val part = T.part(s, d).select($"p_partkey")
+      def audit(rel: String, child: org.apache.spark.sql.DataFrame,
+          key: String, parent: org.apache.spark.sql.DataFrame,
+          pkey: String) = {
+        val orphans = child.join(broadcast(parent),
+          child(key) === parent(pkey), "left_anti")
+        child.agg(count(lit(1)).as("n_child"))
+          .crossJoin(orphans.agg(count(lit(1)).as("n_orphans"),
+            countDistinct(col(key)).as("n_orphan_keys")))
+          .select(lit(rel).as("rel"), $"n_child", $"n_orphans",
+            $"n_orphan_keys")
+      }
+      audit("lineitem.l_orderkey->orders", corrupted, "l_orderkey",
+          orders, "o_orderkey")
+        .unionByName(audit("orders.o_custkey->customer", orders,
+          "o_custkey", cust, "c_custkey"))
+        .unionByName(audit("lineitem.l_partkey->part", li,
+          "l_partkey", part, "p_partkey"))
+        .orderBy($"rel")
+    },
+    Some("""
+      WITH corrupted AS (
+        SELECT CASE WHEN (l_orderkey * 31 + l_partkey) % 97 = 0
+                    THEN l_orderkey + 10000000 ELSE l_orderkey END
+                 AS l_orderkey,
+               l_partkey
+        FROM lineitem),
+      r1 AS (
+        SELECT 'lineitem.l_orderkey->orders' AS rel,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM corrupted)
+                 AS n_child,
+               CAST(COUNT(*) AS BIGINT) AS n_orphans,
+               CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)
+                 AS n_orphan_keys
+        FROM corrupted c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = c.l_orderkey)),
+      r2 AS (
+        SELECT 'orders.o_custkey->customer' AS rel,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders)
+                 AS n_child,
+               CAST(COUNT(*) AS BIGINT) AS n_orphans,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+                 AS n_orphan_keys
+        FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)),
+      r3 AS (
+        SELECT 'lineitem.l_partkey->part' AS rel,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem)
+                 AS n_child,
+               CAST(COUNT(*) AS BIGINT) AS n_orphans,
+               CAST(COUNT(DISTINCT l_partkey) AS BIGINT)
+                 AS n_orphan_keys
+        FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM part p
+                          WHERE p.p_partkey = l.l_partkey))
+      SELECT * FROM r1 UNION ALL SELECT * FROM r2
+      UNION ALL SELECT * FROM r3 ORDER BY rel"""))
+
   val all: Seq[GQuery] =
-    Seq(chunk_windows, embed_quant_int8, anonymize_ids, kanon_suppress)
+    Seq(chunk_windows, embed_quant_int8, anonymize_ids, kanon_suppress,
+      drift_chi2, fk_violations)
 }
