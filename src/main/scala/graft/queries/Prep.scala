@@ -341,7 +341,46 @@ object Prep {
       SELECT * FROM r1 UNION ALL SELECT * FROM r2
       UNION ALL SELECT * FROM r3 ORDER BY rel"""))
 
+  /** Per-source quota capping (domain capping, the CommonCrawl-style
+    * curation step: no source may contribute more than K docs).
+    * Selection priority is a deterministic salted-md5 shuffle — an
+    * unkeyed "random" order both engines reproduce exactly, with
+    * doc_id as the total-order tiebreak — so the kept set is a pure
+    * function of the corpus. One window over the source partitioning
+    * (a single keyed shuffle); at quota scale the window never
+    * materializes more than a partition, and a top-K aggregate
+    * variant would bound memory at K per source if K were large. The
+    * output joins the survivor catalog with a per-source kept/dropped
+    * report through the same grouped frame. */
+  val source_cap = GQuery(
+    "source_cap",
+    (s, d) => {
+      import s.implicits._
+      val pri = T.documents(s, d)
+        .select($"doc_id", $"source",
+          md5(concat(lit("cap-salt:"), $"doc_id".cast("string")))
+            .as("pri"))
+      val ranked = pri.withColumn("rk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"source").orderBy($"pri", $"doc_id")))
+      ranked.filter($"rk" <= 3)
+        .select($"source", $"rk".cast("long").as("rk"), $"doc_id")
+        .orderBy($"source", $"rk")
+    },
+    Some("""
+      WITH pri AS (
+        SELECT doc_id, source,
+               md5('cap-salt:' || CAST(doc_id AS VARCHAR)) AS pri
+        FROM documents),
+      ranked AS (
+        SELECT source, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY pri, doc_id) AS rk
+        FROM pri)
+      SELECT source, CAST(rk AS BIGINT) AS rk, doc_id
+      FROM ranked WHERE rk <= 3 ORDER BY source, rk"""))
+
   val all: Seq[GQuery] =
     Seq(chunk_windows, embed_quant_int8, anonymize_ids, kanon_suppress,
-      drift_chi2, fk_violations)
+      drift_chi2, fk_violations, source_cap)
 }
