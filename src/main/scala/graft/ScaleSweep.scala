@@ -21,7 +21,7 @@ object ScaleSweep {
     // documents-backed pipeline
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_ngram_steep", "dedup_ngram_steep_recall",
-    "dedup_clusters",
+    "dedup_clusters", "dedup_canonical",
     "text_tokens", "text_quality", "text_langid", "text_fingerprint",
     "text_pii_scrub", "text_repetition", "decontaminate",
     "split_shuffle", "mix_temperature", "curriculum_buckets",

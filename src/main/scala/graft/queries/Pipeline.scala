@@ -335,20 +335,12 @@ object Pipeline {
     * side is iterative min-label propagation; the oracle computes the
     * same components with a recursive transitive-closure CTE, so the
     * component ids (min doc_id) and sizes hash-check exactly. */
-  val dedup_clusters = GQuery(
-    "dedup_clusters",
-    (s, d) => {
-      val pairs = Dedup.verifiedNearDups(T.documents(s, d), "doc_id",
-        "text", 0.8)
-      val cc = Dedup.connectedComponents(pairs, "d1", "d2")
-      val sizes = cc.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
-      cc.join(sizes, Seq("comp"))
-        .select(col("id").as("doc_id"), col("comp").as("cluster_rep"),
-          col("cluster_size"))
-        .orderBy(col("doc_id"))
-    },
-    Some("""
-      WITH RECURSIVE toks AS (
+  /** Shared oracle prefix: the shingle→LSH→verify→recursive-closure
+    * CTE chain producing `comp(doc_id, cluster_rep)` — used by
+    * dedup_clusters and dedup_canonical so the two gates replay the
+    * identical clustering. */
+  private val clusterClosureCte: String =
+    """      WITH RECURSIVE toks AS (
         SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       sh AS (
         SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
@@ -392,11 +384,72 @@ object Pipeline {
         SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
       comp AS (
         SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_rep
-        FROM reach GROUP BY a),
+        FROM reach GROUP BY a),"""
+
+  val dedup_clusters = GQuery(
+    "dedup_clusters",
+    (s, d) => {
+      val pairs = Dedup.verifiedNearDups(T.documents(s, d), "doc_id",
+        "text", 0.8)
+      val cc = Dedup.connectedComponents(pairs, "d1", "d2")
+      val sizes = cc.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+      cc.join(sizes, Seq("comp"))
+        .select(col("id").as("doc_id"), col("comp").as("cluster_rep"),
+          col("cluster_size"))
+        .orderBy(col("doc_id"))
+    },
+    Some(clusterClosureCte + """
       sizes AS (
         SELECT cluster_rep, COUNT(*) AS n FROM comp GROUP BY cluster_rep)
       SELECT doc_id, cluster_rep, CAST(n AS BIGINT) AS cluster_size
       FROM comp JOIN sizes USING (cluster_rep) ORDER BY doc_id"""))
+
+  /** Canonical-survivor selection per near-dup cluster — the step that
+    * turns [[dedup_clusters]]'s component labels into a dedup decision:
+    * keep the LONGEST member (max n_chars, min doc_id on ties, the
+    * "most complete version wins" rule), drop the rest. Reuses the
+    * identical pair→closure pipeline (and the identical oracle prefix,
+    * [[clusterClosureCte]]), then one cluster-keyed aggregate: the
+    * max-(n_chars,−doc_id) struct aggregate composes map-side partials,
+    * so selection costs one group-cardinality shuffle on top of the
+    * clustering. Output: one row per cluster with the canonical doc
+    * and the removal count the release pipeline acts on. */
+  val dedup_canonical = GQuery(
+    "dedup_canonical",
+    (s, d) => {
+      val pairs = Dedup.verifiedNearDups(T.documents(s, d), "doc_id",
+        "text", 0.8)
+      val cc = Dedup.connectedComponents(pairs, "d1", "d2")
+      val j = cc.join(T.documents(s, d),
+        cc("id") === col("doc_id"))
+      j.groupBy(col("comp").as("cluster_rep"))
+        .agg(count(lit(1)).as("cluster_size"),
+          max(struct(col("n_chars"), (-col("doc_id")).as("neg_id")))
+            .as("m"))
+        .select(col("cluster_rep"), col("cluster_size"),
+          (-col("m.neg_id")).as("canonical_doc_id"),
+          col("m.n_chars").as("canonical_n_chars"),
+          (col("cluster_size") - 1L).as("n_removed"))
+        .orderBy(col("cluster_rep"))
+    },
+    Some(clusterClosureCte + """
+      j AS (
+        SELECT c.cluster_rep, d.doc_id, d.n_chars
+        FROM comp c JOIN documents d ON c.doc_id = d.doc_id),
+      mx AS (
+        SELECT cluster_rep, CAST(COUNT(*) AS BIGINT) AS cluster_size,
+               MAX(n_chars) AS mx_chars
+        FROM j GROUP BY 1),
+      canon AS (
+        SELECT j.cluster_rep, MIN(j.doc_id) AS canonical_doc_id
+        FROM j JOIN mx ON j.cluster_rep = mx.cluster_rep
+                      AND j.n_chars = mx.mx_chars
+        GROUP BY 1)
+      SELECT m.cluster_rep, m.cluster_size, c.canonical_doc_id,
+             m.mx_chars AS canonical_n_chars,
+             m.cluster_size - 1 AS n_removed
+      FROM mx m JOIN canon c ON m.cluster_rep = c.cluster_rep
+      ORDER BY m.cluster_rep"""))
 
   /** Embedding-cosine near-dup pairs within label blocks. */
   val dedup_embedding_cosine = GQuery(
@@ -2036,7 +2089,7 @@ object Pipeline {
       WHERE levenshtein(a.text, b.text) <= 1
       ORDER BY a_id, b_id"""))
 
-  val all: Seq[GQuery] = Seq(
+  val all: Seq[GQuery] = Seq(dedup_canonical, 
     dedup_exact, dedup_incremental, dedup_spans, fuzzy_match_blocked,
     dedup_minhash_lsh, dedup_simhash, dedup_ngram_jaccard,
     dedup_ngram_steep, dedup_ngram_steep_recall,
