@@ -380,7 +380,34 @@ object Prep {
       SELECT source, CAST(rk AS BIGINT) AS rk, doc_id
       FROM ranked WHERE rk <= 3 ORDER BY source, rk"""))
 
+  /** The bounded-memory form of [[source_cap]]: identical result
+    * (and the IDENTICAL oracle SQL — one gate, two plans), but
+    * selection runs through [[graft.operators.TopK.TopKAgg]], a
+    * native TypedImperativeAggregate holding exactly K entries per
+    * group with map-side partials — instead of a window that sorts
+    * and materializes every group. The window form is the readable
+    * baseline; this is the 100 TB path when a hot source holds
+    * billions of rows (window state O(group), aggregate state O(K)).
+    */
+  val source_cap_agg = GQuery(
+    "source_cap_agg",
+    (s, d) => {
+      import s.implicits._
+      import graft.operators.TopK
+      T.documents(s, d)
+        .select($"doc_id", $"source",
+          md5(concat(lit("cap-salt:"), $"doc_id".cast("string")))
+            .as("pri"))
+        .groupBy($"source")
+        .agg(TopK.topK($"pri", $"doc_id", 3).as("top"))
+        .select($"source", posexplode($"top").as(Seq("pos", "e")))
+        .select($"source", ($"pos" + 1).cast("long").as("rk"),
+          $"e.id".as("doc_id"))
+        .orderBy($"source", $"rk")
+    },
+    source_cap.oracle)
+
   val all: Seq[GQuery] =
     Seq(chunk_windows, embed_quant_int8, anonymize_ids, kanon_suppress,
-      drift_chi2, fk_violations, source_cap)
+      drift_chi2, fk_violations, source_cap, source_cap_agg)
 }
