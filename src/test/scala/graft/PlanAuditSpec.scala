@@ -438,4 +438,44 @@ class PlanAuditSpec extends SparkSpec {
       p.contains("BroadcastExchange"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("wave 3: embed_quant_int8 broadcasts the 64-row scale table " +
+      "(the matrix is never shuffled at width)") {
+    val p = plan("embed_quant_int8")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"), "scale join shuffled:\n" + p)
+  }
+
+  test("wave 3: chunk_windows is scan→generate with only the gate's " +
+      "determinism sort exchange") {
+    val p = plan("chunk_windows", "simple")
+    assert(p.contains("Generate"), p)
+    assert(p.split("Exchange").length - 1 == 1,
+      "chunking grew a shuffle:\n" + p)
+  }
+
+  test("wave 3: source_cap_agg plans as partial→final " +
+      "ObjectHashAggregate, never a Window") {
+    val p = plan("source_cap_agg")
+    assert(p.contains("ObjectHashAggregate"), p.take(1200))
+    assert(p.toLowerCase.contains("partial_topkagg"),
+      "map-side partial lost:\n" + p)
+    assert(!p.contains("Window"), "fell back to the window form:\n" + p)
+    // the window baseline it replaces really does plan a Window
+    assert(plan("source_cap").contains("Window"))
+  }
+
+  test("wave 3: fk_violations audits via three broadcast anti-joins") {
+    val p = plan("fk_violations")
+    assert(p.split("BroadcastHashJoin LeftAnti").length - 1 == 3, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("wave 3: drift_chi2 rides two 1-row broadcast assemblies, " +
+      "no cartesian product") {
+    val p = plan("drift_chi2")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
