@@ -37,7 +37,7 @@ object ScaleSweep {
     "w1_running_sum", "sessionize", "scd2_islands", "a2_ratios", "a3_fold_avg_of_avgs",
     "a4_fold_ewma", "a6_last_value", "c1_json_extract",
     "stream_window_agg", "stream_sessions", "stream_interval_join",
-    "stream_dedup",
+    "stream_dedup", "stream_ivm_refresh",
     // orders-backed windows
     "w2_rank_lag", "w3_distribution", "w4_range_frame",
     "w5_range_prefix", "w6_range_avg", "w7_range_minmax", "c7_date_agg",

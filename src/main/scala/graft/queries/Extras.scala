@@ -1058,9 +1058,74 @@ object Extras {
       FROM signed GROUP BY 1, 2 HAVING SUM(op) > 0
       ORDER BY user_id, event_type"""))
 
+  /** [[ivm_agg_refresh]] maintained by REAL streaming execution: the
+    * two signed delta batches arrive as a file-source stream
+    * (maxFilesPerTrigger=1 → one micro-batch per delta) and
+    * `foreachBatch` folds each into the parquet view via
+    * [[graft.operators.IVM.refresh]] — the Spark shape of a
+    * Flink-style continuously-maintained materialized view. The view
+    * version is keyed by batchId (`view/v{id+1}`, overwrite), so a
+    * replayed batch after a crash rewrites the same version instead
+    * of double-applying — the idempotent-sink contract the K1–K3
+    * sinks pin in RecoverySpec. Because the refresh algebra is
+    * commutative/associative (exact counts + DECIMAL sums; drops only
+    * materialize in the final read), delta arrival order cannot
+    * change the result — which is why ONE oracle (the from-scratch
+    * signed recompute, shared verbatim with the batch form) gates
+    * both execution paths. */
+  val stream_ivm_refresh = GQuery(
+    "stream_ivm_refresh",
+    (s, d) => graft.GQuery.withTempTable(s, "graft-stream-ivm") { t =>
+      import graft.operators.IVM
+      import s.implicits._
+      val keys = Seq("user_id", "event_type")
+      val ev = T.events(s, d)
+        .select($"event_id", $"user_id", $"event_type", $"value")
+      val g = $"user_id" < 3L && $"event_type" === "signup"
+      val base = ev.filter($"event_id" % 5 =!= 4L)
+      val d1 = ev.filter($"event_id" % 5 === 4L &&
+            $"event_id" % 2 === 0L && !g)
+          .withColumn("op", lit(1))
+        .unionByName(base.filter($"event_id" % 7 === 3L)
+          .withColumn("op", lit(-1)))
+        .select($"user_id", $"event_type", $"op", $"value")
+      val d2 = ev.filter($"event_id" % 5 === 4L &&
+            $"event_id" % 2 === 1L && !g)
+          .withColumn("op", lit(1))
+        .unionByName(base.filter($"event_id" % 7 === 5L ||
+            (g && $"event_id" % 7 =!= 3L && $"event_id" % 7 =!= 5L))
+          .withColumn("op", lit(-1)))
+        .select($"user_id", $"event_type", $"op", $"value")
+      IVM.init(base, keys, "value").write.parquet(s"$t/view/v0")
+      d1.coalesce(1).write.parquet(s"$t/in")
+      d2.coalesce(1).write.mode("append").parquet(s"$t/in")
+      @volatile var cur = s"$t/view/v0"
+      val q = s.readStream
+        .schema(s.read.parquet(s"$t/in").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$t/in")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], id: Long) =>
+          val next = s"$t/view/v${id + 1}"
+          IVM.refresh(s.read.parquet(cur), batch, keys, "value")
+            .write.mode("overwrite").parquet(next)
+          cur = next
+        }
+        .option("checkpointLocation", s"$t/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(cur)
+        .select($"user_id", $"event_type", $"n",
+          round($"val_dec".cast("double"), 6).as("val_sum"))
+        .orderBy($"user_id", $"event_type")
+    },
+    ivm_agg_refresh.oracle)
+
   val all: Seq[GQuery] = Seq(sessionize, scd2_islands, schema_evolution,
     table_diff, json_corrupt_routing, resample_ffill, ivm_agg_refresh,
-    agg_cube,
+    stream_ivm_refresh, agg_cube,
     mm_binary_meta,
     mm_feature_extract, mm_frame_sample, mm_resize,
     mm_audio_meta, mm_audio_downsample,
