@@ -76,6 +76,23 @@ class QuerySmokeSpec extends SparkSpec {
       s"queries carrying UDFs in the hot path: $offenders")
   }
 
+  test("registry-wide: no CartesianProduct in any query's physical " +
+      "plan (1-row assemblies must broadcast)") {
+    val sf = "/root/testdata/sf0.001"
+    // deliberate cross joins in the registry are 1-row contract /
+    // bounds assemblies — they must plan as BroadcastNestedLoopJoin,
+    // never CartesianProductExec (which shuffles BOTH sides N×M and
+    // is the canonical 100 TB plan disaster)
+    val offenders = Registry.all.flatMap { q =>
+      val p = q.fn(spark, sf).queryExecution.sparkPlan
+      if (p.collect {
+        case n if n.getClass.getSimpleName == "CartesianProductExec" => n
+      }.nonEmpty) Some(q.name) else None
+    }
+    assert(offenders.isEmpty,
+      s"queries planning a cartesian product: $offenders")
+  }
+
   test("every registered query executes at sf0.001") {
     val sf = "/root/testdata/sf0.001"
     val failures = Registry.all.flatMap { q =>
