@@ -407,7 +407,42 @@ object Prep {
     },
     source_cap.oracle)
 
+  /** Cross-document repeated-chunk detection over the
+    * [[chunk_windows]] catalog — the boilerplate detector (repeated
+    * headers/footers/templates surface as the same chunk fingerprint
+    * in multiple places; 31 such chunks exist at sf0.01, planted by
+    * the corpus's duplicate documents). One groupBy over the chunk
+    * fingerprints; n_docs < n_occurrences distinguishes
+    * WITHIN-document repetition from cross-document boilerplate. */
+  val chunk_dedup = GQuery(
+    "chunk_dedup",
+    (s, d) => {
+      import s.implicits._
+      T.documents(s, d)
+        .withColumn("start",
+          explode(sequence(lit(0L), $"n_chars" - 1L, lit(120L))))
+        .select($"doc_id",
+          md5(expr("substring(text, CAST(start AS INT) + 1, 200)"))
+            .as("chunk_md5"))
+        .groupBy($"chunk_md5")
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct($"doc_id").as("n_docs"),
+          min($"doc_id").as("first_doc"))
+        .filter($"n_occurrences" > 1L)
+        .orderBy($"chunk_md5")
+    },
+    Some("""
+      WITH c AS (
+        SELECT d.doc_id,
+               MD5(SUBSTR(d.text, CAST(t.s AS INT) + 1, 200)) AS chunk_md5
+        FROM documents d,
+             UNNEST(GENERATE_SERIES(0, d.n_chars - 1, 120)) AS t(s))
+      SELECT chunk_md5, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             MIN(doc_id) AS first_doc
+      FROM c GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY chunk_md5"""))
+
   val all: Seq[GQuery] =
     Seq(chunk_windows, embed_quant_int8, anonymize_ids, kanon_suppress,
-      drift_chi2, fk_violations, source_cap, source_cap_agg)
+      drift_chi2, fk_violations, source_cap, source_cap_agg, chunk_dedup)
 }
