@@ -52,7 +52,7 @@ object ScaleSweep {
     "observed_metrics", "fuzzy_match_blocked", "json_corrupt_routing",
     // round-7 third wave: corpus preparation (documents / embeddings /
     // events — all MkScale-scaled)
-    "chunk_windows", "chunk_dedup", "embed_quant_int8", "anonymize_ids", "kanon_suppress",
+    "chunk_windows", "chunk_dedup", "znorm_features", "embed_quant_int8", "anonymize_ids", "kanon_suppress",
     "ivm_agg_refresh", "drift_chi2", "source_cap", "source_cap_agg")
   // fk_violations is EXCLUDED: it joins customer/part, which MkScale
   // does not scale - a sweep would measure a mixed-scale plan.

@@ -442,7 +442,59 @@ object Prep {
              MIN(doc_id) AS first_doc
       FROM c GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY chunk_md5"""))
 
+  /** Group-wise z-score normalization (the feature-scaling step) with
+    * the moments kept EXACT until one final double expression: per
+    * language, n/Σv/Σv² are integers (n_chars is integral), the
+    * variance numerator ssn = n·Σv² − (Σv)² is exact DECIMAL/HUGEINT,
+    * and z = (v·n − Σv) / (n · √(ssn / (n·(n−1)))) is spelled as the
+    * identical IEEE tree on both engines — every cast and division
+    * correctly rounded, and √ IS correctly rounded per IEEE-754
+    * (unlike ln/exp, which is why drift_chi2 avoids PSI but z-scores
+    * CAN be gated). Execution: one 5-key moment aggregate broadcast
+    * back over the scan — the embed_quant shape; the doc table never
+    * shuffles. */
+  val znorm_features = GQuery(
+    "znorm_features",
+    (s, d) => {
+      import s.implicits._
+      val docs = T.documents(s, d).select($"doc_id", $"lang", $"n_chars")
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val st = docs.groupBy($"lang")
+        .agg(count(lit(1)).as("n"), sum($"n_chars").as("sv"),
+          sum($"n_chars" * $"n_chars").as("svv"))
+        .select($"lang", $"n", $"sv",
+          (dec($"n") * dec($"svv") - dec($"sv") * dec($"sv")).as("ssn"))
+      docs.join(broadcast(st), "lang")
+        .select($"doc_id", $"lang", $"n_chars",
+          round(
+            ($"n_chars" * $"n" - $"sv").cast("double") /
+              ($"n".cast("double") *
+                sqrt($"ssn".cast("double") /
+                  ($"n".cast("double") * ($"n" - 1L).cast("double")))),
+            6).as("z"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH st AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(n_chars) AS BIGINT) AS sv,
+               CAST(COUNT(*) AS HUGEINT)
+                 * CAST(SUM(n_chars * n_chars) AS HUGEINT)
+                 - CAST(SUM(n_chars) AS HUGEINT)
+                 * CAST(SUM(n_chars) AS HUGEINT) AS ssn
+        FROM documents GROUP BY 1)
+      SELECT d.doc_id, d.lang, d.n_chars,
+             ROUND(
+               CAST(d.n_chars * st.n - st.sv AS DOUBLE) /
+                 (CAST(st.n AS DOUBLE) *
+                   SQRT(CAST(st.ssn AS DOUBLE) /
+                     (CAST(st.n AS DOUBLE) * CAST(st.n - 1 AS DOUBLE)))),
+               6) AS z
+      FROM documents d JOIN st ON d.lang = st.lang
+      ORDER BY d.doc_id"""))
+
   val all: Seq[GQuery] =
     Seq(chunk_windows, embed_quant_int8, anonymize_ids, kanon_suppress,
-      drift_chi2, fk_violations, source_cap, source_cap_agg, chunk_dedup)
+      drift_chi2, fk_violations, source_cap, source_cap_agg, chunk_dedup,
+      znorm_features)
 }
