@@ -30,14 +30,18 @@ object Prep {
     * driver-generated), so char offsets agree byte-for-byte across
     * engines; both `sequence`/`generate_series` are inclusive-stop, and
     * chunk_ix = start DIV stride avoids any reliance on unnest
-    * ordinality. */
+    * ordinality. A zero-length doc (none in this corpus) would make
+    * Spark's `sequence(0, −1)` THROW while generate_series returns
+    * empty — both sides clamp the stop to ≥0, so an empty doc yields
+    * one empty chunk on both engines instead of a crash/divergence. */
   val chunk_windows = GQuery(
     "chunk_windows",
     (s, d) => {
       import s.implicits._
       T.documents(s, d)
         .withColumn("start",
-          explode(sequence(lit(0L), $"n_chars" - 1L, lit(120L))))
+          explode(sequence(lit(0L), greatest($"n_chars" - 1L, lit(0L)),
+            lit(120L))))
         .select($"doc_id", ($"start" / 120L).cast("long").as("chunk_ix"),
           $"start",
           expr("substring(text, CAST(start AS INT) + 1, 200)").as("chunk"))
@@ -52,7 +56,8 @@ object Prep {
                AS chunk_chars,
              MD5(SUBSTR(d.text, CAST(t.s AS INT) + 1, 200)) AS chunk_md5
       FROM documents d,
-           UNNEST(GENERATE_SERIES(0, d.n_chars - 1, 120)) AS t(s)
+           UNNEST(GENERATE_SERIES(0, GREATEST(d.n_chars - 1, 0), 120))
+             AS t(s)
       ORDER BY doc_id, chunk_ix"""))
 
   /** Symmetric int8 quantization of the embedding matrix with a
@@ -420,7 +425,8 @@ object Prep {
       import s.implicits._
       T.documents(s, d)
         .withColumn("start",
-          explode(sequence(lit(0L), $"n_chars" - 1L, lit(120L))))
+          explode(sequence(lit(0L), greatest($"n_chars" - 1L, lit(0L)),
+            lit(120L))))
         .select($"doc_id",
           md5(expr("substring(text, CAST(start AS INT) + 1, 200)"))
             .as("chunk_md5"))
@@ -436,7 +442,8 @@ object Prep {
         SELECT d.doc_id,
                MD5(SUBSTR(d.text, CAST(t.s AS INT) + 1, 200)) AS chunk_md5
         FROM documents d,
-             UNNEST(GENERATE_SERIES(0, d.n_chars - 1, 120)) AS t(s))
+             UNNEST(GENERATE_SERIES(0, GREATEST(d.n_chars - 1, 0), 120))
+               AS t(s))
       SELECT chunk_md5, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
              CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
              MIN(doc_id) AS first_doc
