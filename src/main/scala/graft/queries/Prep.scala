@@ -352,11 +352,11 @@ object Prep {
     * unkeyed "random" order both engines reproduce exactly, with
     * doc_id as the total-order tiebreak — so the kept set is a pure
     * function of the corpus. One window over the source partitioning
-    * (a single keyed shuffle); at quota scale the window never
-    * materializes more than a partition, and a top-K aggregate
-    * variant would bound memory at K per source if K were large. The
-    * output joins the survivor catalog with a per-source kept/dropped
-    * report through the same grouped frame. */
+    * (a single keyed shuffle) — the readable baseline; the
+    * bounded-memory production form of the SAME result and oracle is
+    * [[source_cap_agg]] (TopKAgg, O(K) state per group vs the
+    * window's whole-group sort). Output: the survivor catalog
+    * (source, rank, doc_id). */
   val source_cap = GQuery(
     "source_cap",
     (s, d) => {
