@@ -204,4 +204,64 @@ object OperatorProperties extends Properties("operators") {
       }.toMap
       got == want
     }
+
+  property("IVM refresh chain == from-scratch recompute on random " +
+      "signed multisets (random retract coverage incl. zeroed groups)") =
+    forAll(Gen.choose(5, 80), Gen.choose(1L, 10000L)) { (nRows, seed) =>
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val rnd = new scala.util.Random(seed)
+      val base = (0 until nRows).map(i =>
+        (i.toLong, s"k${rnd.nextInt(5)}", (rnd.nextInt(100) + 1) / 8.0))
+      // each base row independently: survives, retracted in d1, or
+      // retracted in d2 — some keys will zero out entirely
+      val fate = base.map(_ => rnd.nextInt(3))
+      val inserts = (0 until rnd.nextInt(10)).map(_ =>
+        (s"k${rnd.nextInt(6)}", 1, (rnd.nextInt(100) + 1) / 8.0))
+      val baseDf = base.map { case (_, k, v) => (k, v) }.toDF("k", "value")
+      def retracts(tag: Int) = base.zip(fate).collect {
+        case ((_, k, v), f) if f == tag => (k, -1, v)
+      }
+      val d1 = (retracts(1) ++ inserts.take(inserts.size / 2))
+        .toDF("k", "op", "value")
+      val d2 = (retracts(2) ++ inserts.drop(inserts.size / 2))
+        .toDF("k", "op", "value")
+      val inc = IVM.refresh(IVM.refresh(IVM.init(baseDf, Seq("k"),
+          "value"), d1, Seq("k"), "value"), d2, Seq("k"), "value")
+        .orderBy($"k").collect().toSeq
+      val scratch = baseDf.withColumn("op", lit(1))
+        .select($"k", $"op", $"value")
+        .unionByName(d1.select($"k", $"op", $"value"))
+        .unionByName(d2.select($"k", $"op", $"value"))
+        .groupBy($"k")
+        .agg(sum($"op".cast("long")).as("n"),
+          sum(($"value" * $"op").cast("decimal(38,12)")).as("val_dec"))
+        .filter($"n" > 0L).orderBy($"k").collect().toSeq
+      inc == scratch
+    }
+
+  property("TopKAgg == window row_number top-K on random priorities " +
+      "(duplicate priorities, many partitions)") =
+    forAll(Gen.choose(1, 120), Gen.choose(1, 6), Gen.choose(1L, 10000L)) {
+      (nRows, k, seed) =>
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      import spark.implicits._
+      val rnd = new scala.util.Random(seed)
+      // tiny priority alphabet forces duplicate (pri) keys so the
+      // (pri, id) tiebreak is load-bearing
+      val rows = (0 until nRows).map(i =>
+        (s"g${rnd.nextInt(4)}", s"p${rnd.nextInt(8)}", i.toLong))
+      val df = rows.toDF("g", "pri", "id").repartition(7)
+      val agg = df.groupBy($"g").agg(TopK.topK($"pri", $"id", k).as("t"))
+        .select($"g", posexplode($"t").as(Seq("pos", "e")))
+        .select($"g", ($"pos" + 1).as("rk"), $"e.pri", $"e.id")
+        .orderBy($"g", $"rk").collect().toSeq
+      val win = df.withColumn("rk", row_number().over(
+          Window.partitionBy($"g").orderBy($"pri", $"id")))
+        .filter($"rk" <= k)
+        .select($"g", $"rk".cast("int"), $"pri", $"id")
+        .orderBy($"g", $"rk").collect().toSeq
+      agg == win
+    }
 }
