@@ -41,6 +41,7 @@ object ScaleSweep {
     // orders-backed windows
     "w2_rank_lag", "w3_distribution", "w4_range_frame",
     "w5_range_prefix", "w6_range_avg", "w7_range_minmax", "c7_date_agg",
+    "winsorize_clip",
     // r7 late additions: documents (spans), lineitem (profiling),
     // orders lifecycle (partition pruning)
     "dedup_spans", "profile_columns", "histogram_prices",

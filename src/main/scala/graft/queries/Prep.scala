@@ -500,8 +500,89 @@ object Prep {
       FROM documents d JOIN st ON d.lang = st.lang
       ORDER BY d.doc_id"""))
 
+  /** Winsorization (percentile outlier clipping) on EXACT rank
+    * arithmetic: per order-priority group, p01/p99 are the cents
+    * values at ranks ceil(0.01·n)/ceil(0.99·n) of the
+    * (cents, orderkey) total order — no interpolation, no
+    * engine-specific quantile rule, just ROW_NUMBER and one identical
+    * ceil(double) both engines — then every value clips into
+    * [p01, p99] and the gate covers exact integer clip counts and the
+    * clipped sum. The rank pass is a per-group window sort — the
+    * oracle-checkable EXACT baseline, fenced like the exact-NDV
+    * profile: at 100 TB the production path is approx_percentile
+    * (agg_approx_percentile), this row is what proves it right. */
+  val winsorize_clip = GQuery(
+    "winsorize_clip",
+    (s, d) => {
+      import s.implicits._
+      val o = T.orders(s, d).select($"o_orderpriority".as("grp"),
+        round($"o_totalprice" * 100).cast("long").as("cents"),
+        $"o_orderkey")
+      val ranked = o.withColumn("rk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"grp").orderBy($"cents", $"o_orderkey")))
+      val stats = ranked.groupBy($"grp").agg(count(lit(1)).as("n"))
+        .select($"grp", $"n", ceil($"n" * 0.01).as("lo_rk"),
+          ceil($"n" * 0.99).as("hi_rk"))
+      val bounds = ranked.join(broadcast(stats), "grp")
+        .filter($"rk" === $"lo_rk" || $"rk" === $"hi_rk")
+        .groupBy($"grp")
+        .agg(min(when($"rk" === $"lo_rk", $"cents")).as("p01_cents"),
+          min(when($"rk" === $"hi_rk", $"cents")).as("p99_cents"))
+      o.join(broadcast(bounds), "grp")
+        .select($"grp", $"cents", $"p01_cents", $"p99_cents",
+          least(greatest($"cents", $"p01_cents"), $"p99_cents")
+            .as("clipped"))
+        .groupBy($"grp")
+        .agg(count(lit(1)).as("n"),
+          first($"p01_cents").as("p01_cents"),
+          first($"p99_cents").as("p99_cents"),
+          sum(when($"cents" < $"p01_cents", 1L).otherwise(0L))
+            .as("n_clip_lo"),
+          sum(when($"cents" > $"p99_cents", 1L).otherwise(0L))
+            .as("n_clip_hi"),
+          sum($"clipped").as("sum_clipped_cents"))
+        .orderBy($"grp")
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_orderpriority AS grp,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderkey
+        FROM orders),
+      ranked AS (
+        SELECT grp, cents,
+               ROW_NUMBER() OVER (PARTITION BY grp
+                                  ORDER BY cents, o_orderkey) AS rk
+        FROM o),
+      stats AS (
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(CEIL(COUNT(*) * 0.01) AS BIGINT) AS lo_rk,
+               CAST(CEIL(COUNT(*) * 0.99) AS BIGINT) AS hi_rk
+        FROM o GROUP BY 1),
+      bounds AS (
+        SELECT r.grp,
+               MIN(CASE WHEN r.rk = s.lo_rk THEN r.cents END)
+                 AS p01_cents,
+               MIN(CASE WHEN r.rk = s.hi_rk THEN r.cents END)
+                 AS p99_cents
+        FROM ranked r JOIN stats s ON r.grp = s.grp
+        WHERE r.rk = s.lo_rk OR r.rk = s.hi_rk
+        GROUP BY 1)
+      SELECT o.grp, CAST(COUNT(*) AS BIGINT) AS n,
+             ANY_VALUE(b.p01_cents) AS p01_cents,
+             ANY_VALUE(b.p99_cents) AS p99_cents,
+             CAST(SUM(CASE WHEN o.cents < b.p01_cents THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_clip_lo,
+             CAST(SUM(CASE WHEN o.cents > b.p99_cents THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_clip_hi,
+             CAST(SUM(LEAST(GREATEST(o.cents, b.p01_cents),
+               b.p99_cents)) AS BIGINT) AS sum_clipped_cents
+      FROM o JOIN bounds b ON o.grp = b.grp
+      GROUP BY 1 ORDER BY o.grp"""))
+
   val all: Seq[GQuery] =
     Seq(chunk_windows, embed_quant_int8, anonymize_ids, kanon_suppress,
       drift_chi2, fk_violations, source_cap, source_cap_agg, chunk_dedup,
-      znorm_features)
+      znorm_features, winsorize_clip)
 }
