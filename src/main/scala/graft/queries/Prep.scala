@@ -233,11 +233,12 @@ object Prep {
       val diff = ($"a" * $"mm" - $"b" * $"nn").cast("decimal(38,0)")
       buckets.crossJoin(broadcast(tot))
         .select($"bucket", $"a".as("n_ref"), $"b".as("n_cur"),
-          round(
+          when($"nn" === 0L || $"mm" === 0L,
+            lit(null).cast("double")).otherwise(round(
             (diff * diff).cast("double") /
             (($"nn" * $"mm").cast("decimal(38,0)") *
               ($"a" + $"b").cast("decimal(38,0)")).cast("double"),
-            6).as("chi2_term"))
+            6)).as("chi2_term"))
         .orderBy($"bucket")
     },
     Some("""
@@ -257,11 +258,11 @@ object Prep {
       tot AS (SELECT CAST(SUM(a) AS BIGINT) AS nn,
                      CAST(SUM(b) AS BIGINT) AS mm FROM buckets)
       SELECT bucket, a AS n_ref, b AS n_cur,
-             ROUND(
+             CASE WHEN nn = 0 OR mm = 0 THEN NULL ELSE ROUND(
                CAST(CAST(a * mm - b * nn AS HUGEINT)
                     * CAST(a * mm - b * nn AS HUGEINT) AS DOUBLE) /
                CAST(CAST(nn * mm AS HUGEINT) * (a + b) AS DOUBLE),
-               6) AS chi2_term
+               6) END AS chi2_term
       FROM buckets, tot ORDER BY bucket"""))
 
   /** Referential-integrity audit with planted breaks (the
@@ -473,12 +474,12 @@ object Prep {
           (dec($"n") * dec($"svv") - dec($"sv") * dec($"sv")).as("ssn"))
       docs.join(broadcast(st), "lang")
         .select($"doc_id", $"lang", $"n_chars",
-          round(
+          when($"n" < 2L, lit(null).cast("double")).otherwise(round(
             ($"n_chars" * $"n" - $"sv").cast("double") /
               ($"n".cast("double") *
                 sqrt($"ssn".cast("double") /
                   ($"n".cast("double") * ($"n" - 1L).cast("double")))),
-            6).as("z"))
+            6)).as("z"))
         .orderBy($"doc_id")
     },
     Some("""
@@ -491,12 +492,12 @@ object Prep {
                  * CAST(SUM(n_chars) AS HUGEINT) AS ssn
         FROM documents GROUP BY 1)
       SELECT d.doc_id, d.lang, d.n_chars,
-             ROUND(
+             CASE WHEN st.n < 2 THEN NULL ELSE ROUND(
                CAST(d.n_chars * st.n - st.sv AS DOUBLE) /
                  (CAST(st.n AS DOUBLE) *
                    SQRT(CAST(st.ssn AS DOUBLE) /
                      (CAST(st.n AS DOUBLE) * CAST(st.n - 1 AS DOUBLE)))),
-               6) AS z
+               6) END AS z
       FROM documents d JOIN st ON d.lang = st.lang
       ORDER BY d.doc_id"""))
 
