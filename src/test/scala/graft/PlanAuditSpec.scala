@@ -478,4 +478,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("wave 3 cont.: znorm broadcasts its moment table; ivm-family " +
+      "and winsorize shapes hold") {
+    val zn = plan("znorm_features")
+    assert(zn.contains("BroadcastHashJoin"), zn.take(1200))
+    assert(!zn.contains("SortMergeJoin"), zn)
+    // anonymize: map-side sha256, then the two-countDistinct Expand
+    // rewrite (pre-agg on (pseudonym, type, user, gid) → keyed agg) =
+    // two data shuffles + the output-order exchange, and no join
+    val an = plan("anonymize_ids", "simple")
+    assert(an.split("Exchange").length - 1 == 3, an)
+    assert(!an.contains("Join"), an)
+    // winsorize: the rank pass is a Window by design (the documented
+    // exact fence); the bounds flow back via broadcast, never SMJ
+    val wz = plan("winsorize_clip")
+    assert(wz.contains("Window"), wz.take(1200))
+    assert(wz.contains("BroadcastHashJoin"), wz.take(1200))
+    assert(!wz.contains("SortMergeJoin"), wz)
+    // chunk_dedup: generate → one fingerprint-keyed agg; no join
+    val cd = plan("chunk_dedup", "simple")
+    assert(cd.contains("Generate"), cd)
+    assert(!cd.contains("Join"), cd)
+  }
 }
