@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Iterative / combinatorial graph analytics as keyed join+aggregate
@@ -16,10 +16,15 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
-  /** Integer-exact PageRank: ranks are longs scaled by `unit` = 1e9,
-    * a node's per-edge contribution is `rank DIV outdeg`, and the
-    * damped update is `(15·unit) DIV 100 + (85 · Σ contrib) DIV 100`.
-    * Every operation is integral, so the result is INDEPENDENT of
+  /** Integer-exact PageRank over an arbitrary DIRECTED graph: ranks
+    * are longs scaled by `unit` = 1e9, a node's per-edge contribution
+    * is `rank DIV outdeg`, dangling mass (rank parked on nodes with
+    * no out-edge) is redistributed uniformly as `Σ_dangling pr DIV n`,
+    * and the damped update over the FULL node set (src ∪ dst) is
+    * `(15·unit) DIV 100 + (85 · (Σ contrib + dangling_share)) DIV 100`
+    * — a node nobody links to decays to the teleport + dangling floor
+    * instead of silently vanishing from the rank table. Every
+    * operation is integral, so the result is INDEPENDENT of
     * partitioning, aggregation order, and cluster size — bit-equal on
     * local[1] and a 1000-executor cluster, and exactly mirrorable in
     * the DuckDB oracle (`//` = `DIV` on non-negative longs; DuckDB's
@@ -36,9 +41,10 @@ object GraphOps {
     * any single-table corpus here. Past that, raise to DecimalType
     * sums (DuckDB's side is already exact via HUGEINT).
     *
-    * Requires every node to have at least one out-edge (true for any
-    * symmetrized edge set — pass an undirected graph as both
-    * directions); dangling-node redistribution is out of scope.
+    * Per-round cost beyond the contribution join+agg: one node-sized
+    * anti-join aggregate (the dangling mass, a 1-row broadcast) and
+    * one node-sized left join (full-set reseed) — both node-scale,
+    * never edge-scale; at cluster SF AQE broadcasts them.
     *
     * @param edges directed edge list; for undirected graphs pass both
     *              directions
@@ -52,9 +58,13 @@ object GraphOps {
     // the whole upstream derivation (common subplans are only deduped
     // via exchange reuse, which a join+distinct chain defeats)
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val nodes = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
+    val n = nodes.count()
     val deg = e0.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val ed = e0.join(deg, "src").localCheckpoint()
-    var ranks = deg.select(col("src").as("node"), lit(unit).as("pr"))
+    var ranks = nodes.select(col("node"), lit(unit).as("pr"))
     val teleport = (15L * unit) / 100L
     // each round ends in a lineage cut: a fully lazy `iters`-deep
     // unroll is one enormous plan whose optimization + AQE re-planning
@@ -62,37 +72,57 @@ object GraphOps {
     // cutting per round keeps every plan two joins deep, and the
     // node-sized round outputs are cheap to hold
     for (_ <- 1 to iters) {
+      val dang = ranks.join(deg, ranks("node") === deg("src"),
+          "left_anti")
+        .agg(coalesce(sum(col("pr")), lit(0L)).as("dm"))
       val contrib = ed
         .join(ranks, col("src") === col("node"))
         .select(col("dst"), expr("pr DIV deg").as("c"))
-      ranks = contrib.groupBy(col("dst"))
-        .agg((lit(teleport) +
-          expr("(85 * sum(c)) DIV 100")).as("pr"))
-        .select(col("dst").as("node"), col("pr"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("sc"))
+      ranks = nodes.join(contrib, nodes("node") === contrib("dst"),
+          "left")
+        .crossJoin(broadcast(dang))
+        .select(nodes("node"),
+          (lit(teleport) + expr(
+            s"(85 * (coalesce(sc, CAST(0 AS BIGINT)) + dm DIV $n))" +
+              " DIV 100")).as("pr"))
         .localCheckpoint()
     }
     ranks
   }
 
   /** Mirror of [[pagerankExact]] as generated DuckDB SQL (unrolled
-    * CTE chain — one `pr_i` level per round, the exact integer
-    * recurrence). `edgeCte` must define `edges(src, dst)`. */
+    * CTE chain — one `dm_i`/`sc_i`/`pr_i` level per round, the exact
+    * integer recurrence including dangling-mass redistribution and
+    * full-node-set reseeding). `edgeCte` must define
+    * `edges(src, dst)`. */
   def pagerankOracle(edgeCte: String, iters: Int,
       unit: Long = 1000000000L): String = {
     val teleport = (15L * unit) / 100L
     val steps = (1 to iters).map { i =>
-      s""", pr$i AS (
-        SELECT e.dst AS node,
-               CAST($teleport + (85 * SUM(p.pr // g.deg)) // 100
-                 AS BIGINT) AS pr
+      s""", dm$i AS (
+        SELECT COALESCE(SUM(p.pr), 0) AS dm
+        FROM pr${i - 1} p LEFT JOIN deg g ON p.node = g.src
+        WHERE g.src IS NULL),
+      sc$i AS (
+        SELECT e.dst AS node, SUM(p.pr // g.deg) AS sc
         FROM pr${i - 1} p
         JOIN deg g ON p.node = g.src
         JOIN edges e ON p.node = e.src
-        GROUP BY e.dst)"""
+        GROUP BY e.dst),
+      pr$i AS (
+        SELECT nd.node,
+               CAST($teleport + (85 * (COALESCE(s.sc, 0)
+                 + d.dm // (SELECT n FROM nn))) // 100 AS BIGINT) AS pr
+        FROM nodes nd LEFT JOIN sc$i s ON nd.node = s.node, dm$i d)"""
     }.mkString
     s"""$edgeCte,
+      nodes AS (SELECT src AS node FROM edges
+                UNION SELECT dst FROM edges),
+      nn AS (SELECT COUNT(*) AS n FROM nodes),
       deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
-      pr0 AS (SELECT src AS node, CAST($unit AS BIGINT) AS pr FROM deg)
+      pr0 AS (SELECT node, CAST($unit AS BIGINT) AS pr FROM nodes)
       $steps
       SELECT node, pr FROM pr$iters ORDER BY node"""
   }
@@ -194,5 +224,55 @@ object GraphOps {
       .agg(count(lit(1)).as("n_triangles"))
     tri.crossJoin(wedges)
       .select(col("n_triangles"), col("n_wedges"))
+  }
+
+  // ------------------------------------------- shared edge lifecycle
+  /** Per-JVM root for the materialized co-purchase edge tables, one
+    * parquet dir per sf dir, removed once at JVM exit — the
+    * [[graft.GQuery.withTempTable]] lifecycle discipline applied to a
+    * table SHARED across queries instead of scoped to one. */
+  private lazy val edgeRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft-graph-edges")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+    }))
+    p
+  }
+
+  private val edgeCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The weighted undirected co-purchase edge table (u < v,
+    * w = number of shared orders), derived ONCE per (JVM, sf dir) and
+    * parked as parquet — every graph analytics query reads this table
+    * instead of re-running the lineitem self-join + aggregate, exactly
+    * how a 100 TB workflow materializes its edge list once and runs
+    * every metric against it (the VERDICT-r7 lifecycle-table ask).
+    * The cache contents are continuously certified: the graph
+    * queries' DuckDB oracles never see this parquet — they re-derive
+    * the edge set from `lineitem` in SQL — so a wrong or stale cache
+    * breaks the pagerank/triangles/kcore hash gates immediately.
+    * Derivation is one keyed self-join + one keyed aggregate (the
+    * exact-dedup shape); the weight column rides along for free on
+    * the same shuffle that the former `distinct()` already paid. */
+  def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val path = edgeCache.getOrElseUpdate(d, {
+      val li = graft.Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      val und = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v"))
+        .groupBy(col("u"), col("v"))
+        .agg(count(lit(1)).as("w"))
+      val out = edgeRoot
+        .resolve(java.util.UUID.randomUUID().toString).toString
+      und.write.parquet(out)
+      out
+    })
+    s.read.parquet(path)
   }
 }

@@ -568,7 +568,7 @@ object Core {
       }
       val evMsgs = seq.select(
         $"user_id".as("playerId"),
-        floor(($"rn" - 1) / 3).cast("long").as("matchId"),
+        expr("(rn - 1) DIV 3").as("matchId"),
         $"rn".cast("long").as("order"),
         lit(1).as("kind"), lit(0.0).as("factor"),
         pmod($"user_id", lit(10)).cast("long").as("teamId"),
@@ -603,7 +603,7 @@ object Core {
         FROM events),
       ev AS (
         SELECT playerId,
-               CAST(FLOOR((rn - 1) / 3) AS BIGINT) AS matchId,
+               CAST((rn - 1) // 3 AS BIGINT) AS matchId,
                event_id % 7 AS c0, event_id % 7 + 1 AS c2,
                event_id % 4 AS c4, event_id % 6 AS c6,
                event_id % 3 AS c7, event_id % 2 AS c8,

@@ -292,7 +292,7 @@ object Extras {
       val hourUs = 3600L * 1000 * 1000
       val ev = T.events(s, d)
         .withColumn("us", unix_micros($"ts".cast("timestamp")))
-        .withColumn("h", ($"us" / hourUs).cast("long"))
+        .withColumn("h", expr(s"us DIV $hourUs"))
       val obs = ev.groupBy($"user_id", $"h")
         .agg(max_by($"value", struct($"us", $"event_id")).as("obs_v"))
         .select($"user_id", $"h", $"obs_v", lit(0).as("pri"))

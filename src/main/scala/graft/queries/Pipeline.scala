@@ -545,8 +545,7 @@ object Pipeline {
       val nVec = keyed.agg(count(lit(1)).as("n_vectors"))
       val labelPairs = keyed.groupBy(col("blk"))
         .agg(count(lit(1)).as("n"))
-        .agg(sum(col("n") * (col("n") - 1) / 2).cast("long")
-          .as("n_label_pairs"))
+        .agg(sum(expr("n * (n - 1) DIV 2")).as("n_label_pairs"))
       val cand = Similarity.lshCandidatePairs(keyed, tables = 4, bits)
       val nCand = cand.agg(count(lit(1)).as("n_candidates"))
       val nVerified = Similarity
@@ -607,7 +606,7 @@ object Pipeline {
         WHERE ROUND(dot / (SQRT(n1) * SQRT(n2)), 6) >= 0.4),
       nv AS (SELECT COUNT(*) AS n_vectors FROM v),
       lp AS (
-        SELECT CAST(SUM(n * (n - 1) / 2) AS BIGINT) AS n_label_pairs
+        SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS n_label_pairs
         FROM (SELECT COUNT(*) AS n FROM v GROUP BY label)),
       nc AS (SELECT COUNT(*) AS n_candidates FROM cand)
       SELECT 4 AS tables, CAST((SELECT bits FROM bb) AS INTEGER) AS bits,

@@ -42,7 +42,7 @@ object Prep {
         .withColumn("start",
           explode(sequence(lit(0L), greatest($"n_chars" - 1L, lit(0L)),
             lit(120L))))
-        .select($"doc_id", ($"start" / 120L).cast("long").as("chunk_ix"),
+        .select($"doc_id", expr("start DIV 120").as("chunk_ix"),
           $"start",
           expr("substring(text, CAST(start AS INT) + 1, 200)").as("chunk"))
         .select($"doc_id", $"chunk_ix", $"start",
@@ -230,14 +230,21 @@ object Prep {
         .agg(sum(when($"is_ref", 1L).otherwise(0L)).as("a"),
           sum(when($"is_ref", 0L).otherwise(1L)).as("b"))
       val tot = buckets.agg(sum($"a").as("nn"), sum($"b").as("mm"))
-      val diff = ($"a" * $"mm" - $"b" * $"nn").cast("decimal(38,0)")
+      // every operand widens to DECIMAL(38,0) BEFORE any product —
+      // a*mm and nn*mm reach ~1e20 at 100 TB event counts, past
+      // 2^63, so a Long intermediate would overflow (ANSI throw)
+      // before the wide cast could save it
+      val aD = $"a".cast("decimal(38,0)")
+      val bD = $"b".cast("decimal(38,0)")
+      val nnD = $"nn".cast("decimal(38,0)")
+      val mmD = $"mm".cast("decimal(38,0)")
+      val diff = aD * mmD - bD * nnD
       buckets.crossJoin(broadcast(tot))
         .select($"bucket", $"a".as("n_ref"), $"b".as("n_cur"),
           when($"nn" === 0L || $"mm" === 0L,
             lit(null).cast("double")).otherwise(round(
             (diff * diff).cast("double") /
-            (($"nn" * $"mm").cast("decimal(38,0)") *
-              ($"a" + $"b").cast("decimal(38,0)")).cast("double"),
+            (nnD * mmD * (aD + bD)).cast("double"),
             6)).as("chi2_term"))
         .orderBy($"bucket")
     },
@@ -257,13 +264,19 @@ object Prep {
         FROM ev, bounds GROUP BY 1),
       tot AS (SELECT CAST(SUM(a) AS BIGINT) AS nn,
                      CAST(SUM(b) AS BIGINT) AS mm FROM buckets)
+      , wide AS (
+        SELECT bucket, a, b,
+               CAST(a AS HUGEINT) AS ah, CAST(b AS HUGEINT) AS bh,
+               CAST(nn AS HUGEINT) AS nnh, CAST(mm AS HUGEINT) AS mmh,
+               nn, mm
+        FROM buckets, tot)
       SELECT bucket, a AS n_ref, b AS n_cur,
              CASE WHEN nn = 0 OR mm = 0 THEN NULL ELSE ROUND(
-               CAST(CAST(a * mm - b * nn AS HUGEINT)
-                    * CAST(a * mm - b * nn AS HUGEINT) AS DOUBLE) /
-               CAST(CAST(nn * mm AS HUGEINT) * (a + b) AS DOUBLE),
+               CAST((ah * mmh - bh * nnh)
+                    * (ah * mmh - bh * nnh) AS DOUBLE) /
+               CAST(nnh * mmh * (ah + bh) AS DOUBLE),
                6) END AS chi2_term
-      FROM buckets, tot ORDER BY bucket"""))
+      FROM wide ORDER BY bucket"""))
 
   /** Referential-integrity audit with planted breaks (the
     * plant-and-detect pattern, dedup_lsh_recall precedent): a

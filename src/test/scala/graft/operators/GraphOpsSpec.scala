@@ -35,6 +35,28 @@ class GraphOpsSpec extends SparkSpec {
     assert(r5.tail.map(_._2).distinct.size == 1)
   }
 
+  test("pagerank: dangling mass redistributes, unlinked node keeps floor") {
+    // single DIRECTED edge 1→2: node 2 is dangling (no out-edge — its
+    // whole rank is redistributed as dm DIV n), node 1 has no in-edge
+    // (it must SURVIVE round 1 at the teleport + dangling-share floor,
+    // the ADVICE-r7 defect). Hand-computed round 1 with unit=1e9:
+    //   dm = 1e9 (node 2's seed), share = 1e9 DIV 2 = 5e8
+    //   pr(1) = 15e7 + (85 · (0     + 5e8)) DIV 100 =   575,000,000
+    //   pr(2) = 15e7 + (85 · (1e9   + 5e8)) DIV 100 = 1,425,000,000
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    val r1 = GraphOps.pagerankExact(e, "src", "dst", iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 575000000L, 2L -> 1425000000L))
+    // both nodes present after EVERY round, and total mass conserved
+    // up to the documented DIV floor leakage (≤ a few hundred units
+    // per node per round on this 2-node graph)
+    val r4 = GraphOps.pagerankExact(e, "src", "dst", iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(r4.keySet == Set(1L, 2L))
+    val mass = r4.values.sum
+    assert(mass > 1999999000L && mass <= 2000000000L)
+  }
+
   test("k-core peel: pendant drops, cycle survives, cascade empties") {
     // square 0-1-2-3-0 with pendant 4 off node 0: 2-core = the square
     // (pendant peels round 1; square is 2-regular, stable)
