@@ -6,7 +6,8 @@ object Registry {
   def all: Seq[GQuery] =
     queries.Core.all ++ queries.Pipeline.all ++ queries.Extras.all ++
       queries.Relational.all ++ queries.Streaming.all ++
-      queries.Retrieval.all ++ queries.Graph.all ++ queries.Prep.all
+      queries.Retrieval.all ++ queries.Graph.all ++ queries.Prep.all ++
+      queries.Analytics.all
 
   def queryMap: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

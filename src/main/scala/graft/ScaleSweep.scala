@@ -54,7 +54,12 @@ object ScaleSweep {
     // round-7 third wave: corpus preparation (documents / embeddings /
     // events — all MkScale-scaled)
     "chunk_windows", "chunk_dedup", "znorm_features", "embed_quant_int8", "anonymize_ids", "kanon_suppress",
-    "ivm_agg_refresh", "drift_chi2", "source_cap", "source_cap_agg")
+    "ivm_agg_refresh", "drift_chi2", "source_cap", "source_cap_agg",
+    // round-8 wave: graph lifecycle (lineitem), winsorize scale path
+    // (orders), analytics (documents / events)
+    "graph_edges", "graph_pagerank_directed", "graph_components",
+    "winsorize_approx", "sample_weighted", "ngram_topk",
+    "vocab_coverage", "label_gini", "funnel_steps")
   // fk_violations is EXCLUDED: it joins customer/part, which MkScale
   // does not scale - a sweep would measure a mixed-scale plan.
 

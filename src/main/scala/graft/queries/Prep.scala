@@ -523,8 +523,9 @@ object Prep {
     * [p01, p99] and the gate covers exact integer clip counts and the
     * clipped sum. The rank pass is a per-group window sort — the
     * oracle-checkable EXACT baseline, fenced like the exact-NDV
-    * profile: at 100 TB the production path is approx_percentile
-    * (agg_approx_percentile), this row is what proves it right. */
+    * profile: at 100 TB the production path is [[winsorize_approx]]
+    * (one sketch aggregate, no window), and this row is what proves
+    * it right. */
   val winsorize_clip = GQuery(
     "winsorize_clip",
     (s, d) => {
@@ -595,8 +596,66 @@ object Prep {
       FROM o JOIN bounds b ON o.grp = b.grp
       GROUP BY 1 ORDER BY o.grp"""))
 
+  /** The winsorize PRODUCTION path at 100 TB — the same clip decision
+    * as [[winsorize_clip]] but with the per-group bounds from
+    * `percentile_approx` (Greenwald–Khanna sketch, accuracy 100):
+    * ONE hash aggregate with map-side-mergeable sketch partials and
+    * no window sort, where the exact-rank baseline concentrates each
+    * group on one partition (its measured 8.93×/decade fence). The
+    * sketch's VALUES cannot cross engines (they are merge-order- and
+    * engine-dependent), so the gate hashes what IS invariant: GK's
+    * worst-case guarantee. With accuracy a = 100 the returned bound
+    * for quantile q has rank within ε·n of q·n, ε = 1/a — and at
+    * verify SF the sketch genuinely approximates (n = 3000 per group
+    * ≫ a; a 10000-accuracy sketch would be exact below 10k rows and
+    * gate nothing). The contract booleans bracket the bound's rank
+    * interval [count(< bound)+1, count(≤ bound)] against
+    * [q·n − ε·n, q·n + ε·n], and the clip-count fences
+    * (n_clip ≤ (q+ε)·n per side) follow from the same counts; the
+    * oracle pins every boolean TRUE plus the exact group sizes.
+    * Precedent: source_cap / source_cap_agg — same decision, two
+    * plans, the scale path contract-gated against the exact one. */
+  val winsorize_approx = GQuery(
+    "winsorize_approx",
+    (s, d) => {
+      import s.implicits._
+      val acc = 100
+      val eps = 1.0 / acc
+      val o = T.orders(s, d).select($"o_orderpriority".as("grp"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      val ap = o.groupBy($"grp")
+        .agg(count(lit(1)).as("n"),
+          percentile_approx($"cents", lit(0.01), lit(acc)).as("lo_b"),
+          percentile_approx($"cents", lit(0.99), lit(acc)).as("hi_b"))
+      val counts = o.join(broadcast(ap), "grp")
+        .groupBy($"grp")
+        .agg(first($"n").as("n"),
+          sum(when($"cents" < $"lo_b", 1L).otherwise(0L)).as("lt_lo"),
+          sum(when($"cents" <= $"lo_b", 1L).otherwise(0L)).as("le_lo"),
+          sum(when($"cents" < $"hi_b", 1L).otherwise(0L)).as("lt_hi"),
+          sum(when($"cents" <= $"hi_b", 1L).otherwise(0L)).as("le_hi"))
+      def inContract(q: Double,
+          lt: org.apache.spark.sql.Column,
+          le: org.apache.spark.sql.Column) =
+        lt.cast("double") <= $"n".cast("double") * (q + eps) &&
+          le.cast("double") >= $"n".cast("double") * (q - eps)
+      counts.select($"grp", $"n",
+          inContract(0.01, $"lt_lo", $"le_lo").as("lo_in_contract"),
+          inContract(0.99, $"lt_hi", $"le_hi").as("hi_in_contract"),
+          ($"lt_lo".cast("double") <=
+            $"n".cast("double") * (0.01 + eps)).as("clip_lo_bounded"),
+          (($"n" - $"le_hi").cast("double") <=
+            $"n".cast("double") * (0.01 + eps)).as("clip_hi_bounded"))
+        .orderBy($"grp")
+    },
+    Some("""
+      SELECT o_orderpriority AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+             TRUE AS lo_in_contract, TRUE AS hi_in_contract,
+             TRUE AS clip_lo_bounded, TRUE AS clip_hi_bounded
+      FROM orders GROUP BY 1 ORDER BY grp"""))
+
   val all: Seq[GQuery] =
     Seq(chunk_windows, embed_quant_int8, anonymize_ids, kanon_suppress,
       drift_chi2, fk_violations, source_cap, source_cap_agg, chunk_dedup,
-      znorm_features, winsorize_clip)
+      znorm_features, winsorize_clip, winsorize_approx)
 }

@@ -47,11 +47,15 @@ import graft.streaming.StreamOps
   *    the complete match set, no sentinel needed. Both sides slice on
   *    the SAME global time boundaries so their watermarks advance
   *    together.
-  *  - stream_dedup stays a ONE-file single-batch replay on purpose:
-  *    its oracle is full DISTINCT, which only equals streaming dedup
-  *    while no state evicts — a key evicted mid-stream would re-emit
-  *    a later duplicate nondeterministically w.r.t. slice geometry.
-  *    Horizon eviction for dedup stays pinned in StreamingSpec.
+  *  - stream_dedup (r8) plants its keys so duplicates only recur
+  *    within the watermark horizon: the dedup key carries an
+  *    hour-bucket component while the watermark delay is 2 hours, so
+  *    a key's occurrences span ≤ 1h and its state is provably alive
+  *    (watermark ≤ arrival − 2h < first_occurrence) whenever a later
+  *    duplicate arrives — full DISTINCT stays exact under multi-batch
+  *    replay WITH eviction, and the gate carries the eviction
+  *    evidence (numRowsRemoved > 0, peak state < total keys) as
+  *    booleans the oracle pins TRUE.
   * What file replay cannot exercise — genuinely late data, recovery —
   * stays pinned in StreamingSpec/RecoverySpec, which drive multi-batch
   * MemoryStreams.
@@ -301,41 +305,73 @@ object Streaming {
       ORDER BY signup_id, error_id"""))
 
   /** Watermark-horizon exact dedup through the real
-    * `StreamOps.dedupStream` (same AvailableNow replay; survivors are
-    * emitted on arrival, so no flush sentinel is needed).
-    *
-    * Determinism: the input is pre-projected to exactly the dedup key
-    * (plus the event-time column the operator requires), so every
-    * survivor row is byte-identical regardless of which physical row
-    * won; the single input file lands in a single micro-batch, where
-    * the watermark is still at origin, so no row is late-dropped and
-    * streaming dedup ≡ full distinct — which is what the oracle
-    * rebuilds. Horizon EVICTION (late rows beyond the watermark, state
-    * bounds across many batches) cannot be made deterministic under a
-    * hash gate and stays pinned in StreamingSpec. */
+    * `StreamOps.dedupStream` under multi-batch replay WITH state
+    * eviction — the last streaming gate to cover eviction (the
+    * VERDICT-r7 ask). The construction that keeps full DISTINCT exact
+    * while state evicts: the dedup key is (user_id, event_type,
+    * hour-bucket) — every occurrence of a key lies inside one hour —
+    * while the watermark delay is 2 hours. Slices are contiguous
+    * time-ordered ranges, so when any later duplicate of a key
+    * arrives, the watermark is ≤ its event time − 2h, which is
+    * strictly below the key's first occurrence (≥ its event time
+    * − 1h): the key's state is provably still live and the duplicate
+    * is absorbed, deterministically. Meanwhile buckets older than the
+    * horizon DO evict as the replay advances — `dropDuplicates
+    * WithinWatermark` expires a key once the watermark passes its
+    * event time + delay — and the gate carries the evidence in-band:
+    * `state_evicted` (Σ numRowsRemoved over the run > 0) and
+    * `state_bounded` (peak numRowsTotal < the total key count — state
+    * never held the whole key set) are hashed against the oracle's
+    * literal TRUE. Survivors are emitted on arrival (append), so no
+    * flush sentinel is needed; the survivor's non-key columns are
+    * never emitted (the output aggregates the key set), so
+    * which physical row won each key cannot wobble the hash.
+    * Genuinely LATE data (rows behind the watermark) stays pinned in
+    * StreamingSpec — file replay cannot produce it deterministically. */
   val stream_dedup = GQuery(
     "stream_dedup",
     (s, d) => graft.GQuery.withTempTable(s, "graft-stream-dedup") { t =>
       import s.implicits._
       val inDir = s"$t/in"
-      withEts(s, d).select($"user_id", $"event_type", $"ets")
-        .coalesce(1)
-        .write.mode("overwrite").parquet(inDir)
-      replay(s, t, inDir) { in =>
-        StreamOps.dedupStream(in, "ets", watermark = "10 minutes",
-          keyCols = Seq("user_id", "event_type"))
-      }
-        .groupBy($"user_id")
-        .agg(count(lit(1)).as("n_types"),
-          concat_ws(",", sort_array(collect_list($"event_type")))
-            .as("types"))
+      val data = withEts(s, d)
+        .select($"user_id", $"event_type",
+          expr("unix_micros(ets) DIV 3600000000").as("h"), $"ets")
+      writeTimeSliced(data, "ets", inDir, sliceCount(data.count()))
+      val q = StreamOps.dedupStream(
+          s.readStream.schema(s.read.parquet(inDir).schema)
+            .option("maxFilesPerTrigger", "1").parquet(inDir),
+          "ets", watermark = "2 hours",
+          keyCols = Seq("user_id", "event_type", "h"))
+        .writeStream.format("parquet")
+        .option("path", s"$t/out")
+        .option("checkpointLocation", s"$t/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val stateOps = q.recentProgress.toSeq.flatMap(_.stateOperators)
+      val removed = stateOps.map(_.numRowsRemoved).sum
+      val peak = stateOps.map(_.numRowsTotal).foldLeft(0L)(math.max)
+      val out = s.read.parquet(s"$t/out")
+      val nKeys = out.count()
+      out.groupBy($"user_id")
+        .agg(count(lit(1)).as("n_keys"),
+          sum($"h").as("h_checksum"),
+          countDistinct($"event_type").as("n_types"))
+        .withColumn("state_evicted", lit(removed > 0))
+        .withColumn("state_bounded", lit(peak < nKeys))
         .orderBy($"user_id")
     },
     Some("""
-      SELECT user_id, COUNT(DISTINCT event_type) AS n_types,
-             array_to_string(list_sort(list(DISTINCT event_type)), ',')
-               AS types
-      FROM events GROUP BY user_id ORDER BY user_id"""))
+      WITH k AS (
+        SELECT DISTINCT user_id, event_type,
+               epoch_us(ts) // 3600000000 AS h
+        FROM events)
+      SELECT user_id, COUNT(*) AS n_keys,
+             CAST(SUM(h) AS BIGINT) AS h_checksum,
+             COUNT(DISTINCT event_type) AS n_types,
+             TRUE AS state_evicted, TRUE AS state_bounded
+      FROM k GROUP BY user_id ORDER BY user_id"""))
 
   val all: Seq[GQuery] = Seq(
     stream_window_agg, stream_sessions, stream_interval_join,

@@ -501,4 +501,53 @@ class PlanAuditSpec extends SparkSpec {
     assert(cd.contains("Generate"), cd)
     assert(!cd.contains("Join"), cd)
   }
+
+  test("r8: winsorize_approx replaces the window sort with one sketch " +
+      "aggregate") {
+    // the production path must have NO window (the fence's 8.93×/decade
+    // came from the per-group window sort) — percentile_approx plans as
+    // an ObjectHashAggregate pair and the bounds broadcast back
+    val p = plan("winsorize_approx")
+    assert(!p.contains("Window"), p.take(1500))
+    assert(p.contains("ObjectHashAggregate"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("r8: top-k analytics plan as TakeOrderedAndProject, no global " +
+      "sort of the counted sets") {
+    val ng = plan("ngram_topk", "simple")
+    assert(ng.contains("TakeOrderedAndProject"), ng)
+    val vc = plan("vocab_coverage", "simple")
+    assert(vc.contains("TakeOrderedAndProject"), vc)
+  }
+
+  test("r8: funnel is keyed min-aggregates + joins, never a window " +
+      "over the raw event stream") {
+    val p = plan("funnel_steps")
+    assert(!p.contains("Window"), p.take(1500))
+    assert(p.contains("partial_min"), "map-side partial min lost:\n" +
+      p.take(1500))
+  }
+
+  test("r8: graph analytics read the materialized edge table, not a " +
+      "re-derived self-join") {
+    // the lifecycle contract: the degree-profile query's plan scans
+    // the parked parquet (graft-graph-edges root) and contains NO
+    // lineitem self-join — the derivation ran ONCE inside
+    // coPurchaseEdges. (pagerank/kcore end in per-round
+    // localCheckpoint cuts, so their final plans are checkpoint
+    // scans — the edge read is only visible here.)
+    val p = plan("graph_edges")
+    assert(p.contains("graft-graph-edges"), p.take(1500))
+    assert(!p.contains("lineitem"), "edge re-derivation leaked:\n" +
+      p.take(1500))
+  }
+
+  test("r8: label_gini is two nested hash aggregates, no Expand") {
+    val p = plan("label_gini", "simple")
+    assert(!p.contains("Expand"), p)
+    assert(!p.contains("SortAggregate"), p)
+    assert(p.split("HashAggregate").length - 1 >= 2, p)
+  }
 }

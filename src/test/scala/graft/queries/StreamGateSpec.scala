@@ -66,19 +66,31 @@ class StreamGateSpec extends SparkSpec {
     assert(miss.isEmpty, "1us outside either end must not match")
   }
 
-  test("stream_dedup gate: streaming dedup over one micro-batch " +
-      "== batch distinct") {
+  test("stream_dedup gate: multi-batch replay WITH eviction " +
+      "== batch distinct over the hour-bucketed key") {
     val d = "/root/testdata/sf0.001"
     assume(new java.io.File(d).isDirectory)
-    val got = Streaming.stream_dedup.fn(spark, d)
-      .select($"user_id", $"n_types", $"types")
-      .collect().map(_.toSeq).toSet
+    val got = Streaming.stream_dedup.fn(spark, d).collect()
+    // the in-band eviction evidence must actually fire: state was
+    // removed during the replay AND peak state never held the whole
+    // key set (the r8 construction's whole point)
+    assert(got.forall(_.getAs[Boolean]("state_evicted")),
+      "no state eviction observed during the replay")
+    assert(got.forall(_.getAs[Boolean]("state_bounded")),
+      "peak state held the entire key set")
+    val gotSet = got.map(r => (r.getAs[Long]("user_id"),
+      r.getAs[Long]("n_keys"), r.getAs[Long]("h_checksum"),
+      r.getAs[Long]("n_types"))).toSet
     val exp = graft.Tables.events(spark, d)
+      .select($"user_id", $"event_type",
+        expr("unix_micros(cast(ts as timestamp)) DIV 3600000000")
+          .as("h"))
+      .distinct()
       .groupBy($"user_id")
-      .agg(countDistinct($"event_type").as("n_types"),
-        concat_ws(",", sort_array(collect_set($"event_type")))
-          .as("types"))
-      .collect().map(_.toSeq).toSet
-    assert(got == exp)
+      .agg(count(lit(1)).as("n_keys"), sum($"h").as("h_checksum"),
+        countDistinct($"event_type").as("n_types"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(gotSet == exp)
   }
 }
