@@ -85,8 +85,17 @@ object ScaleSweep {
       sys.env.getOrElse("SPARK_GRAFT_SWEEP_ROUNDS", "3").toInt
     def minOf3(name: String, dir: String): Double = {
       val fn = Registry.queryMap(name)
+      // graph_edges prices the edge DERIVATION: reset the per-JVM
+      // cache each round, or every round after the first would time a
+      // warm parquet re-read. The other graph queries deliberately
+      // keep the warm cache — they price their algorithm over the
+      // materialized lifecycle table, which is the production split.
+      def reset(): Unit =
+        if (name == "graph_edges") operators.GraphOps.resetEdgeCache()
+      reset()
       Registry.force(fn(spark, dir)) // warm-up: listing, footers, codegen
       (1 to rounds).map { _ =>
+        reset()
         val t0 = System.nanoTime()
         Registry.force(fn(spark, dir)) // full materialization, not count()
         (System.nanoTime() - t0) / 1e9

@@ -246,6 +246,12 @@ object GraphOps {
   private val edgeCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Pricing hook (ScaleSweep): forget the memoized paths so the next
+    * [[coPurchaseEdges]] re-derives — graph_edges must price the
+    * derivation, not a warm parquet re-read. Parked dirs stay on disk
+    * until the JVM-exit sweep; a reset only costs a fresh UUID dir. */
+  def resetEdgeCache(): Unit = edgeCache.clear()
+
   /** The weighted undirected co-purchase edge table (u < v,
     * w = number of shared orders), derived ONCE per (JVM, sf dir) and
     * parked as parquet — every graph analytics query reads this table
