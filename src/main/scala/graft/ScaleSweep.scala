@@ -59,9 +59,15 @@ object ScaleSweep {
     // (orders), analytics (documents / events)
     "graph_edges", "graph_pagerank_directed", "graph_components",
     "winsorize_approx", "sample_weighted", "ngram_topk",
-    "vocab_coverage", "label_gini", "funnel_steps")
+    "vocab_coverage", "label_gini", "funnel_steps",
+    // round-8 second wave: temporal (events), exact stats (lineitem),
+    // mining (embeddings)
+    "asof_forward", "window_distinct_users", "split_time_embargo",
+    "corr_matrix_exact", "hard_negatives")
   // fk_violations is EXCLUDED: it joins customer/part, which MkScale
   // does not scale - a sweep would measure a mixed-scale plan.
+  // pareto_frontier is excluded for the same reason (part-backed);
+  // its cost is bounded by the size domain anyway (<=50 points).
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

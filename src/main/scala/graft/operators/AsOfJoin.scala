@@ -4,15 +4,20 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** As-of (backward) join — for each left row, the most recent right row
-  * of the same key with rightTs ≤ leftTs. Spark has no native as-of
-  * join; rather than a custom physical operator, this composes
-  * built-ins the scalable way (SURVEY §2.4 "not present" row; builder
-  * preference (a)): tag and union both sides, then a single
-  * partitionBy(key).orderBy(ts) window carries the last right payload
-  * forward into left rows. ONE shuffle on the key, no range cross
-  * product, no per-key collect — at 100 TB this is a sort within each
-  * key partition, exactly what a native as-of operator would do.
+/** As-of joins — for each left row, the most recent right row of the
+  * same key with rightTs ≤ leftTs (backward), or the earliest with
+  * rightTs ≥ leftTs (forward; the two directions of pandas
+  * merge_asof). Spark has no native as-of join; rather than a custom
+  * physical operator, this composes built-ins the scalable way
+  * (SURVEY §2.4 "not present" row; builder preference (a)): tag and
+  * union both sides, then a single partitionBy(key).orderBy(ts)
+  * window carries the nearest right payload into left rows. ONE
+  * shuffle on the key, no range cross product, no per-key collect —
+  * at 100 TB this is a sort within each key partition, exactly what a
+  * native as-of operator would do. Both directions require the right
+  * side to be unique per (key, ts) — at equal right timestamps the
+  * carried payload is otherwise sort-nondeterministic (callers here
+  * pre-aggregate, e.g. MAX(event_id) per ts).
   */
 object AsOfJoin {
 
@@ -57,6 +62,57 @@ object AsOfJoin {
         last(col(s"__p_$p"), ignoreNulls = true).over(w)))
     carried
       .filter(col("__side") === 1 &&
+        payload.map(p => col(s"__c_$p").isNotNull).reduce(_ && _))
+      .select(keyCols.map(col) ++
+        leftCols.filterNot(keyCols.contains).map(c =>
+          col(s"__l_$c").as(c)) ++
+        payload.map(p => col(s"__c_$p").as(p)): _*)
+  }
+
+  /** Forward as-of join — for each left row, the EARLIEST right row of
+    * the same key with rightTs ≥ leftTs (pandas merge_asof
+    * direction='forward'; ≥ is inclusive, mirroring backward's ≤).
+    * Same union+window composition as [[asofBackward]], mirrored: left
+    * rows sort BEFORE right rows at equal ts so an equal-ts right row
+    * is inside the [current, ∞) frame, and `first(ignoreNulls)` over
+    * that frame picks the nearest following payload. Identical scale
+    * shape: one keyed shuffle, per-key sort, no range product.
+    *
+    * @return left rows + payload of the as-of match; rows with no
+    *         right row at-or-after them are dropped (inner semantics)
+    */
+  def asofForward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(0))
+    val lAll = payload.foldLeft(l)((df, p) =>
+      df.withColumn(s"__p_$p", lit(null)))
+    val r = right
+      .withColumn("__ts", col(rightTs))
+      .withColumn("__side", lit(1))
+    val rAll = payload.foldLeft(r)((df, p) =>
+      df.withColumn(s"__p_$p", col(p)))
+    val unioned = lAll
+      .select((keyCols ++ Seq("__ts", "__side")).map(col) ++
+        leftCols.filterNot(keyCols.contains).map(c =>
+          col(c).as(s"__l_$c")) ++
+        payload.map(p => col(s"__p_$p")): _*)
+      .unionByName(
+        rAll.select((keyCols ++ Seq("__ts", "__side")).map(col) ++
+          leftCols.filterNot(keyCols.contains).map(c =>
+            lit(null).as(s"__l_$c")) ++
+          payload.map(p => col(s"__p_$p")): _*))
+    // left rows sort before right rows at equal ts → ≥ semantics
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = payload.foldLeft(unioned)((df, p) =>
+      df.withColumn(s"__c_$p",
+        first(col(s"__p_$p"), ignoreNulls = true).over(w)))
+    carried
+      .filter(col("__side") === 0 &&
         payload.map(p => col(s"__c_$p").isNotNull).reduce(_ && _))
       .select(keyCols.map(col) ++
         leftCols.filterNot(keyCols.contains).map(c =>

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.{GQuery, Tables => T}
 import graft.operators.Pack
 
@@ -265,6 +266,231 @@ object Analytics {
               LEFT JOIN s3 ON s1.user_id = s3.user_id
       ORDER BY s1.user_id"""))
 
+  /** Single-pass pairwise Pearson correlation over the four lineitem
+    * measures — the feature-correlation screen every tabular training
+    * pipeline runs before pruning redundant columns. Measures are
+    * first made integral (quantity is integer-valued; price, discount
+    * and tax go to cents under the floor(x·100 + 0.5) house tie rule —
+    * the double multiply is the same IEEE op on both engines), then
+    * ONE HashAggregate computes all 15 moments (n, 4 sums, 4 sums of
+    * squares, 6 cross sums) as exact DECIMAL(38,0)/HUGEINT integers —
+    * no Expand, no per-pair pass, map-side partials, scan-floor at any
+    * SF. The 6 output rows are reshaped from the single moment row by
+    * an explode-of-struct-array (1-row operation). Correlation
+    * numerators/denominators stay exact until one final identical IEEE
+    * tree: corr = (n·Σxy − ΣxΣy) / (√(n·Σx²−(Σx)²) · √(n·Σy²−(Σy)²))
+    * — √ and / are correctly rounded per IEEE-754, so the doubles gate
+    * exactly (the znorm precedent; ln-based stats could not). Product
+    * bound: at 100 TB n ≈ 6·10¹¹ and Σxy ≤ 3·10²², so n·Σxy ≤ 1.8·10³⁴
+    * < 10³⁸ — DECIMAL(38,0) never overflows. */
+  val corr_matrix_exact = GQuery(
+    "corr_matrix_exact",
+    (s, d) => {
+      import s.implicits._
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val vars = Seq("qty", "price_c", "disc_c", "tax_c")
+      val m = T.lineitem(s, d).select(
+        $"l_quantity".cast("long").as("qty"),
+        expr("CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)")
+          .as("price_c"),
+        expr("CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)").as("disc_c"),
+        expr("CAST(FLOOR(l_tax * 100 + 0.5) AS BIGINT)").as("tax_c"))
+      val pairs = for {
+        i <- vars.indices; j <- vars.indices if i < j
+      } yield (vars(i), vars(j))
+      val moments = m.agg(
+        count(lit(1)).as("n"),
+        (vars.map(v => sum(dec(col(v))).as(s"s_$v")) ++
+          vars.map(v => sum(dec(col(v)) * dec(col(v))).as(s"ss_$v")) ++
+          pairs.map { case (x, y) =>
+            sum(dec(col(x)) * dec(col(y))).as(s"sp_${x}_$y") }): _*)
+      val rows = moments.select($"n",
+        explode(array(pairs.map { case (x, y) =>
+          struct(lit(x).as("var_x"), lit(y).as("var_y"),
+            col(s"s_$x").as("sx"), col(s"s_$y").as("sy"),
+            col(s"ss_$x").as("sxx"), col(s"ss_$y").as("syy"),
+            col(s"sp_${x}_$y").as("sxy"))
+        }: _*)).as("p"))
+      rows.select($"p.var_x", $"p.var_y", $"n",
+          round($"p.sx".cast("double") / $"n".cast("double"), 6)
+            .as("mean_x"),
+          round($"p.sy".cast("double") / $"n".cast("double"), 6)
+            .as("mean_y"),
+          round((dec($"n") * $"p.sxy" - $"p.sx" * $"p.sy").cast("double") /
+            (sqrt((dec($"n") * $"p.sxx" - $"p.sx" * $"p.sx")
+              .cast("double")) *
+             sqrt((dec($"n") * $"p.syy" - $"p.sy" * $"p.sy")
+              .cast("double"))), 6).as("corr"))
+        .orderBy($"var_x", $"var_y")
+    },
+    Some {
+      val vars = Seq("qty", "price_c", "disc_c", "tax_c")
+      val pairs = for {
+        i <- vars.indices; j <- vars.indices if i < j
+      } yield (vars(i), vars(j))
+      val sums = (vars.map(v => s"SUM(CAST($v AS HUGEINT)) AS s_$v") ++
+        vars.map(v =>
+          s"SUM(CAST($v AS HUGEINT) * CAST($v AS HUGEINT)) AS ss_$v") ++
+        pairs.map { case (x, y) =>
+          s"SUM(CAST($x AS HUGEINT) * CAST($y AS HUGEINT)) AS sp_${x}_$y"
+        }).mkString(",\n               ")
+      val arms = pairs.map { case (x, y) =>
+        s"""SELECT '$x' AS var_x, '$y' AS var_y, n,
+             ROUND(CAST(s_$x AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_x,
+             ROUND(CAST(s_$y AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_y,
+             ROUND(CAST(CAST(n AS HUGEINT) * sp_${x}_$y - s_$x * s_$y
+                     AS DOUBLE) /
+                   (SQRT(CAST(CAST(n AS HUGEINT) * ss_$x - s_$x * s_$x
+                     AS DOUBLE)) *
+                    SQRT(CAST(CAST(n AS HUGEINT) * ss_$y - s_$y * s_$y
+                     AS DOUBLE))), 6) AS corr
+           FROM s"""
+      }.mkString("\n      UNION ALL ")
+      s"""
+      WITH m AS (
+        SELECT CAST(l_quantity AS BIGINT) AS qty,
+               CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                 AS price_c,
+               CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS disc_c,
+               CAST(FLOOR(l_tax * 100 + 0.5) AS BIGINT) AS tax_c
+        FROM lineitem),
+      s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               $sums
+        FROM m)
+      SELECT * FROM ($arms) ORDER BY var_x, var_y"""
+    })
+
+  /** Sliding-window exact distinct counting: distinct users per day
+    * and per trailing 7-day window — THE engagement metric (DAU/WAU),
+    * and deliberately NOT a sum of daily counts (a user active on 3
+    * days is one weekly user). The scalable composition: dedup to
+    * user-day pairs first (one keyed aggregate; the raw stream is
+    * touched once), then each user-day row is exploded into the ≤7
+    * window-ends it can influence — BOUNDED fanout, versus the
+    * day×window range self-join whose probe side grows with the
+    * window length — and a two-phase count-distinct per window end
+    * finishes it. Everything is integer epoch-day arithmetic
+    * (us DIV 86400000000, the house integer-DIV rule). The oracle
+    * takes the OTHER road on purpose — a day-range join over the same
+    * user-day pairs — so the bounded-explode rewrite is verified
+    * against the textbook spelling, not against itself. Trailing
+    * windows at the front of the series are partial by definition;
+    * window ends past the last active day are dropped by the join
+    * with observed days. */
+  val window_distinct_users = GQuery(
+    "window_distinct_users",
+    (s, d) => {
+      import s.implicits._
+      val ud = T.events(s, d)
+        .select($"user_id",
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000")
+            .as("day"))
+        .distinct()
+      val daily = ud.groupBy($"day")
+        .agg(count(lit(1)).as("n_users_day"))
+      val n7 = ud
+        .select($"user_id",
+          explode(sequence($"day", $"day" + 6L)).as("day"))
+        .groupBy($"day")
+        .agg(countDistinct($"user_id").as("n_users_7d"))
+      daily.join(n7, Seq("day"))
+        .select($"day", $"n_users_day", $"n_users_7d")
+        .orderBy($"day")
+    },
+    Some("""
+      WITH ud AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        FROM events),
+      days AS (SELECT DISTINCT day FROM ud),
+      win AS (
+        SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT)
+                 AS n_users_7d
+        FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+        GROUP BY d.day),
+      daily AS (
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS n_users_day
+        FROM ud GROUP BY day)
+      SELECT day, n_users_day, n_users_7d
+      FROM daily JOIN win USING (day) ORDER BY day"""))
+
+  /** 2-D Pareto frontier (skyline): the price/size efficient frontier
+    * of the part catalog — minimal retail price (integer cents, house
+    * tie rule) for maximal size, the classic "best tradeoff" screen.
+    * The scale shape exploits the low-cardinality dimension: ONE keyed
+    * aggregate collapses the table to per-size minimum price (≤50
+    * candidate points — bounded by the size domain, NOT by N), and
+    * only that provably tiny set sees the frontier window (running
+    * min of cents over strictly larger sizes); members are recovered
+    * by a broadcast join back. A global window never touches a
+    * full-size table. The gate carries its own certificate:
+    * `dominated_in_frontier` counts dominance pairs WITHIN the emitted
+    * frontier via the tiny self-join and must be 0 — and the oracle
+    * derives the frontier by the textbook quadratic NOT EXISTS over
+    * the candidate points, so the running-min rewrite is checked
+    * against the definition of dominance, not against itself. */
+  val pareto_frontier = GQuery(
+    "pareto_frontier",
+    (s, d) => {
+      import s.implicits._
+      val cand = T.part(s, d)
+        .select($"p_size".cast("long").as("size"),
+          expr("CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT)")
+            .as("cents"), $"p_partkey")
+      val points = cand.groupBy($"size")
+        .agg(min($"cents").as("cents"))
+      // ≤50 rows from here on: the global window is bounded by the
+      // size domain, never by N
+      val wDesc = Window.orderBy($"size".desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val frontier = points
+        .withColumn("best_larger", min($"cents").over(wDesc))
+        .filter($"best_larger".isNull || $"cents" < $"best_larger")
+        .select($"size", $"cents")
+      val members = cand
+        .join(broadcast(frontier), Seq("size", "cents"))
+        .groupBy($"size", $"cents")
+        .agg(count(lit(1)).as("n_parts"),
+          min($"p_partkey").as("min_partkey"))
+      val cert = frontier.as("a").join(frontier.as("b"),
+          ($"b.cents" <= $"a.cents" && $"b.size" >= $"a.size") &&
+          ($"b.cents" < $"a.cents" || $"b.size" > $"a.size"))
+        .agg(count(lit(1)).as("dominated_in_frontier"))
+      members.crossJoin(broadcast(cert))
+        .select($"size", $"cents", $"n_parts", $"min_partkey",
+          coalesce($"dominated_in_frontier", lit(0L))
+            .as("dominated_in_frontier"))
+        .orderBy($"size")
+    },
+    Some("""
+      WITH cand AS (
+        SELECT CAST(p_size AS BIGINT) AS size,
+               CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS cents,
+               p_partkey
+        FROM part),
+      points AS (
+        SELECT size, MIN(cents) AS cents FROM cand GROUP BY size),
+      fr AS (
+        SELECT size, cents FROM points a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM points b
+          WHERE (b.cents <= a.cents AND b.size >= a.size)
+            AND (b.cents < a.cents OR b.size > a.size))),
+      members AS (
+        SELECT c.size, c.cents, CAST(COUNT(*) AS BIGINT) AS n_parts,
+               MIN(c.p_partkey) AS min_partkey
+        FROM cand c JOIN fr ON c.size = fr.size AND c.cents = fr.cents
+        GROUP BY c.size, c.cents),
+      cert AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS dominated_in_frontier
+        FROM fr a JOIN fr b
+          ON (b.cents <= a.cents AND b.size >= a.size)
+         AND (b.cents < a.cents OR b.size > a.size))
+      SELECT m.size, m.cents, m.n_parts, m.min_partkey,
+             c.dominated_in_frontier
+      FROM members m, cert c ORDER BY m.size"""))
+
   val all: Seq[GQuery] = Seq(sample_weighted, ngram_topk,
-    vocab_coverage, label_gini, funnel_steps)
+    vocab_coverage, label_gini, funnel_steps, corr_matrix_exact,
+    window_distinct_users, pareto_frontier)
 }

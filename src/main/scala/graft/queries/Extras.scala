@@ -789,6 +789,45 @@ object Extras {
         ON p.user_id = c.user_id AND p.ts >= c.ts
       ORDER BY purchase_id"""))
 
+  /** Forward as-of join: each purchase matched to the user's NEXT
+    * click at-or-after it (post-purchase engagement — the other
+    * direction of pandas merge_asof, completing [[asof_attribution]]'s
+    * backward pin). Spark side is the mirrored union+window
+    * composition (AsOfJoin.asofForward: left-before-right at equal ts,
+    * first-ignoreNulls over the [current, ∞) frame — still ONE keyed
+    * shuffle, no range product); the oracle is DuckDB's native ASOF
+    * JOIN with the inequality flipped to `p.ts <= c.ts`, which its
+    * planner reads as "earliest c at-or-after p" — two entirely
+    * different implementations, same rows. Purchases with no later
+    * click drop (inner semantics), so the row count is a live part of
+    * the gate. */
+  val asof_forward = GQuery(
+    "asof_forward",
+    (s, d) => {
+      import s.implicits._
+      val e = T.events(s, d)
+      val clicks = e.filter($"event_type" === "click")
+        .groupBy($"user_id", $"ts")
+        .agg(max($"event_id").as("click_id"))
+      val purchases = e.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"event_id".as("purchase_id"), $"value")
+      graft.operators.AsOfJoin.asofForward(purchases, clicks,
+          Seq("user_id"), "ts", "ts", Seq("click_id"))
+        .select($"user_id", $"purchase_id", $"click_id", $"value")
+        .orderBy($"purchase_id")
+    },
+    Some("""
+      WITH clicks AS (
+        SELECT user_id, ts, MAX(event_id) AS click_id
+        FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+      p AS (
+        SELECT user_id, ts, event_id AS purchase_id, value
+        FROM events WHERE event_type = 'purchase')
+      SELECT p.user_id, p.purchase_id, c.click_id, p.value
+      FROM p ASOF JOIN clicks c
+        ON p.user_id = c.user_id AND p.ts <= c.ts
+      ORDER BY purchase_id"""))
+
   /** Range/interval join: error events within one hour after a signup
     * of the same user. Spark side runs the binned equi-join composition
     * (graft.operators.RangeJoin — no nested-loop cross product); the
@@ -1131,6 +1170,7 @@ object Extras {
     mm_audio_meta, mm_audio_downsample,
     agg_approx_distinct, ml_kmeans_profiles, ml_kmeans_contract,
     ml_quadfit_contract, set_ops, w2_rank_lag,
-    j6_outer_join, asof_attribution, range_join_window, pipeline_e2e,
+    j6_outer_join, asof_attribution, asof_forward, range_join_window,
+    pipeline_e2e,
     funnel, sql_shipping_priority, pivot_events)
 }

@@ -181,9 +181,18 @@ object Pipeline {
       FROM v ORDER BY doc_id"""
     })
 
-  /** n-gram Jaccard verification over MinHash-LSH candidates — the
-    * scale-correct composition: exact Jaccard only on bucket-collision
-    * pairs, never on N²/blocked pairs. */
+  /** n-gram Jaccard verification over MinHash-LSH candidates —
+    * exact Jaccard only on bucket-collision pairs, never on
+    * N²/blocked pairs. FENCED BASELINE: this is the shallow-banding
+    * (8 hashes, 4 bands × 2 rows) recall-leaning semantics pin —
+    * per-band collision probability s² admits ~31% of the s≈0.3
+    * moderate-similarity pair mass as candidates, which measured
+    * 28.8×/decade on the near-dup-saturated sf10 corpus. The shape
+    * to run at 100 TB is [[dedup_ngram_steep]] (4×4 banding, ~3%
+    * moderate-similarity capture, 6.2× at the same decade, ≥90%
+    * planted recall gated by dedup_ngram_steep_recall); this query
+    * stays registered as the recall-leaning oracle baseline that
+    * prices what steep banding saves. */
   val dedup_ngram_jaccard = GQuery(
     "dedup_ngram_jaccard",
     (s, d) => Dedup.verifiedNearDups(T.documents(s, d), "doc_id", "text",
@@ -614,6 +623,97 @@ object Pipeline {
              n_candidates, n_verified,
              n_candidates * 3 <= n_label_pairs AS pruning_ok
       FROM nv, lp, nc, verified"""))
+
+  /** Hard-negative mining for contrastive training: for each anchor
+    * vector, 2 negatives that are NEAR in embedding space (same
+    * sign-LSH bucket in one of 4 tables — the bit-exact
+    * [[graft.functions.RpBuckets]] geometry dedup_embedding_lsh
+    * gates) but carry a DIFFERENT label — the "close but wrong"
+    * examples that make contrastive losses learn; random negatives
+    * are trivially separable. Selection is engine-reproducible
+    * randomness, not a seed: salted md5 priority over the
+    * (anchor, candidate) pair with candidate-id tiebreak, the
+    * source_cap discipline. The pick runs through
+    * [[graft.operators.TopK.TopKAgg]] — O(2) state per anchor with
+    * map-side partials, never a per-anchor window sort — and the
+    * candidate join is bucket-keyed with occupancy bounded by
+    * autoBits (≈128/table at any SF), so pair work stays near-linear
+    * where a label-blocked all-pairs mine would be quadratic. The
+    * oracle re-derives buckets, priorities, and the top-2 from
+    * scratch in SQL (row_number spelling), so both the geometry and
+    * the bounded-state selection are hash-gated. */
+  val hard_negatives = GQuery(
+    "hard_negatives",
+    (s, d) => {
+      import graft.functions.VectorExprs.rpBuckets
+      import graft.operators.TopK
+      val keyed = T.embeddings(s, d).select(col("vec_id").as("id"),
+        col("embedding").as("v"), col("label"))
+      val bits = Similarity.autoBits(keyed.count())
+      val buckets = keyed
+        .select(col("id"), col("label"),
+          posexplode(rpBuckets(col("v"), 4, bits)).as(Seq("t", "bkt")))
+      val cand = buckets.as("a")
+        .join(buckets.as("b"),
+          col("a.t") === col("b.t") && col("a.bkt") === col("b.bkt") &&
+            col("a.label") =!= col("b.label") &&
+            col("a.id") =!= col("b.id"))
+        .select(col("a.id").as("anchor"), col("b.id").as("neg"))
+        .distinct()
+      cand
+        .withColumn("pri", md5(concat(lit("neg-salt:"),
+          col("anchor").cast("string"), lit(":"),
+          col("neg").cast("string"))))
+        .groupBy(col("anchor"))
+        .agg(TopK.topK(col("pri"), col("neg"), 2).as("top"))
+        .select(col("anchor"), posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("anchor"), (col("pos") + 1).cast("long").as("rk"),
+          col("e.id").as("neg"))
+        .orderBy(col("anchor"), col("rk"))
+    },
+    Some("""
+      WITH v AS (SELECT vec_id, label, embedding FROM embeddings),
+      comp AS (
+        SELECT vec_id, i.range AS i,
+               CAST(FLOOR(CAST(embedding[i.range + 1] AS DOUBLE) * 1000
+                          + 0.5) AS BIGINT) AS q
+        FROM v, range(64) i),
+      bb AS (
+        SELECT LEAST(GREATEST(6, LENGTH(BIN(
+                 CAST((COUNT(*) + 127) // 128 AS BIGINT) - 1))), 20)
+               AS bits
+        FROM v),
+      sdots AS (
+        SELECT c.vec_id, t.range AS t, j.range AS j,
+               SUM(c.q * ((7 * j.range + 13 * c.i + 29 * t.range) % 17
+                          - 8)) AS sdot
+        FROM comp c, range(4) t, range(20) j
+        WHERE j.range < (SELECT bits FROM bb)
+        GROUP BY c.vec_id, t.range, j.range),
+      buckets AS (
+        SELECT vec_id, t,
+               SUM(CASE WHEN sdot > 0
+                   THEN CAST(1 AS BIGINT) << CAST(j AS INTEGER)
+                   ELSE 0 END) AS bkt
+        FROM sdots GROUP BY vec_id, t),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS anchor, b.vec_id AS neg
+        FROM buckets a JOIN buckets b ON a.t = b.t AND a.bkt = b.bkt
+        JOIN v va ON va.vec_id = a.vec_id
+        JOIN v vb ON vb.vec_id = b.vec_id
+        WHERE a.vec_id <> b.vec_id AND va.label <> vb.label),
+      pri AS (
+        SELECT anchor, neg,
+               md5('neg-salt:' || CAST(anchor AS VARCHAR) || ':'
+                   || CAST(neg AS VARCHAR)) AS pri
+        FROM cand),
+      ranked AS (
+        SELECT anchor, neg,
+               ROW_NUMBER() OVER (PARTITION BY anchor
+                                  ORDER BY pri, neg) AS rk
+        FROM pri)
+      SELECT anchor, CAST(rk AS BIGINT) AS rk, neg
+      FROM ranked WHERE rk <= 2 ORDER BY anchor, rk"""))
 
   // -------------------------------------------------------- similarity
   /** Brute-force cosine top-5 for the first 10 query vectors. */
@@ -2093,7 +2193,7 @@ object Pipeline {
     dedup_minhash_lsh, dedup_simhash, dedup_ngram_jaccard,
     dedup_ngram_steep, dedup_ngram_steep_recall,
     dedup_clusters, dedup_embedding_cosine, dedup_semantic,
-    dedup_embedding_lsh, dedup_lsh_recall,
+    dedup_embedding_lsh, dedup_lsh_recall, hard_negatives,
     sim_topk_bruteforce,
     sim_lsh_bucketed, sim_ivf_topk, sim_ivf_fullprobe, sim_ivf_recall,
     sim_rplsh_recall, sim_pq_fullrerank, sim_pq_recall, sim_ivfpq_recall,

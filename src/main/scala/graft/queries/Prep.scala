@@ -654,8 +654,81 @@ object Prep {
              TRUE AS clip_lo_bounded, TRUE AS clip_hi_bounded
       FROM orders GROUP BY 1 ORDER BY grp"""))
 
+  /** Purged time-series split: K=5 contiguous time folds over the
+    * event stream with a 1-day embargo band at every interior fold
+    * boundary — the leakage-safe cross-validation layout for temporal
+    * data (a model tested on fold k must not train on rows whose
+    * features look across k's boundary; the embargo bands are what a
+    * purged-CV harness drops). All arithmetic is exact integers:
+    * epoch-µs longs, fold = (us − lo)·K DIV span, boundaries at
+    * lo + span·k DIV K, embargo membership by integer distance to the
+    * owning fold's edges — both engines share every DIV (house rule).
+    * Overflow bound: (us−lo)·K ≤ span·K ≈ 1.3·10¹³ ≪ 2⁶³ (and the
+    * span of any real dataset is < 10¹⁵ µs ≈ 30 years, so ·5 never
+    * overflows). Plan shape: one 1-row min/max aggregate broadcast
+    * back (the only global structure — the sample_weighted
+    * precedent), then a map-side fold/embargo classification and one
+    * keyed aggregate; scan-floor at any SF. head = too close to the
+    * fold's own start (would leak from the previous fold under
+    * purging), tail = too close to its end; terminal edges (start of
+    * fold 0, end of fold K−1) have no neighbor and are exempt. */
+  val split_time_embargo = GQuery(
+    "split_time_embargo",
+    (s, d) => {
+      import s.implicits._
+      val k = 5
+      val embargoUs = 86400000000L // 1 day
+      val ev = T.events(s, d)
+        .select(unix_micros($"ts".cast("timestamp")).as("us"))
+      val bounds = ev.agg(min($"us").as("lo"), max($"us").as("hi"))
+      ev.crossJoin(broadcast(bounds))
+        .withColumn("span", $"hi" - $"lo" + 1L)
+        .withColumn("fold",
+          expr(s"least((us - lo) * $k DIV span, ${k - 1})"))
+        .withColumn("fstart", expr(s"lo + span * fold DIV $k"))
+        .withColumn("fend", expr(s"lo + span * (fold + 1) DIV $k"))
+        .withColumn("emb_head",
+          ($"fold" > 0 && $"us" - $"fstart" < embargoUs)
+            .cast("long"))
+        .withColumn("emb_tail",
+          ($"fold" < k - 1 && $"fend" - $"us" <= embargoUs)
+            .cast("long"))
+        .groupBy($"fold")
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"emb_head").as("n_embargo_head"),
+          sum($"emb_tail").as("n_embargo_tail"),
+          min($"us").as("min_us"), max($"us").as("max_us"))
+        .orderBy($"fold")
+    },
+    Some("""
+      WITH e AS (SELECT epoch_us(ts) AS us FROM events),
+      b AS (SELECT MIN(us) AS lo, MAX(us) AS hi,
+                   MAX(us) - MIN(us) + 1 AS span FROM e),
+      f AS (
+        SELECT us,
+               LEAST((us - lo) * 5 // span, 4) AS fold,
+               lo, span
+        FROM e, b),
+      g AS (
+        SELECT us, fold,
+               lo + span * fold // 5 AS fstart,
+               lo + span * (fold + 1) // 5 AS fend
+        FROM f)
+      SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN fold > 0
+                            AND us - fstart < 86400000000
+                           THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_embargo_head,
+             CAST(SUM(CASE WHEN fold < 4
+                            AND fend - us <= 86400000000
+                           THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_embargo_tail,
+             MIN(us) AS min_us, MAX(us) AS max_us
+      FROM g GROUP BY fold ORDER BY fold"""))
+
   val all: Seq[GQuery] =
     Seq(chunk_windows, embed_quant_int8, anonymize_ids, kanon_suppress,
       drift_chi2, fk_violations, source_cap, source_cap_agg, chunk_dedup,
-      znorm_features, winsorize_clip, winsorize_approx)
+      znorm_features, winsorize_clip, winsorize_approx,
+      split_time_embargo)
 }

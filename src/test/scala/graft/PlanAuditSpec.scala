@@ -550,4 +550,49 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortAggregate"), p)
     assert(p.split("HashAggregate").length - 1 >= 2, p)
   }
+
+  test("r8b: corr_matrix computes all 15 moments in ONE aggregate — " +
+      "no Expand, no per-pair passes") {
+    val p = plan("corr_matrix_exact", "simple")
+    assert(!p.contains("Expand"), p)
+    assert(p.contains("partial_sum"), "map-side moment partials lost:\n" + p)
+    // one scan feeds the whole matrix: a second lineitem read would
+    // mean per-pair re-aggregation
+    assert(p.split("Scan parquet").length - 1 == 1, p)
+  }
+
+  test("r8b: window_distinct_users is a bounded explode + two-phase " +
+      "distinct, never a range self-join") {
+    val p = plan("window_distinct_users", "simple")
+    assert(p.contains("Generate"), "bounded window explode lost:\n" + p)
+    // the distinct runs as partial/merge aggregate phases; the only
+    // join is the ≤#days daily⋈window assembly — no non-equi range
+    // join over user-day pairs anywhere
+    assert(!p.contains("NestedLoop"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("r8b: hard_negatives selects through the bounded-state TopKAgg, " +
+      "not a per-anchor window sort") {
+    val p = plan("hard_negatives", "simple")
+    assert(p.contains("ObjectHashAggregate"), "TopKAgg lost:\n" + p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("r8b: split_time_embargo's only global structure is the 1-row " +
+      "bounds broadcast") {
+    val p = plan("split_time_embargo", "simple")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("r8b: asof_forward shuffles once on the key — no range product") {
+    val p = plan("asof_forward", "simple")
+    assert(p.contains("Window"), p) // the union+window carry
+    assert(!p.contains("NestedLoop"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -24,6 +24,28 @@ class AsOfJoinSpec extends SparkSpec {
     assert(!out.contains("t4")) // key 3 has no quotes at all
   }
 
+  test("forward as-of: earliest right row with ts ≥ left ts, per key") {
+    val out = AsOfJoin.asofForward(trades, quotes, Seq("k"),
+        "ts", "qts", Seq("price"))
+      .collect().map(r => r.getAs[String]("trade") ->
+        r.getAs[Double]("price")).toMap
+    assert(out("t1") == 101.0) // equal ts counts (≥ semantics, inclusive)
+    assert(!out.contains("t2")) // no quote at-or-after ts=25 → dropped
+    assert(out("t3") == 200.0)  // quote at 9 is the next after trade at 5
+    assert(!out.contains("t4")) // key 3 has no quotes at all
+  }
+
+  test("forward/backward agree on exact-ts hits and partition the rest") {
+    // at an exact timestamp match both directions return that same row
+    val fw = AsOfJoin.asofForward(trades, quotes, Seq("k"),
+      "ts", "qts", Seq("price")).collect()
+      .map(r => r.getAs[String]("trade") -> r.getAs[Double]("price")).toMap
+    val bw = AsOfJoin.asofBackward(trades, quotes, Seq("k"),
+      "ts", "qts", Seq("price")).collect()
+      .map(r => r.getAs[String]("trade") -> r.getAs[Double]("price")).toMap
+    assert(fw("t1") == bw("t1")) // ts=10 exists on both sides
+  }
+
   test("as-of output carries all left columns and renames nothing else") {
     val out = AsOfJoin.asofBackward(trades, quotes, Seq("k"),
       "ts", "qts", Seq("price"))
