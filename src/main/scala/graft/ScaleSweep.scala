@@ -63,7 +63,10 @@ object ScaleSweep {
     // round-8 second wave: temporal (events), exact stats (lineitem),
     // mining (embeddings)
     "asof_forward", "window_distinct_users", "split_time_embargo",
-    "corr_matrix_exact", "hard_negatives")
+    "corr_matrix_exact", "hard_negatives",
+    // round-8 third wave: join-view IVM (lineitem+orders), neighbor
+    // similarity over the lifecycle edge table (lineitem)
+    "ivm_join_refresh", "graph_jaccard")
   // fk_violations is EXCLUDED: it joins customer/part, which MkScale
   // does not scale - a sweep would measure a mixed-scale plan.
   // pareto_frontier is excluded for the same reason (part-backed);

@@ -1097,6 +1097,83 @@ object Extras {
       FROM signed GROUP BY 1, 2 HAVING SUM(op) > 0
       ORDER BY user_id, event_type"""))
 
+  /** Incremental maintenance of a JOIN view — the delta-join algebra
+    * that [[ivm_agg_refresh]]'s single-table form doesn't cover: the
+    * view is γ_custkey(lineitem ⋈ orders) (per-customer revenue), and
+    * each refresh applies a SIGNED lineitem delta by computing
+    * ΔV = γ(ΔL ⋈ O) and merging it with the same co-keyed full-outer
+    * merge ([[graft.operators.IVM.refresh]] after the enrichment
+    * join). One-sided deltas are the production fact-table shape
+    * (facts append and correct; the dimension is stable): base
+    * lineitem is NEVER rescanned after init — refresh touches the
+    * delta, the dimension rows the delta's keys probe (a keyed
+    * equi-join; with a day's delta against a year's facts that is the
+    * entire point), and the group-cardinality view. Retract+insert
+    * pairs model corrections, exactly as in ivm_agg_refresh; revenue
+    * rides DECIMAL(38,12) so the two-refresh chain is BIT-equal to
+    * the from-scratch recompute over the signed multiset — which is
+    * the oracle: one SQL query over the same slice definitions
+    * (row id = l_orderkey·8 + l_linenumber, both engines integral).
+    * A group whose signed count reaches 0 leaves the view. */
+  val ivm_join_refresh = GQuery(
+    "ivm_join_refresh",
+    (s, d) => graft.GQuery.withTempTable(s, "graft-ivm-join") { dir =>
+      import graft.operators.IVM
+      import s.implicits._
+      val o = T.orders(s, d).select($"o_orderkey", $"o_custkey")
+      val li = T.lineitem(s, d)
+        .withColumn("rid", $"l_orderkey" * 8L + $"l_linenumber")
+        .withColumn("rev", $"l_extendedprice" * (lit(1.0) - $"l_discount"))
+        .select($"rid", $"l_orderkey", $"rev")
+      def enrich(df: org.apache.spark.sql.DataFrame) =
+        df.join(o, df("l_orderkey") === o("o_orderkey"))
+      val base = li.filter($"rid" % 5 =!= 4L)
+      val d1 = li.filter($"rid" % 5 === 4L && $"rid" % 2 === 0L)
+          .withColumn("op", lit(1))
+        .unionByName(base.filter($"rid" % 7 === 3L)
+          .withColumn("op", lit(-1)))
+      val d2 = li.filter($"rid" % 5 === 4L && $"rid" % 2 === 1L)
+          .withColumn("op", lit(1))
+        .unionByName(base.filter($"rid" % 7 === 5L)
+          .withColumn("op", lit(-1)))
+      IVM.init(enrich(base), Seq("o_custkey"), "rev")
+        .write.parquet(s"$dir/v0")
+      IVM.refresh(s.read.parquet(s"$dir/v0"),
+        enrich(d1).select($"o_custkey", $"op", $"rev"),
+        Seq("o_custkey"), "rev").write.parquet(s"$dir/v1")
+      IVM.refresh(s.read.parquet(s"$dir/v1"),
+        enrich(d2).select($"o_custkey", $"op", $"rev"),
+        Seq("o_custkey"), "rev")
+        .select($"o_custkey", $"n",
+          round($"val_dec".cast("double"), 6).as("rev_sum"))
+        .orderBy($"o_custkey")
+    },
+    Some("""
+      WITH li AS (
+        SELECT l_orderkey, l_orderkey * 8 + l_linenumber AS rid,
+               l_extendedprice * (1 - l_discount) AS rev
+        FROM lineitem),
+      signed AS (
+        SELECT l_orderkey, 1 AS op, rev FROM li WHERE rid % 5 <> 4
+        UNION ALL
+        SELECT l_orderkey, 1, rev FROM li
+        WHERE rid % 5 = 4 AND rid % 2 = 0
+        UNION ALL
+        SELECT l_orderkey, -1, rev FROM li
+        WHERE rid % 5 <> 4 AND rid % 7 = 3
+        UNION ALL
+        SELECT l_orderkey, 1, rev FROM li
+        WHERE rid % 5 = 4 AND rid % 2 = 1
+        UNION ALL
+        SELECT l_orderkey, -1, rev FROM li
+        WHERE rid % 5 <> 4 AND rid % 7 = 5)
+      SELECT o_custkey, CAST(SUM(op) AS BIGINT) AS n,
+             ROUND(CAST(SUM(CAST(rev * op AS DECIMAL(38,12)))
+               AS DOUBLE), 6) AS rev_sum
+      FROM signed JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1 HAVING SUM(op) > 0
+      ORDER BY o_custkey"""))
+
   /** [[ivm_agg_refresh]] maintained by REAL streaming execution: the
     * two signed delta batches arrive as a file-source stream
     * (maxFilesPerTrigger=1 → one micro-batch per delta) and
@@ -1164,6 +1241,7 @@ object Extras {
 
   val all: Seq[GQuery] = Seq(sessionize, scd2_islands, schema_evolution,
     table_diff, json_corrupt_routing, resample_ffill, ivm_agg_refresh,
+    ivm_join_refresh,
     stream_ivm_refresh, agg_cube,
     mm_binary_meta,
     mm_feature_extract, mm_frame_sample, mm_resize,

@@ -633,15 +633,28 @@ object Pipeline {
     * are trivially separable. Selection is engine-reproducible
     * randomness, not a seed: salted md5 priority over the
     * (anchor, candidate) pair with candidate-id tiebreak, the
-    * source_cap discipline. The pick runs through
-    * [[graft.operators.TopK.TopKAgg]] — O(2) state per anchor with
-    * map-side partials, never a per-anchor window sort — and the
-    * candidate join is bucket-keyed with occupancy bounded by
-    * autoBits (≈128/table at any SF), so pair work stays near-linear
-    * where a label-blocked all-pairs mine would be quadratic. The
-    * oracle re-derives buckets, priorities, and the top-2 from
-    * scratch in SQL (row_number spelling), so both the geometry and
-    * the bounded-state selection are hash-gated. */
+    * source_cap discipline. Selection is TWO-LEVEL bounded-state
+    * TopK, and the structure is the scale story: different-label
+    * bucket pairs are the COMPLEMENT of the dedup candidate set —
+    * with L labels, ~(1−1/L) of all bucket collisions survive the
+    * label filter where dedup keeps ~1/L — so materializing the pair
+    * set for a global distinct+select (the naive form) shuffles
+    * billions of rows on a replica-saturated corpus (it did not
+    * finish a timed sf10 round in >16 min before being rewritten).
+    * Instead: (1) per (anchor, table), a [[graft.operators.TopK
+    * .TopKAgg]] consumes the bucket join's pair stream directly —
+    * each (anchor, neg) pair occurs at most ONCE per table (one
+    * bucket per vector per table), so no within-table dedup is
+    * needed, and the map-side partials reduce the stream to O(2)
+    * state BEFORE any exchange; (2) the ≤ 4·2 survivors per anchor
+    * are deduped across tables (same pair ⇒ same salted priority)
+    * and a second TopKAgg takes the global top-2. The union of
+    * per-table top-2 provably contains the global top-2 (a pair in
+    * the global top-2 ranks ≤ 2 in any table that holds it), so the
+    * rewrite is EXACT — and the oracle re-derives buckets,
+    * priorities, and the top-2 from scratch in SQL (row_number over
+    * the full distinct pair set), gating precisely that equivalence
+    * along with the geometry. */
   val hard_negatives = GQuery(
     "hard_negatives",
     (s, d) => {
@@ -653,17 +666,27 @@ object Pipeline {
       val buckets = keyed
         .select(col("id"), col("label"),
           posexplode(rpBuckets(col("v"), 4, bits)).as(Seq("t", "bkt")))
-      val cand = buckets.as("a")
+      val pairs = buckets.as("a")
         .join(buckets.as("b"),
           col("a.t") === col("b.t") && col("a.bkt") === col("b.bkt") &&
             col("a.label") =!= col("b.label") &&
             col("a.id") =!= col("b.id"))
-        .select(col("a.id").as("anchor"), col("b.id").as("neg"))
-        .distinct()
-      cand
+        .select(col("a.t").as("t"), col("a.id").as("anchor"),
+          col("b.id").as("neg"))
         .withColumn("pri", md5(concat(lit("neg-salt:"),
           col("anchor").cast("string"), lit(":"),
           col("neg").cast("string"))))
+      // level 1: per-(anchor, table) top-2, map-side partials absorb
+      // the pair stream before any shuffle; no within-table dup exists
+      val perTable = pairs
+        .groupBy(col("anchor"), col("t"))
+        .agg(TopK.topK(col("pri"), col("neg"), 2).as("top"))
+        .select(col("anchor"), explode(col("top")).as("e"))
+        .select(col("anchor"), col("e.pri").as("pri"),
+          col("e.id").as("neg"))
+        .distinct() // ≤ 8 rows per anchor; cross-table duplicates only
+      // level 2: global top-2 over the tiny survivor set
+      perTable
         .groupBy(col("anchor"))
         .agg(TopK.topK(col("pri"), col("neg"), 2).as("top"))
         .select(col("anchor"), posexplode(col("top")).as(Seq("pos", "e")))

@@ -111,6 +111,39 @@ class Wave8Spec extends SparkSpec {
     assert(out.filter($"rk" < 1 || $"rk" > 2).count() == 0)
   }
 
+  test("ivm_join_refresh: the maintained join view is a positive-count " +
+      "partition of the signed multiset") {
+    val rows = q("ivm_join_refresh").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") > 0L, "zero-count group left the view")
+    }
+    // net count must equal the signed multiset evaluated directly
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .withColumn("rid", $"l_orderkey" * 8L + $"l_linenumber")
+    val base = li.filter($"rid" % 5 =!= 4L).count()
+    val ins = li.filter($"rid" % 5 === 4L).count()
+    val ret = li.filter($"rid" % 5 =!= 4L &&
+      ($"rid" % 7 === 3L || $"rid" % 7 === 5L)).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == base + ins - ret)
+  }
+
+  test("graph_jaccard: similarity is bounded and consistent with " +
+      "degrees") {
+    val rows = q("graph_jaccard").collect()
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("a"), r.getAs[Long]("b"))
+      val (sh, da, db) = (r.getAs[Long]("shared"),
+        r.getAs[Long]("deg_a"), r.getAs[Long]("deg_b"))
+      val j = r.getAs[Double]("jac")
+      assert(a < b)
+      assert(sh <= math.min(da, db), s"shared $sh > min degree")
+      assert(j >= 0.5 && j <= 1.0)
+      assert(approx(j, math.round(sh.toDouble / (da + db - sh) * 1e6)
+        / 1e6, 1e-12))
+    }
+  }
+
   test("asof_forward and asof_attribution cover disjoint regimes of " +
       "the same purchases") {
     // backward drops purchases before the first click; forward drops
