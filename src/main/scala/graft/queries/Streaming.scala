@@ -373,7 +373,57 @@ object Streaming {
              TRUE AS state_evicted, TRUE AS state_bounded
       FROM k GROUP BY user_id ORDER BY user_id"""))
 
+  /** Stream-static enrichment join under real streaming execution —
+    * the MOST common production streaming topology (a fact stream
+    * enriched against a broadcast dimension, then a watermarked
+    * window aggregate), and the one §2.7 shape the other five gates
+    * don't cover. The static side (customer segments) is a plain
+    * batch DataFrame joined into the stream per micro-batch — the
+    * join itself is STATELESS (only the downstream window aggregate
+    * keeps state), which is exactly why this topology scales: dim
+    * updates aside, a 100 TB stream pays per-batch broadcast probe
+    * cost, never join state. Ordering subtlety the gate encodes: the
+    * watermark MUST be applied on the stream BEFORE the inner join —
+    * the flush sentinel rides user_id = −1, matches no dimension row,
+    * and is dropped by the join; applied after, the sentinel would
+    * never reach the EventTimeWatermark node and the final windows
+    * would never finalize in append mode (StreamGateSpec pins this
+    * with a no-flush construction). The oracle rebuilds the
+    * join+window aggregate in SQL with integer-µs buckets. */
+  val stream_static_join = GQuery(
+    "stream_static_join",
+    (s, d) => graft.GQuery.withTempTable(s, "graft-stream-ssj") { t =>
+      import s.implicits._
+      val data = withEts(s, d).select($"ets", $"user_id", $"value")
+      val dim = T.customer(s, d)
+        .select($"c_custkey", $"c_mktsegment".as("segment"))
+      val inDir = s"$t/in"
+      writeTimeSliced(data, "ets", inDir, sliceCount(data.count()))
+      s.range(1).select(flushTs(data, "ets").as("ets"),
+          lit(-1L).as("user_id"), lit(0.0).as("value"))
+        .coalesce(1).write.mode("append").parquet(inDir)
+      replay(s, t, inDir) { in =>
+        in.withWatermark("ets", "10 minutes")
+          .join(broadcast(dim), $"user_id" === $"c_custkey")
+          .groupBy(window($"ets", "1 hour"), $"segment")
+          .agg(count(lit(1)).as("n"), decSum($"value").as("total"))
+      }
+        .select(
+          unix_micros($"window.start").as("w_start_us"),
+          unix_micros($"window.end").as("w_end_us"),
+          $"segment", $"n", $"total")
+        .orderBy($"w_start_us", $"segment")
+    },
+    Some("""
+      SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS w_start_us,
+             epoch_us(ts) - epoch_us(ts) % 3600000000 + 3600000000
+               AS w_end_us,
+             c_mktsegment AS segment, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS total
+      FROM events JOIN customer ON user_id = c_custkey
+      GROUP BY 1, 2, 3 ORDER BY w_start_us, segment"""))
+
   val all: Seq[GQuery] = Seq(
     stream_window_agg, stream_sessions, stream_interval_join,
-    stream_dedup)
+    stream_dedup, stream_static_join)
 }

@@ -93,4 +93,51 @@ class StreamGateSpec extends SparkSpec {
         r.getLong(3))).toSet
     assert(gotSet == exp)
   }
+
+  test("stream_static_join: watermark must be applied BEFORE the " +
+      "inner join, or the sentinel cannot finalize append windows") {
+    // Two-batch replay: batch 1 = one real row in window [0, 1h);
+    // batch 2 = the flush sentinel on a key the dimension does NOT
+    // hold. With the watermark on the stream side the sentinel
+    // advances it through the EventTimeWatermark node even though the
+    // join then drops the row; with the watermark applied AFTER the
+    // join the sentinel never reaches the node and the window is
+    // never finalized in append mode.
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.DataFrame
+    val dim = Seq((1L, "A")).toDF("k", "seg")
+    def run(wmFirst: Boolean): Long = {
+      val t = java.nio.file.Files
+        .createTempDirectory("graft-ssj-pin").toString
+      frame(1000L).coalesce(1).write.mode("append").parquet(s"$t/in")
+      frame(400L * 86400 * 1000000).select(
+          lit(-1L).as("user_id"), $"ets", $"value")
+        .coalesce(1).write.mode("append").parquet(s"$t/in")
+      val src = spark.readStream
+        .schema(spark.read.parquet(s"$t/in").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$t/in")
+      val joined: DataFrame =
+        if (wmFirst)
+          src.withWatermark("ets", "1 minute")
+            .join(dim, $"user_id" === $"k")
+        else
+          src.join(dim, $"user_id" === $"k")
+            .withWatermark("ets", "1 minute")
+      val q = joined.groupBy(window($"ets", "1 hour"), $"seg")
+        .agg(count(lit(1)).as("n"))
+        .writeStream.format("parquet")
+        .option("path", s"$t/out")
+        .option("checkpointLocation", s"$t/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(s"$t/out").count()
+    }
+    assert(run(wmFirst = true) == 1L,
+      "watermark-before-join must emit the finalized window")
+    assert(run(wmFirst = false) == 0L,
+      "watermark-after-join silently never finalizes — the ordering " +
+        "the gate encodes is load-bearing")
+  }
 }
