@@ -66,7 +66,13 @@ object ScaleSweep {
     "corr_matrix_exact", "hard_negatives",
     // round-8 third wave: join-view IVM (lineitem+orders), neighbor
     // similarity over the lifecycle edge table (lineitem)
-    "ivm_join_refresh", "graph_jaccard")
+    "ivm_join_refresh", "graph_jaccard",
+    // round-8 fourth wave: product analytics (events) + the
+    // stream-static gate. stream_static_join DOES touch the unscaled
+    // customer table, but as the broadcast dimension of a growing
+    // stream — dim-fixed/stream-growing IS the production shape this
+    // topology models, so the mixed-scale rule doesn't disqualify it.
+    "retention_cohorts", "event_transitions", "stream_static_join")
   // fk_violations is EXCLUDED: it joins customer/part, which MkScale
   // does not scale - a sweep would measure a mixed-scale plan.
   // pareto_frontier is excluded for the same reason (part-backed);

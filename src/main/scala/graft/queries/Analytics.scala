@@ -490,7 +490,124 @@ object Analytics {
              c.dominated_in_frontier
       FROM members m, cert c ORDER BY m.size"""))
 
+  /** Cohort retention — THE product-analytics table: users grouped by
+    * first-activity week (their cohort), and for each cohort the
+    * distinct users still active k weeks later, with the retention
+    * rate against the cohort size. Everything is integer epoch-week
+    * arithmetic (us DIV 604800000000 — the house integer-DIV rule; the
+    * epoch-week origin is the same constant on both engines, so
+    * alignment cannot wobble). Plan shape: ONE pass dedups the stream
+    * to user-week pairs, a keyed min per user yields the cohort, and
+    * the (cohort, k) rollup is a keyed aggregate over the joined
+    * pairs — every stage map-side-combinable, the user-keyed join is
+    * the only shuffle beyond the aggregates; at 100 TB the user-week
+    * table is the small derivative of the stream (bounded by
+    * users × weeks), which is the entire point of deduping FIRST.
+    * k = 0 rows double as the cohort sizes (retention 1.0 by
+    * definition — pinned in spec); the rate is one correctly-rounded
+    * division over exact integers. */
+  val retention_cohorts = GQuery(
+    "retention_cohorts",
+    (s, d) => {
+      import s.implicits._
+      val weekUs = 604800000000L
+      val uw = T.events(s, d)
+        .select($"user_id",
+          expr(s"unix_micros(CAST(ts AS TIMESTAMP)) DIV $weekUs")
+            .as("week"))
+        .distinct()
+      val cohort = uw.groupBy($"user_id")
+        .agg(min($"week").as("cohort_week"))
+      val sizes = cohort.groupBy($"cohort_week")
+        .agg(count(lit(1)).as("cohort_size"))
+      uw.join(cohort, "user_id")
+        .groupBy($"cohort_week", ($"week" - $"cohort_week").as("k"))
+        .agg(count(lit(1)).as("n_active"))
+        .join(sizes, "cohort_week")
+        .select($"cohort_week", $"k", $"n_active", $"cohort_size",
+          round($"n_active".cast("double") /
+            $"cohort_size".cast("double"), 6).as("retention"))
+        .orderBy($"cohort_week", $"k")
+    },
+    Some("""
+      WITH uw AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week
+        FROM events),
+      cohort AS (
+        SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY 1),
+      sizes AS (
+        SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+        FROM cohort GROUP BY 1),
+      act AS (
+        SELECT c.cohort_week, uw.week - c.cohort_week AS k,
+               CAST(COUNT(*) AS BIGINT) AS n_active
+        FROM uw JOIN cohort c ON uw.user_id = c.user_id
+        GROUP BY 1, 2)
+      SELECT a.cohort_week, a.k, a.n_active, s.cohort_size,
+             ROUND(CAST(a.n_active AS DOUBLE) /
+                   CAST(s.cohort_size AS DOUBLE), 6) AS retention
+      FROM act a JOIN sizes s ON a.cohort_week = s.cohort_week
+      ORDER BY a.cohort_week, a.k"""))
+
+  /** First-order event-transition matrix (behavioral Markov model):
+    * for each consecutive (event → next event) pair within a user's
+    * stream, the transition count and probability — the "what do
+    * users do after X" table that powers next-action prediction and
+    * anomaly detection. Consecutive means adjacent under the repo's
+    * total event order (us, event_id), spelled identically in both
+    * engines' LEAD/window clauses — a raw-timestamp order could
+    * disagree on µs ties and swap a transition. One keyed sort window
+    * per user (partition-parallel, per-key cost ∝ that user's
+    * history — the sessionize shape), then a tiny (from, to) keyed
+    * count; probabilities are rational over exact integers, one
+    * correctly-rounded division each, with the out-degree total
+    * carried in the row so the gate pins numerator AND denominator. */
+  val event_transitions = GQuery(
+    "event_transitions",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"us", $"event_id")
+      val pairs = T.events(s, d)
+        .select($"user_id", $"event_type",
+          unix_micros($"ts".cast("timestamp")).as("us"), $"event_id")
+        .withColumn("next_type", lead($"event_type", 1).over(w))
+        .filter($"next_type".isNotNull)
+        .groupBy($"event_type".as("from_type"),
+          $"next_type".as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val outTotals = pairs.groupBy($"from_type")
+        .agg(sum($"n").as("n_from"))
+      pairs.join(outTotals, "from_type")
+        .select($"from_type", $"to_type", $"n", $"n_from",
+          round($"n".cast("double") / $"n_from".cast("double"), 6)
+            .as("p"))
+        .orderBy($"from_type", $"to_type")
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+        FROM events),
+      nx AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY us, event_id) AS next_type
+        FROM e),
+      pairs AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM nx WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      tot AS (
+        SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+        FROM pairs GROUP BY 1)
+      SELECT p.from_type, p.to_type, p.n, t.n_from,
+             ROUND(CAST(p.n AS DOUBLE) / CAST(t.n_from AS DOUBLE), 6)
+               AS p
+      FROM pairs p JOIN tot t ON p.from_type = t.from_type
+      ORDER BY p.from_type, p.to_type"""))
+
   val all: Seq[GQuery] = Seq(sample_weighted, ngram_topk,
     vocab_coverage, label_gini, funnel_steps, corr_matrix_exact,
-    window_distinct_users, pareto_frontier)
+    window_distinct_users, pareto_frontier, retention_cohorts,
+    event_transitions)
 }

@@ -144,6 +144,37 @@ class Wave8Spec extends SparkSpec {
     }
   }
 
+  test("retention_cohorts: k = 0 is the cohort itself (retention 1.0)") {
+    val rows = q("retention_cohorts").collect()
+    assert(rows.nonEmpty)
+    val k0 = rows.filter(_.getAs[Long]("k") == 0L)
+    assert(k0.nonEmpty, "every cohort must have its own k=0 row")
+    k0.foreach { r =>
+      assert(r.getAs[Long]("n_active") == r.getAs[Long]("cohort_size"),
+        "k=0 active set must equal the cohort")
+      assert(r.getAs[Double]("retention") == 1.0)
+    }
+    // retention can never exceed 1 and actives never exceed the cohort
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_active") <= r.getAs[Long]("cohort_size"))
+    }
+  }
+
+  test("event_transitions: each row's probability is n/n_from and " +
+      "out-probabilities sum to 1 per source type") {
+    val rows = q("event_transitions").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("from_type")).foreach {
+      case (_, rs) =>
+        val nFrom = rs.head.getAs[Long]("n_from")
+        assert(rs.forall(_.getAs[Long]("n_from") == nFrom))
+        assert(rs.map(_.getAs[Long]("n")).sum == nFrom,
+          "pair counts must partition the out-degree total")
+        val pSum = rs.map(_.getAs[Double]("p")).sum
+        assert(approx(pSum, 1.0, 1e-4), s"p-sum $pSum")
+    }
+  }
+
   test("asof_forward and asof_attribution cover disjoint regimes of " +
       "the same purchases") {
     // backward drops purchases before the first click; forward drops
