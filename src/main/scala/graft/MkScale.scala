@@ -31,10 +31,14 @@ import org.apache.spark.sql.functions._
   *    per-priority distribution frames — 5 fat partitions, the known
   *    window-skew shape) see 10× per-partition state.
   *
-  *  Only these four tables are written: a sweep over /tmp/sf1 must
-  *  restrict itself to queries that read ONLY scaled tables (the
-  *  pipeline tail + the window/fold family), or mixed-scale joins
-  *  would measure nothing meaningful.
+  *  These five tables are SCALED; the dimension tables (customer,
+  *  part, supplier, nation, region) are copied through unscaled —
+  *  present so dim-probing queries run at the tier, but a sweep must
+  *  still restrict itself to queries whose GROWTH depends only on
+  *  scaled tables (the pipeline tail + the window/fold family), or
+  *  mixed-scale joins would measure nothing meaningful. The one
+  *  deliberate exception is stream_static_join, which models the
+  *  dim-fixed/stream-growing production shape.
   *
   * Usage: sbt "runMain graft.MkScale /root/testdata/sf0.1 /tmp/sf1 10" */
 object MkScale {
@@ -167,10 +171,23 @@ object MkScale {
       .repartition(8)
       .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
 
+    // Dimension tables ride along UNSCALED (dim-fixed/stream-growing
+    // is the production shape stream_static_join's sweep row models;
+    // customer was first copied by hand in r8 when the gate hit a
+    // missing-table AnalysisException at /tmp/sf1). They are copies,
+    // not scaled data — the sweep's scaled-tables-only rule still
+    // excludes queries whose GROWTH depends on them.
+    for (dim <- Seq("customer", "part", "supplier", "nation", "region")) {
+      val p = s"$src/$dim.parquet"
+      if (new java.io.File(p).exists())
+        spark.read.parquet(p).coalesce(1)
+          .write.mode("overwrite").parquet(s"$dst/$dim.parquet")
+    }
+
     println(s"wrote $dst: documents=${nDocs * factor} " +
       s"lineitem=${nLines * factor} " +
       s"embeddings=${nVecs * factor} events=${nEvents * factor} " +
-      s"orders=${nOrders * factor}")
+      s"orders=${nOrders * factor} (+ unscaled dims)")
     spark.stop()
   }
 }
