@@ -72,7 +72,10 @@ object ScaleSweep {
     // customer table, but as the broadcast dimension of a growing
     // stream — dim-fixed/stream-growing IS the production shape this
     // topology models, so the mixed-scale rule doesn't disqualify it.
-    "retention_cohorts", "event_transitions", "stream_static_join")
+    "retention_cohorts", "event_transitions", "stream_static_join",
+    // interpolation twin of resample_ffill (events); exact mode
+    // (lineitem)
+    "resample_interp", "agg_mode")
   // fk_violations is EXCLUDED: it joins customer/part, which MkScale
   // does not scale - a sweep would measure a mixed-scale plan.
   // pareto_frontier is excluded for the same reason (part-backed);

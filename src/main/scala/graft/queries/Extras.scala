@@ -335,6 +335,152 @@ object Extras {
         ON g.user_id = o.user_id AND g.h = o.h
       ORDER BY g.user_id, g.h"""))
 
+  /** Linear-interpolation resampling — the other half of
+    * [[resample_ffill]]'s densification pair (LOCF holds the last
+    * value; interpolation draws the line between bracketing
+    * observations — the time-series-features default). Same hourly
+    * grid per user over [first, last] observed hour (both endpoints
+    * observed by construction, so every grid point has a bracket).
+    * Plan: one keyed aggregate collapses each (user, hour) to its
+    * last observation, the grid LEFT-joins the observations, and two
+    * RUNNING keyed windows carry (h, v) of the previous and next
+    * observation. The "next" carry is deliberately spelled as a
+    * REVERSED-order running frame (ORDER BY h DESC, [unbounded
+    * preceding, current]) and NOT as [current, unbounded following]:
+    * Spark's UnboundedFollowingWindowFunctionFrame re-aggregates the
+    * entire remaining frame for EVERY row — O(n²) per key — and the
+    * first spelling of this query sat single-threaded for 20+ minutes
+    * at sf0.1 inside that frame (jstack: AggregateProcessor.update
+    * under UnboundedFollowingWindowFunctionFrame.write) where the
+    * running form is the same one-pass incremental carry the LOCF
+    * window gets. Interpolation then needs no self-join and no second
+    * pass; output-bound like ffill (user-hours).
+    * Determinism: the fraction (h−hp)/(hn−hp) is an exact-integer
+    * difference cast to double, and v = vp + (vn−vp)·frac is ONE
+    * identical IEEE tree on both engines (division and each op
+    * correctly rounded) — observed rows short-circuit through the
+    * hp = hn guard to the exact stored value, so no float wobble
+    * exists anywhere for the hash gate to see. */
+  val resample_interp = GQuery(
+    "resample_interp",
+    (s, d) => {
+      import s.implicits._
+      val hourUs = 3600L * 1000 * 1000
+      val ev = T.events(s, d)
+        .withColumn("us", unix_micros($"ts".cast("timestamp")))
+        .withColumn("h", expr(s"us DIV $hourUs"))
+      val obs = ev.groupBy($"user_id", $"h")
+        .agg(max_by($"value", struct($"us", $"event_id")).as("obs_v"))
+        .select($"user_id", $"h".as("oh"), $"obs_v")
+      val grid = ev.groupBy($"user_id")
+        .agg(min($"h").as("hmin"), max($"h").as("hmax"))
+        .select($"user_id", explode(sequence($"hmin", $"hmax")).as("h"))
+      val wp = Window.partitionBy($"user_id").orderBy($"h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // running frame over DESCENDING h == "first following" without
+      // the quadratic UnboundedFollowing frame (scaladoc)
+      val wn = Window.partitionBy($"user_id").orderBy($"h".desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(obs, grid("user_id") === obs("user_id") &&
+          grid("h") === obs("oh"), "left")
+        .select(grid("user_id"), grid("h"), $"obs_v")
+        .withColumn("hp", last(when($"obs_v".isNotNull, $"h"),
+          ignoreNulls = true).over(wp))
+        .withColumn("vp", last($"obs_v", ignoreNulls = true).over(wp))
+        .withColumn("hn", last(when($"obs_v".isNotNull, $"h"),
+          ignoreNulls = true).over(wn))
+        .withColumn("vn", last($"obs_v", ignoreNulls = true).over(wn))
+        .withColumn("v",
+          when($"hn".isNull, $"vp")
+            .when($"hp".isNull, $"vn")
+            .when($"hn" === $"hp", $"vp")
+            .otherwise($"vp" + ($"vn" - $"vp") *
+              (($"h" - $"hp").cast("double") /
+               ($"hn" - $"hp").cast("double"))))
+        .select($"user_id", $"h", $"v", $"obs_v".isNotNull.as("is_observed"))
+        .orderBy($"user_id", $"h")
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, value, epoch_us(ts) AS us,
+               epoch_us(ts) // 3600000000 AS h
+        FROM events),
+      b AS (SELECT user_id, MIN(h) AS hmin, MAX(h) AS hmax
+            FROM e GROUP BY user_id),
+      grid AS (SELECT user_id, UNNEST(generate_series(hmin, hmax)) AS h
+               FROM b),
+      obs AS (
+        SELECT user_id, h AS oh, value AS obs_v FROM (
+          SELECT user_id, h, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, h
+                   ORDER BY us DESC, event_id DESC) AS rn
+          FROM e)
+        WHERE rn = 1),
+      j AS (
+        SELECT g.user_id, g.h, o.obs_v
+        FROM grid g LEFT JOIN obs o
+          ON g.user_id = o.user_id AND g.h = o.oh),
+      f AS (
+        SELECT user_id, h, obs_v,
+               LAST_VALUE(CASE WHEN obs_v IS NOT NULL THEN h END
+                 IGNORE NULLS) OVER wp AS hp,
+               LAST_VALUE(obs_v IGNORE NULLS) OVER wp AS vp,
+               FIRST_VALUE(CASE WHEN obs_v IS NOT NULL THEN h END
+                 IGNORE NULLS) OVER wn AS hn,
+               FIRST_VALUE(obs_v IGNORE NULLS) OVER wn AS vn
+        FROM j
+        WINDOW wp AS (PARTITION BY user_id ORDER BY h
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wn AS (PARTITION BY user_id ORDER BY h
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      SELECT user_id, h,
+             CASE WHEN hn IS NULL THEN vp
+                  WHEN hp IS NULL THEN vn
+                  WHEN hn = hp THEN vp
+                  ELSE vp + (vn - vp) *
+                       (CAST(h - hp AS DOUBLE) / CAST(hn - hp AS DOUBLE))
+             END AS v,
+             obs_v IS NOT NULL AS is_observed
+      FROM f ORDER BY user_id, h"""))
+
+  /** Exact mode per group with a total tie-break (most frequent
+    * l_quantity per return flag; ties go to the SMALLEST value, so
+    * the result is a function of the data, not the plan). Two keyed
+    * hash aggregates — value-count then argmax by the (count, −value)
+    * struct order — both map-side combinable; no window, no sort of
+    * the value domain. The oracle takes the row_number spelling. */
+  val agg_mode = GQuery(
+    "agg_mode",
+    (s, d) => {
+      import s.implicits._
+      T.lineitem(s, d)
+        .select($"l_returnflag", $"l_quantity".cast("long").as("qty"))
+        .groupBy($"l_returnflag", $"qty")
+        .agg(count(lit(1)).as("n"))
+        .groupBy($"l_returnflag")
+        .agg(max_by($"qty", struct($"n", -$"qty")).as("mode_qty"),
+          max($"n").as("n_mode"),
+          count(lit(1)).as("n_distinct"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""
+      WITH c AS (
+        SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY 1, 2),
+      r AS (
+        SELECT l_returnflag, qty, n,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY n DESC, qty ASC) AS rk
+        FROM c),
+      d AS (
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               MAX(n) AS n_mode
+        FROM c GROUP BY 1)
+      SELECT r.l_returnflag, r.qty AS mode_qty, d.n_mode, d.n_distinct
+      FROM r JOIN d ON r.l_returnflag = d.l_returnflag
+      WHERE r.rk = 1 ORDER BY r.l_returnflag"""))
+
   /** CUBE multidimensional aggregate (SURVEY §2.5 "free in Spark SQL"
     * row, made concrete). */
   val agg_cube = GQuery(
@@ -1240,8 +1386,8 @@ object Extras {
     ivm_agg_refresh.oracle)
 
   val all: Seq[GQuery] = Seq(sessionize, scd2_islands, schema_evolution,
-    table_diff, json_corrupt_routing, resample_ffill, ivm_agg_refresh,
-    ivm_join_refresh,
+    table_diff, json_corrupt_routing, resample_ffill, resample_interp,
+    agg_mode, ivm_agg_refresh, ivm_join_refresh,
     stream_ivm_refresh, agg_cube,
     mm_binary_meta,
     mm_feature_extract, mm_frame_sample, mm_resize,

@@ -175,6 +175,51 @@ class Wave8Spec extends SparkSpec {
     }
   }
 
+  test("resample_interp: interpolated values stay inside their " +
+      "bracket; observed rows are exact") {
+    val rows = q("resample_interp").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("h"),
+        r.getAs[Double]("v"), r.getAs[Boolean]("is_observed")))
+      .groupBy(_._1)
+    rows.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._2)
+      // grid is contiguous and endpoints are observed
+      assert(sorted.head._4 && sorted.last._4, "endpoints must be observed")
+      assert(sorted.map(_._2).distinct.length == sorted.length)
+      val obsIdx = sorted.zipWithIndex.filter(_._1._4).map(_._2)
+      obsIdx.sliding(2).filter(_.length == 2).foreach { pair =>
+        val (i, j) = (pair(0), pair(1))
+        val (lo, hi) = (math.min(sorted(i)._3, sorted(j)._3),
+          math.max(sorted(i)._3, sorted(j)._3))
+        (i + 1 until j).foreach { m =>
+          assert(sorted(m)._3 >= lo - 1e-9 && sorted(m)._3 <= hi + 1e-9,
+            s"interpolated value escaped its bracket at index $m")
+        }
+      }
+    }
+  }
+
+  test("agg_mode: the mode's count is the group's max value-count") {
+    val rows = q("agg_mode").collect()
+    assert(rows.nonEmpty)
+    val counts = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_returnflag", $"l_quantity".cast("long").as("qty"))
+      .groupBy($"l_returnflag", $"qty").count()
+      .collect()
+      .groupBy(_.getAs[String]("l_returnflag"))
+    rows.foreach { r =>
+      val flag = r.getAs[String]("l_returnflag")
+      val byQty = counts(flag).map(x =>
+        x.getAs[Long]("qty") -> x.getAs[Long]("count")).toMap
+      val maxN = byQty.values.max
+      assert(r.getAs[Long]("n_mode") == maxN)
+      assert(byQty(r.getAs[Long]("mode_qty")) == maxN)
+      // tie-break: smallest qty among the max-count values
+      val winners = byQty.filter(_._2 == maxN).keys
+      assert(r.getAs[Long]("mode_qty") == winners.min)
+    }
+  }
+
   test("asof_forward and asof_attribution cover disjoint regimes of " +
       "the same purchases") {
     // backward drops purchases before the first click; forward drops
