@@ -72,11 +72,18 @@ object AsOfJoin {
   /** Forward as-of join — for each left row, the EARLIEST right row of
     * the same key with rightTs ≥ leftTs (pandas merge_asof
     * direction='forward'; ≥ is inclusive, mirroring backward's ≤).
-    * Same union+window composition as [[asofBackward]], mirrored: left
-    * rows sort BEFORE right rows at equal ts so an equal-ts right row
-    * is inside the [current, ∞) frame, and `first(ignoreNulls)` over
-    * that frame picks the nearest following payload. Identical scale
-    * shape: one keyed shuffle, per-key sort, no range product.
+    * Same union+window composition as [[asofBackward]], run over the
+    * REVERSED ordering: under ORDER BY ts DESC (right before left at
+    * equal ts), every right row at-or-after a left row precedes it,
+    * and `last(ignoreNulls)` over the RUNNING [unbounded, current]
+    * frame carries the nearest one — exactly the backward
+    * construction mirrored. Deliberately NOT `first over [current,
+    * unbounded following]`: Spark's UnboundedFollowing window frame
+    * re-aggregates the entire remaining frame per row — O(n²) per
+    * key (the resample_interp lesson, docs/PERF.md rescue #3) —
+    * where the running frame is the one-pass incremental carry.
+    * Identical scale shape to backward: one keyed shuffle, per-key
+    * sort, no range product.
     *
     * @return left rows + payload of the as-of match; rows with no
     *         right row at-or-after them are dropped (inner semantics)
@@ -86,12 +93,12 @@ object AsOfJoin {
     val leftCols = left.columns
     val l = left
       .withColumn("__ts", col(leftTs))
-      .withColumn("__side", lit(0))
+      .withColumn("__side", lit(1))
     val lAll = payload.foldLeft(l)((df, p) =>
       df.withColumn(s"__p_$p", lit(null)))
     val r = right
       .withColumn("__ts", col(rightTs))
-      .withColumn("__side", lit(1))
+      .withColumn("__side", lit(0))
     val rAll = payload.foldLeft(r)((df, p) =>
       df.withColumn(s"__p_$p", col(p)))
     val unioned = lAll
@@ -104,15 +111,16 @@ object AsOfJoin {
           leftCols.filterNot(keyCols.contains).map(c =>
             lit(null).as(s"__l_$c")) ++
           payload.map(p => col(s"__p_$p")): _*))
-    // left rows sort before right rows at equal ts → ≥ semantics
+    // descending ts; right rows (side 0) sort before left rows at
+    // equal ts → ≥ semantics through a RUNNING frame
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__ts"), col("__side"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .orderBy(col("__ts").desc, col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = payload.foldLeft(unioned)((df, p) =>
       df.withColumn(s"__c_$p",
-        first(col(s"__p_$p"), ignoreNulls = true).over(w)))
+        last(col(s"__p_$p"), ignoreNulls = true).over(w)))
     carried
-      .filter(col("__side") === 0 &&
+      .filter(col("__side") === 1 &&
         payload.map(p => col(s"__c_$p").isNotNull).reduce(_ && _))
       .select(keyCols.map(col) ++
         leftCols.filterNot(keyCols.contains).map(c =>

@@ -93,6 +93,40 @@ class QuerySmokeSpec extends SparkSpec {
       s"queries planning a cartesian product: $offenders")
   }
 
+  test("registry-wide: no UnboundedFollowing window frame in any " +
+      "query's physical plan (O(n²) per key — use a reversed running " +
+      "frame)") {
+    val sf = "/root/testdata/sf0.001"
+    // Spark's UnboundedFollowingWindowFunctionFrame re-aggregates the
+    // ENTIRE remaining frame for every row: O(n²) per partition key.
+    // resample_interp's first spelling sat single-threaded >20 min at
+    // sf0.1 in exactly that frame (docs/PERF.md rescue #3); the O(n)
+    // spelling of any "nearest following" carry is a running frame
+    // over the REVERSED ordering. NB the whole-partition frame
+    // (UNBOUNDED PRECEDING → UNBOUNDED FOLLOWING, what an
+    // orderBy-less window plans as) is FINE — Spark evaluates it once
+    // per partition (UnboundedWindowFunctionFrame, O(n)); only a
+    // frame whose LOWER bound varies while the upper end is the
+    // partition end pays the per-row rescan. This audit makes the
+    // lesson structural: any query that reintroduces the frame fails
+    // here with a name, not in a wedged benchmark.
+    import org.apache.spark.sql.catalyst.expressions.{
+      SpecifiedWindowFrame, UnboundedFollowing, UnboundedPreceding}
+    val offenders = Registry.all.flatMap { q =>
+      val plan = q.fn(spark, sf).queryExecution.sparkPlan
+      val hit = plan.collect {
+        case n if n.expressions.exists(_.exists {
+          case SpecifiedWindowFrame(_, lower, UnboundedFollowing) =>
+            lower != UnboundedPreceding
+          case _ => false
+        }) => n
+      }.nonEmpty
+      if (hit) Some(q.name) else None
+    }
+    assert(offenders.isEmpty,
+      s"queries planning an UnboundedFollowing window frame: $offenders")
+  }
+
   test("every registered query executes at sf0.001") {
     val sf = "/root/testdata/sf0.001"
     val failures = Registry.all.flatMap { q =>
