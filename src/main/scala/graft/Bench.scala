@@ -53,17 +53,23 @@ object Bench {
     val total = all.values.filter(_ >= 0).sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // ALSO persist to a stable path: BENCH_r06.json recorded
-    // "parsed": null because the driver's captured log tail truncated
-    // the (long) JSON line — the file survives any stdout mangling.
-    // Overridable for side-by-side runs; failure to write (read-only
-    // cwd) must not fail the bench itself.
+    // Persist the FULL per-query map to a stable path: BENCH_r06–r08
+    // recorded "parsed": null because the driver's captured log tail
+    // truncated the ~6 KB JSON line — the file survives any stdout
+    // mangling. Overridable for side-by-side runs; failure to write
+    // (read-only cwd) must not fail the bench itself.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "docs/bench_driver_last.json")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outPath), line + "\n")
     catch { case _: Throwable => () }
-    println(line)
+    // stdout gets ONLY a short total-only line (VERDICT-r8 item 3):
+    // the driver's tail window is narrower than the full 162-entry
+    // map, so the full line is what kept truncating — the short line
+    // fits any plausible tail and points at the stable file.
+    val nOk = all.values.count(_ >= 0)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${
+      all.size},"n_ok":$nOk,"sf":"$sfDir","detail":"$outPath"}""")
     System.out.flush()
     spark.stop()
   }
@@ -116,6 +122,13 @@ object Bench {
       }
       name -> (if (best.exists(_ < 0)) -1.0 else best.min)
     }
+    // NOTE the deliberate BENCH-vs-CORRECTNESS entry-count asymmetry
+    // (162 vs 160): stream_fmgws / stream_tws are the only two bench
+    // entries with no CORRECTNESS row — they are throughput legs over
+    // the same stateful kernel that the oracle-gated stream_fold query
+    // bit-exactly verifies (FMGWS ≡ TWS ≡ batch is additionally pinned
+    // in StreamingSpec), timing the handler-API overhead difference
+    // rather than a distinct semantics.
     Map(
       leg("stream_fmgws")(l => streaming.FplStream.matchCloses(
         streaming.FplStream.toMessages(l))),

@@ -2,7 +2,13 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Entry-count note: BENCH carries two entries MORE than CORRECTNESS
+  * (stream_fmgws / stream_tws, added in [[Bench.streamingLegs]]) —
+  * oracle-less throughput legs over the stateful kernel that the
+  * oracle-gated `stream_fold` query verifies bit-exactly; they time
+  * the FMGWS-vs-TWS handler-API overhead, not a distinct semantics. */
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -62,6 +62,9 @@ object GraphOps {
       .union(e0.select(col("dst").as("node")))
       .distinct().localCheckpoint()
     val n = nodes.count()
+    // `dm DIV n` below would be a divide-by-zero expression on an
+    // empty edge set (ADVICE-r8) — fail with the actual precondition
+    require(n > 0, "pagerankExact needs a non-empty edge set")
     val deg = e0.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val ed = e0.join(deg, "src").localCheckpoint()
     var ranks = nodes.select(col("node"), lit(unit).as("pr"))
@@ -264,11 +267,24 @@ object GraphOps {
     * breaks the pagerank/triangles/kcore hash gates immediately.
     * Derivation is one keyed self-join + one keyed aggregate (the
     * exact-dedup shape); the weight column rides along for free on
-    * the same shuffle that the former `distinct()` already paid. */
+    * the same shuffle that the former `distinct()` already paid.
+    *
+    * `(ok, p)` is DEDUPED before the self-join (ADVICE-r8): a part
+    * appearing on k duplicated lineitem rows of one order would
+    * otherwise contribute k·m to a pair's count, so `w` would count
+    * row-pair multiplicity, not shared orders — and the backbone
+    * thresholds in graph_components/graph_jaccard would admit
+    * single-shared-order edges. Deduping first makes `count(*)`
+    * exactly the distinct-shared-order count AND shrinks the pair
+    * stream, cheaper than a count-distinct aggregate after the fact;
+    * the dedup shuffle is on `(ok, p)` so the join's `ok` shuffle
+    * still follows, but the joined cardinality drops by the square
+    * of the duplication factor. */
   def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
     val path = edgeCache.getOrElseUpdate(d, {
       val li = graft.Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct()
       val und = li.as("a").join(li.as("b"),
           col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
         .select(col("a.p").as("u"), col("b.p").as("v"))

@@ -940,8 +940,12 @@ object Extras {
     * direction of pandas merge_asof, completing [[asof_attribution]]'s
     * backward pin). Spark side is the mirrored union+window
     * composition (AsOfJoin.asofForward: left-before-right at equal ts,
-    * first-ignoreNulls over the [current, ∞) frame — still ONE keyed
-    * shuffle, no range product); the oracle is DuckDB's native ASOF
+    * then last-ignoreNulls over an ORDER BY ts DESC running
+    * [unbounded preceding, current row] frame — the O(n)-per-key
+    * spelling; the naive "first over [current, ∞)" frame is the
+    * O(n²) UnboundedFollowing form QuerySmokeSpec's plan audit
+    * rejects — still ONE keyed shuffle, no range product); the
+    * oracle is DuckDB's native ASOF
     * JOIN with the inequality flipped to `p.ts <= c.ts`, which its
     * planner reads as "earliest c at-or-after p" — two entirely
     * different implementations, same rows. Purchases with no later

@@ -49,7 +49,8 @@ object Graph {
         .orderBy($"node")
     },
     Some("""
-      WITH li AS (SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+      WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+                  FROM lineitem),
       e AS (
         SELECT a.p AS u, b.p AS v, COUNT(*) AS w
         FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
@@ -205,7 +206,7 @@ object Graph {
     },
     Some("""
       WITH RECURSIVE li AS (
-        SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
       e AS (
         SELECT a.p AS u, b.p AS v
         FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
@@ -277,7 +278,8 @@ object Graph {
         .orderBy($"a", $"b")
     },
     Some("""
-      WITH li AS (SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+      WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+                  FROM lineitem),
       ew AS (
         SELECT a.p AS u, b.p AS v, COUNT(*) AS w
         FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p

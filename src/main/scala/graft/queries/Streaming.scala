@@ -349,6 +349,19 @@ object Streaming {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // recentProgress is a ring buffer of the last
+      // numRecentProgressUpdates (default 100) batches — summing
+      // numRowsRemoved over it silently undercounts once the replay
+      // exceeds the retention, which would flip state_evicted false
+      // and fail the gate confusingly (ADVICE-r8). sliceCount caps at
+      // 8 batches today; assert the invariant where it's relied on.
+      val retention = s.conf
+        .get("spark.sql.streaming.numRecentProgressUpdates", "100").toInt
+      require(q.recentProgress.length < retention,
+        s"stream_dedup read ${q.recentProgress.length} progress " +
+          s"entries with retention $retention - eviction evidence " +
+          "may be truncated; raise numRecentProgressUpdates or use a " +
+          "StreamingQueryListener")
       val stateOps = q.recentProgress.toSeq.flatMap(_.stateOperators)
       val removed = stateOps.map(_.numRowsRemoved).sum
       val peak = stateOps.map(_.numRowsTotal).foldLeft(0L)(math.max)
