@@ -75,7 +75,10 @@ object ScaleSweep {
     "retention_cohorts", "event_transitions", "stream_static_join",
     // interpolation twin of resample_ffill (events); exact mode
     // (lineitem)
-    "resample_interp", "agg_mode")
+    "resample_interp", "agg_mode",
+    // round-9: bounded-occupancy mining twin + its planted-recall
+    // gate (embeddings)
+    "hard_negatives_capped", "hard_negatives_capped_recall")
   // fk_violations is EXCLUDED: it joins customer/part, which MkScale
   // does not scale - a sweep would measure a mixed-scale plan.
   // pareto_frontier is excluded for the same reason (part-backed);

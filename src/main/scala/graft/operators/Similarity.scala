@@ -552,13 +552,27 @@ object Similarity {
       vecCol: String, blockCol: String, threshold: Double,
       tables: Int = 4, bits: Int = -1): DataFrame = {
     val keyed = vectors.select(col(idCol).as("id"),
-      col(vecCol).as("v"), col(blockCol).as("blk"),
-      fnorm(col(vecCol)).as("nrm"))
+      col(vecCol).as("v"), col(blockCol).as("blk"))
     val b = if (bits < 0) autoBits(keyed.count()) else bits
-    lshCandidatePairs(keyed, tables, b)
-      .join(keyed.select(col("id").as("d1"), col("v").as("v1"),
+    verifyCandidatesCosine(lshCandidatePairs(keyed, tables, b), keyed,
+      threshold)
+  }
+
+  /** Cosine verification of an already-derived candidate pair set
+    * (d1 < d2): two id-keyed joins to the vector table, one fused
+    * dot+norm expression per DISTINCT pair, threshold filter. Split
+    * out (r9) so callers that need BOTH the candidate count and the
+    * verified count — dedup_embedding_lsh's gate shape — can
+    * materialize the candidate set once and feed it to both branches
+    * instead of re-running the bucket self-join + distinct per
+    * branch (a join+distinct chain defeats exchange reuse). */
+  def verifyCandidatesCosine(cand: DataFrame, keyed: DataFrame,
+      threshold: Double): DataFrame = {
+    val kn = keyed.select(col("id"), col("v"), fnorm(col("v")).as("nrm"))
+    cand.select(col("d1"), col("d2"))
+      .join(kn.select(col("id").as("d1"), col("v").as("v1"),
         col("nrm").as("n1")), Seq("d1"))
-      .join(keyed.select(col("id").as("d2"), col("v").as("v2"),
+      .join(kn.select(col("id").as("d2"), col("v").as("v2"),
         col("nrm").as("n2")), Seq("d2"))
       .withColumn("cos", pairCos(fdot(col("v1"), col("v2")),
         col("n1"), col("n2")))

@@ -556,11 +556,20 @@ object Pipeline {
       val labelPairs = keyed.groupBy(col("blk"))
         .agg(count(lit(1)).as("n"))
         .agg(sum(expr("n * (n - 1) DIV 2")).as("n_label_pairs"))
+      // the candidate set feeds BOTH output branches (count + verify);
+      // materialize it once — without the cut each branch re-runs the
+      // bucket self-join + distinct (join+distinct chains defeat
+      // exchange reuse), which priced at ~2× the dominant stage in the
+      // r9 decomposition (docs/PERF.md §"dedup_embedding_lsh decade
+      // decomposition"). The distinct pair set is the SMALLEST frame
+      // in the pipeline (narrower than the pre-distinct stream it
+      // absorbs), so the checkpoint holds the cheapest thing to hold.
       val cand = Similarity.lshCandidatePairs(keyed, tables = 4, bits)
+        .localCheckpoint()
       val nCand = cand.agg(count(lit(1)).as("n_candidates"))
       val nVerified = Similarity
-        .embeddingNearDupPairsLsh(T.embeddings(s, d), "vec_id",
-          "embedding", "label", 0.4, tables = 4, bits = bits)
+        .verifyCandidatesCosine(cand,
+          keyed.select(col("id"), col("v")), 0.4)
         .agg(count(lit(1)).as("n_verified"))
       nVec.crossJoin(labelPairs).crossJoin(nCand).crossJoin(nVerified)
         .select(lit(4).as("tables"), lit(bits).as("bits"),
