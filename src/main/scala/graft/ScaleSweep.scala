@@ -77,8 +77,9 @@ object ScaleSweep {
     // (lineitem)
     "resample_interp", "agg_mode",
     // round-9: bounded-occupancy mining twin + its planted-recall
-    // gate (embeddings)
-    "hard_negatives_capped", "hard_negatives_capped_recall")
+    // gate (embeddings); the composed release pipeline (documents)
+    "hard_negatives_capped", "hard_negatives_capped_recall",
+    "corpus_release_e2e")
   // fk_violations is EXCLUDED: it joins customer/part, which MkScale
   // does not scale - a sweep would measure a mixed-scale plan.
   // pareto_frontier is excluded for the same reason (part-backed);

@@ -2421,7 +2421,183 @@ object Pipeline {
       WHERE levenshtein(a.text, b.text) <= 1
       ORDER BY a_id, b_id"""))
 
-  val all: Seq[GQuery] = Seq(dedup_canonical, 
+  /** The full corpus-release pipeline in ONE oracle-gated plan
+    * (VERDICT-r8 item 5) — the query a real training-data user runs:
+    * steep near-dup dedup → benchmark decontamination (Bloom path) →
+    * PII scrub → per-source capping → language temperature
+    * resampling → sequence packing, gated on the final packed fill
+    * geometry. Each stage is oracle-gated as a unit elsewhere; this
+    * gate regression-pins their COMPOSITION — the schema/ordering
+    * contracts between stages that per-operator gates can't see —
+    * because any wrongly kept/dropped/mutated doc shifts every
+    * downstream prefix-sum offset and breaks the hash.
+    *
+    * Composition choices a release pipeline must make, encoded here:
+    * the dedup drop rule is "larger member of any verified pair"
+    * (deterministic, chain-safe for release); the eval slice
+    * (doc_id % 10 = 0) comes from the ORIGINAL corpus — benchmarks
+    * are external, dedup cannot remove them — while its train
+    * complement is the dedup survivor set; PII evidence is planted
+    * at the scrub stage boundary exactly as in [[text_pii_scrub]]'s
+    * unit gate (planting earlier would poison the shingle stages
+    * with universal synthetic n-grams); the source cap runs through
+    * the bounded-state TopKAgg catalog (the [[Prep.source_cap_agg]]
+    * production form) with survivors fetched back by id; the
+    * temperature thresholds are computed over the CAPPED survivor
+    * counts (stage-input statistics, not raw-corpus statistics —
+    * exactly the composition detail a unit gate can't check).
+    *
+    * Scale shape: stages 1–2 are the gated banded-LSH and
+    * broadcast-Bloom paths, stage 3 is map-side column algebra,
+    * stages 4–5 are one bounded-state aggregate + one broadcast
+    * join each, stage 6 is the distributed prefix sum — no stage
+    * introduces a shuffle the unit operators don't already pay. */
+  val corpus_release_e2e = GQuery(
+    "corpus_release_e2e",
+    (s, d) => {
+      import s.implicits._
+      import graft.operators.TopK
+      val docs = T.documents(s, d)
+        .select($"doc_id", $"source", $"lang", $"text")
+      val dropDup = Dedup.verifiedNearDups(docs, "doc_id", "text", 0.8,
+          numHashes = 16, bandSize = 4)
+        .select($"d2".as("doc_id")).distinct()
+      val deduped = docs.join(dropDup, Seq("doc_id"), "left_anti")
+      val train = deduped.filter($"doc_id" % 10 =!= 0)
+      val contam = Contamination.bloomReport(train,
+          docs.filter($"doc_id" % 10 === 0), "doc_id", "text", 5)
+        .filter($"contaminated").select($"doc_id")
+      val decon = train.join(contam, Seq("doc_id"), "left_anti")
+      val scrubbed = decon.select($"doc_id", $"source", $"lang",
+        TA.scrubPii(concat($"text", lit(" contact user"), $"doc_id",
+          lit("@example.com or 10.0.0."), $"doc_id" % 256,
+          lit(" ph 555-123-4567"))).as("clean"))
+      val keepIds = scrubbed
+        .select($"doc_id", $"source",
+          md5(concat(lit("cap-salt:"), $"doc_id".cast("string")))
+            .as("pri"))
+        .groupBy($"source")
+        .agg(TopK.topK($"pri", $"doc_id", 16).as("top"))
+        .select(explode($"top").as("e"))
+        .select($"e.id".as("doc_id"))
+      val capped = scrubbed.join(keepIds, Seq("doc_id"))
+      val mixed = Mix.temperatureResample(capped, "lang", "doc_id")
+      val toks = mixed.select($"doc_id",
+        TA.tokenCount($"clean").as("n_tok"))
+      Pack.sequenceFill(
+          Pack.packSequences(toks, "doc_id", "n_tok", 256), 256)
+        .orderBy($"seq_id")
+    },
+    Some {
+      val mins = (0 until 16).map(p =>
+        s"MIN(substr(m, ${p * 8 + 1}, 8)) AS h$p").mkString(", ")
+      val bands = (0 until 4).map { b =>
+        val key = (0 until 4).map(j => s"h${b * 4 + j}")
+          .mkString(s"'$b:' || ", " || ':' || ", "")
+        val sel = s"SELECT doc_id, md5($key) AS bk FROM sig"
+        if (b == 0) sel else s"UNION ALL $sel"
+      }.mkString(" ")
+      s"""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      sh AS (
+        SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        FROM toks, LATERAL (SELECT UNNEST(range(1, len(t) - 1)) AS i) u),
+      hx AS (
+        SELECT doc_id, sh,
+               md5(sh) || md5(reverse(sh)) || md5(sh || '#')
+                 || md5('#' || sh) AS m
+        FROM sh),
+      sig AS (SELECT doc_id, $mins FROM hx GROUP BY doc_id),
+      bands AS ($bands),
+      cands AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+      sets AS (
+        SELECT doc_id, list_distinct(list(sh)) AS shset
+        FROM sh GROUP BY doc_id),
+      dropdup AS (
+        SELECT DISTINCT d2 AS doc_id
+        FROM cands JOIN sets x ON d1 = x.doc_id
+                   JOIN sets y ON d2 = y.doc_id
+        WHERE len(x.shset) + len(y.shset)
+              - len(list_intersect(x.shset, y.shset)) > 0
+          AND CAST(len(list_intersect(x.shset, y.shset)) AS DOUBLE) /
+              CAST(len(x.shset) + len(y.shset)
+                   - len(list_intersect(x.shset, y.shset)) AS DOUBLE)
+              >= 0.8),
+      ng5 AS (
+        SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+               t[i+3] || ' ' || t[i+4] AS ng
+        FROM toks, LATERAL (SELECT UNNEST(range(1, len(t) - 3)) AS i) u),
+      evalg AS (SELECT DISTINCT ng FROM ng5 WHERE doc_id % 10 = 0),
+      train AS (
+        SELECT doc_id, source, lang, text FROM documents
+        WHERE doc_id % 10 <> 0
+          AND doc_id NOT IN (SELECT doc_id FROM dropdup)),
+      contam AS (
+        SELECT DISTINCT n.doc_id
+        FROM ng5 n JOIN evalg e USING (ng)
+        WHERE n.doc_id IN (SELECT doc_id FROM train)),
+      scrub AS (
+        SELECT doc_id, source, lang,
+               regexp_replace(regexp_replace(regexp_replace(
+                 text || ' contact user' || doc_id ||
+                 '@example.com or 10.0.0.' || (doc_id % 256) ||
+                 ' ph 555-123-4567',
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g'),
+                 '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                 '<IP>', 'g'),
+                 '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b',
+                 '<PHONE>', 'g') AS clean
+        FROM train
+        WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+      ranked AS (
+        SELECT doc_id, lang, clean,
+               ROW_NUMBER() OVER (PARTITION BY source
+                 ORDER BY md5('cap-salt:' || CAST(doc_id AS VARCHAR)),
+                          doc_id) AS rk
+        FROM scrub),
+      capped AS (SELECT doc_id, lang, clean FROM ranked WHERE rk <= 16),
+      lc AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_source
+             FROM capped GROUP BY lang),
+      lt AS (
+        SELECT lang,
+               CAST(FLOOR(SQRT(CAST((SELECT MIN(n_source) FROM lc)
+                   AS DOUBLE) / CAST(n_source AS DOUBLE)) * 1048576)
+                 AS BIGINT) AS keep_below
+        FROM lc),
+      mixed AS (
+        SELECT c.doc_id, c.clean FROM capped c JOIN lt USING (lang)
+        WHERE CAST(('0x' || substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 1048576 < lt.keep_below),
+      pd AS (
+        SELECT doc_id,
+               CAST(len(string_split(clean, ' ')) AS BIGINT) AS n
+        FROM mixed WHERE len(string_split(clean, ' ')) > 0),
+      o AS (
+        SELECT doc_id, n,
+               CAST(SUM(n) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) - n AS s_off
+        FROM pd),
+      x AS (
+        SELECT o.doc_id, u.seq_id,
+               GREATEST(s_off, u.seq_id * 256) AS tok_start,
+               LEAST(s_off + n, (u.seq_id + 1) * 256) AS tok_end
+        FROM o, LATERAL (SELECT UNNEST(range(s_off // 256,
+               (s_off + n - 1) // 256 + 1)) AS seq_id) u)
+      SELECT seq_id,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(tok_end - tok_start) AS BIGINT) AS n_tokens,
+             MIN(tok_start) AS tok_start,
+             MAX(tok_end) AS tok_end,
+             CAST(SUM(tok_end - tok_start) AS BIGINT) = 256 AS full
+      FROM x GROUP BY seq_id ORDER BY seq_id"""
+    })
+
+  val all: Seq[GQuery] = Seq(dedup_canonical,
     dedup_exact, dedup_incremental, dedup_spans, fuzzy_match_blocked,
     dedup_minhash_lsh, dedup_simhash, dedup_ngram_jaccard,
     dedup_ngram_steep, dedup_ngram_steep_recall,
@@ -2437,5 +2613,6 @@ object Pipeline {
     split_shuffle, mix_temperature, curriculum_buckets, pack_sequences,
     heavy_hitters, text_tfidf,
     upsert_snapshot, upsert_time_travel, layout_report,
-    zorder_curve, layout_zorder, partition_prune, bucketed_join)
+    zorder_curve, layout_zorder, partition_prune, bucketed_join,
+    corpus_release_e2e)
 }
