@@ -79,7 +79,9 @@ object ScaleSweep {
     // round-9: bounded-occupancy mining twin + its planted-recall
     // gate (embeddings); the composed release pipeline (documents)
     "hard_negatives_capped", "hard_negatives_capped_recall",
-    "corpus_release_e2e")
+    "corpus_release_e2e",
+    // round-9 second wave: release planning (documents)
+    "mix_budget", "quality_threshold_sweep")
   // fk_violations is EXCLUDED: it joins customer/part, which MkScale
   // does not scale - a sweep would measure a mixed-scale plan.
   // pareto_frontier is excluded for the same reason (part-backed);

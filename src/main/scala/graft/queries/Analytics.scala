@@ -606,8 +606,93 @@ object Analytics {
       FROM pairs p JOIN tot t ON p.from_type = t.from_type
       ORDER BY p.from_type, p.to_type"""))
 
+  /** Quality-filter calibration sweep — the curve a release engineer
+    * reads BEFORE picking the corpus_release_e2e quality cutoff: for
+    * each of 21 thresholds t = 0.00, 0.05, …, 1.00, the documents and
+    * tokens surviving `quality ≥ t`, computed in ONE corpus pass.
+    * Shape: per-doc quality (the curriculum_buckets scoring path,
+    * identical expression both engines) quantized to exact integer
+    * micro-units, bucketed by `qm DIV 50000` (21 domain-bounded
+    * buckets — the histogram, not the corpus, is what aggregates),
+    * then the survivor curve is a reverse-cumulative sum over the
+    * 21-row bucket frame — a running [unbounded preceding, current]
+    * frame over ORDER BY i DESC (the asof_forward reversed-frame
+    * spelling; never [current, unbounded following]). The window is
+    * partition-less by construction over EXACTLY 21 rows (the grid
+    * frame, not data) — the bounded-domain exception to the
+    * no-global-window rule, same as drift_chi2's 20 buckets. Missing
+    * buckets are filled from a generated grid so the output is always
+    * 21 rows with exact zeros. */
+  val quality_threshold_sweep = GQuery(
+    "quality_threshold_sweep",
+    (s, d) => {
+      import s.implicits._
+      import graft.operators.{TextAnalysis => TA}
+      val scored = T.documents(s, d)
+        .select(TA.tokenCount($"text").as("n_tok"),
+          TA.tokenStats($"text").as("st"))
+        .select($"n_tok",
+          round(round(TA.qualityFromStats($"st"), 6) * 1e6)
+            .cast("long").as("qm"))
+      val byBucket = scored
+        .groupBy(least(expr("qm DIV 50000"), lit(20L)).as("i"))
+        .agg(count(lit(1)).as("d"), sum($"n_tok").as("t"))
+      val grid = s.range(21).select($"id".as("i"))
+      val w = Window.orderBy($"i".desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(byBucket, Seq("i"), "left")
+        .select($"i", coalesce($"d", lit(0L)).as("d"),
+          coalesce($"t", lit(0L)).as("t"))
+        .withColumn("n_docs", sum($"d").over(w))
+        .withColumn("n_tokens", sum($"t").over(w))
+        .select($"i".as("thr_bucket"), ($"i" * 50000L).as("thr_micro"),
+          $"n_docs", $"n_tokens")
+        .orderBy($"thr_bucket")
+    },
+    Some("""
+      WITH f AS (
+        SELECT doc_id,
+               CAST(len(string_split(text,' ')) AS DOUBLE) AS n,
+               CAST(len(list_filter(string_split(text,' '),
+                 t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+                 AS nstop,
+               CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+                 AS ndist,
+               CAST(length(replace(text,' ','')) AS DOUBLE) AS nchar,
+               CAST(len(regexp_extract_all(text,'[A-Za-z]')) AS DOUBLE)
+                 AS nalpha
+        FROM documents),
+      q AS (
+        SELECT CAST(n AS BIGINT) AS n_tok,
+               CAST(ROUND(ROUND(0.25 * (CASE WHEN n >= 20 AND n <= 200
+                             THEN 1.0 ELSE 0.0 END)
+                   + 0.25 * (CASE WHEN nstop / n >= 0.01
+                                   AND nstop / n <= 0.6
+                             THEN 1.0 ELSE 0.0 END)
+                   + 0.25 * (ndist / n)
+                   + 0.25 * (nalpha / nchar), 6) * 1000000) AS BIGINT)
+                 AS qm
+        FROM f),
+      b AS (
+        SELECT LEAST(qm // 50000, 20) AS i,
+               CAST(COUNT(*) AS BIGINT) AS d,
+               CAST(SUM(n_tok) AS BIGINT) AS t
+        FROM q GROUP BY 1),
+      g AS (SELECT CAST(range AS BIGINT) AS i FROM range(21)),
+      j AS (
+        SELECT g.i, COALESCE(b.d, 0) AS d, COALESCE(b.t, 0) AS t
+        FROM g LEFT JOIN b ON g.i = b.i)
+      SELECT i AS thr_bucket, i * 50000 AS thr_micro,
+             CAST(SUM(d) OVER (ORDER BY i DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS n_docs,
+             CAST(SUM(t) OVER (ORDER BY i DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS n_tokens
+      FROM j ORDER BY thr_bucket"""))
+
   val all: Seq[GQuery] = Seq(sample_weighted, ngram_topk,
     vocab_coverage, label_gini, funnel_steps, corr_matrix_exact,
     window_distinct_users, pareto_frontier, retention_cohorts,
-    event_transitions)
+    event_transitions, quality_threshold_sweep)
 }

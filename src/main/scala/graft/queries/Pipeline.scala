@@ -1646,6 +1646,104 @@ object Pipeline {
               AS BIGINT) % 1048576 < t.keep_below
       ORDER BY d.doc_id"""))
 
+  /** Token-budget mixture planner — the release question
+    * [[mix_temperature]] doesn't answer: given a TOKEN budget (half
+    * the corpus here) and temperature-0.5 source weights, what
+    * per-source sampling thresholds hit it, and what did they
+    * actually yield? Plan: per-language token totals (one tiny
+    * aggregate), weights w = ⌊√tokens·10⁶⌋ (√ is one
+    * correctly-rounded IEEE op — the temperatureResample rationale;
+    * ⌊·⌋ makes everything after it integral), integer targets
+    * `target = (budget · w) DIV Σw` and thresholds
+    * `keep_below = min(2²⁰, (target · 2²⁰) DIV src_tok)`, then ONE
+    * map-side broadcast-join pass over the corpus counts what the
+    * thresholds actually kept (membership = the canonical
+    * [[Mix.hashBucket]] md5 bucket, the mix_temperature machinery).
+    * The products pass 2^63 at real corpus sizes (budget·w ≈
+    * tokens^1.5·10⁶ overflows past ~4·10¹¹ tokens), so both widen to
+    * DECIMAL(38,0)/HUGEINT BEFORE multiplying — the drift_chi2
+    * discipline; `div` re-narrows to BIGINT exactly on both engines.
+    * The gate hashes the full plan row per language: source totals,
+    * integer target, threshold, and achieved docs/tokens. */
+  val mix_budget = GQuery(
+    "mix_budget",
+    (s, d) => {
+      import s.implicits._
+      val docs = T.documents(s, d).select($"doc_id", $"lang",
+        TA.tokenCount($"text").as("n_tok"))
+      val counts = docs.groupBy($"lang")
+        .agg(count(lit(1)).as("src_docs"), sum($"n_tok").as("src_tok"))
+        .withColumn("w_us",
+          floor(sqrt($"src_tok".cast("double")) * lit(1e6))
+            .cast("long"))
+      val tot = counts.agg(sum($"w_us").as("sw"),
+        sum($"src_tok").as("corpus_tok"))
+      val plan = counts.crossJoin(broadcast(tot))
+        .withColumn("budget_tok", expr("corpus_tok DIV 2"))
+        .withColumn("target_tok", expr(
+          "(CAST(budget_tok AS DECIMAL(38,0)) * w_us)" +
+            " div CAST(sw AS DECIMAL(38,0))"))
+        .withColumn("keep_below", least(lit(1048576L), expr(
+          "(CAST(target_tok AS DECIMAL(38,0)) * 1048576)" +
+            " div CAST(src_tok AS DECIMAL(38,0))")))
+      val kept = docs
+        .join(broadcast(plan.select($"lang", $"keep_below")),
+          Seq("lang"))
+        .filter(Mix.hashBucket($"doc_id", 1 << 20) < $"keep_below")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("kept_docs"),
+          sum($"n_tok").as("kept_tok"))
+      plan.join(kept, Seq("lang"), "left")
+        .select($"lang", $"src_docs", $"src_tok", $"budget_tok",
+          $"target_tok", $"keep_below",
+          coalesce($"kept_docs", lit(0L)).as("kept_docs"),
+          coalesce($"kept_tok", lit(0L)).as("kept_tok"))
+        .orderBy($"lang")
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents),
+      c AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS src_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS src_tok
+        FROM docs GROUP BY lang),
+      cw AS (
+        SELECT lang, src_docs, src_tok,
+               CAST(FLOOR(SQRT(CAST(src_tok AS DOUBLE)) * 1000000.0)
+                 AS BIGINT) AS w_us
+        FROM c),
+      tot AS (
+        SELECT CAST(SUM(w_us) AS BIGINT) AS sw,
+               CAST(SUM(src_tok) AS BIGINT) AS corpus_tok
+        FROM cw),
+      plan AS (
+        SELECT lang, src_docs, src_tok, w_us,
+               corpus_tok // 2 AS budget_tok,
+               CAST((CAST(corpus_tok // 2 AS HUGEINT) * w_us) // sw
+                 AS BIGINT) AS target_tok
+        FROM cw, tot),
+      plan2 AS (
+        SELECT lang, src_docs, src_tok, budget_tok, target_tok,
+               LEAST(1048576,
+                 CAST((CAST(target_tok AS HUGEINT) * 1048576) // src_tok
+                   AS BIGINT)) AS keep_below
+        FROM plan),
+      kept AS (
+        SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS kept_docs,
+               CAST(SUM(d.n_tok) AS BIGINT) AS kept_tok
+        FROM docs d JOIN plan2 p ON d.lang = p.lang
+        WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 1048576 < p.keep_below
+        GROUP BY d.lang)
+      SELECT p.lang, p.src_docs, p.src_tok, p.budget_tok, p.target_tok,
+             p.keep_below,
+             COALESCE(k.kept_docs, 0) AS kept_docs,
+             COALESCE(k.kept_tok, 0) AS kept_tok
+      FROM plan2 p LEFT JOIN kept k ON p.lang = k.lang
+      ORDER BY p.lang"""))
+
   /** Curriculum bucketing: the corpus ordered by quality (desc) into
     * ten equal-count training stages — the standard easy→hard
     * curriculum prep. Scale shape: bucket = rank·10 div N, where the
@@ -2610,7 +2708,8 @@ object Pipeline {
     text_tokens, text_quality, text_langid,
     text_fingerprint, text_pii_scrub, text_clean, text_repetition, decontaminate,
     decontaminate_bloom,
-    split_shuffle, mix_temperature, curriculum_buckets, pack_sequences,
+    split_shuffle, mix_temperature, mix_budget, curriculum_buckets,
+    pack_sequences,
     heavy_hitters, text_tfidf,
     upsert_snapshot, upsert_time_travel, layout_report,
     zorder_curve, layout_zorder, partition_prune, bucketed_join,
