@@ -64,9 +64,10 @@ object Bench {
       java.nio.file.Paths.get(outPath), line + "\n")
     catch { case _: Throwable => () }
     // stdout gets ONLY a short total-only line (VERDICT-r8 item 3):
-    // the driver's tail window is narrower than the full 162-entry
-    // map, so the full line is what kept truncating — the short line
-    // fits any plausible tail and points at the stable file.
+    // the driver's tail window is narrower than the full per-query
+    // map (~6 KB at 160+ entries), so the full line is what kept
+    // truncating r6–r8 — the short line fits any plausible tail and
+    // points at the stable file carrying the full map.
     val nOk = all.values.count(_ >= 0)
     println(s"""{"metric":"total","value":$total,"unit":"sec","n":${
       all.size},"n_ok":$nOk,"sf":"$sfDir","detail":"$outPath"}""")
