@@ -81,7 +81,10 @@ object ScaleSweep {
     "hard_negatives_capped", "hard_negatives_capped_recall",
     "corpus_release_e2e",
     // round-9 second wave: release planning (documents)
-    "mix_budget", "quality_threshold_sweep")
+    "mix_budget", "quality_threshold_sweep",
+    // round-9 third wave: phrase retrieval (documents), sketch-IVM
+    // NDV + CUSUM changepoint (events)
+    "phrase_query", "ndv_sketch_merge", "cusum_changepoint")
   // fk_violations is EXCLUDED: it joins customer/part, which MkScale
   // does not scale - a sweep would measure a mixed-scale plan.
   // pareto_frontier is excluded for the same reason (part-backed);

@@ -691,8 +691,141 @@ object Analytics {
                AS BIGINT) AS n_tokens
       FROM j ORDER BY thr_bucket"""))
 
+  /** Mergeable-sketch NDV maintenance — the incremental-analytics
+    * pattern for approximate aggregates (the IVM theme applied to
+    * sketches): per-(event_type, day) HLL sketches are built in ONE
+    * pass, PERSISTED as binary parquet, then rolled up into a
+    * per-type NDV by unioning the stored sketches — history is never
+    * rescanned. At 100 TB the daily sketch build is a map-side
+    * partial aggregate whose state is one ~kB DataSketches HLL per
+    * group, and every later rollup (any day range, any regrouping)
+    * costs only a union over stored kB-sized blobs.
+    *
+    * What the gate pins, and what it deliberately does NOT: union
+    * output is not estimate-identical to a one-shot sketch once the
+    * sketch leaves sparse mode — DataSketches unions drop the HIP
+    * accumulator and estimate from the composite register state, so
+    * `union(dailies) == direct` holds at the verify SF (sparse mode
+    * is exact) but NOT in dense mode (measured false at sf0.1,
+    * n=1500). The property that IS exact at every scale — and the
+    * one that makes distributed partial merges trustworthy — is
+    * merge-tree ASSOCIATIVITY: register max-merge is associative and
+    * commutative, so rolling dailies up through an intermediate
+    * weekly level must give the BIT-IDENTICAL estimate to the flat
+    * union. `tree_eq_flat` pins that two-level == one-level
+    * identity; both estimates are additionally held within 5% of the
+    * exact count (lgK=12 ⇒ σ≈1.6%). The oracle recomputes the exact
+    * NDV and pins all three booleans TRUE. */
+  val ndv_sketch_merge = GQuery(
+    "ndv_sketch_merge",
+    (s, d) => graft.GQuery.withTempTable(s, "graft-ndv-sketch") { dir =>
+      import s.implicits._
+      val base = T.events(s, d).select($"event_type",
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000")
+          .as("day"),
+        $"user_id")
+      base.groupBy($"event_type", $"day")
+        .agg(hll_sketch_agg($"user_id").as("sk"))
+        .write.parquet(dir + "/daily_sketches")
+      val daily = s.read.parquet(dir + "/daily_sketches")
+      val flat = daily
+        .groupBy($"event_type")
+        .agg(hll_sketch_estimate(hll_union_agg($"sk"))
+          .as("est_flat"))
+      val tree = daily
+        .groupBy($"event_type", expr("day DIV 7").as("week"))
+        .agg(hll_union_agg($"sk").as("wk"))
+        .groupBy($"event_type")
+        .agg(hll_sketch_estimate(hll_union_agg($"wk"))
+          .as("est_tree"))
+      val direct = base.groupBy($"event_type")
+        .agg(
+          hll_sketch_estimate(hll_sketch_agg($"user_id"))
+            .as("est_direct"),
+          count_distinct($"user_id").as("n_exact"))
+      flat.join(tree, Seq("event_type")).join(direct, Seq("event_type"))
+        .select($"event_type", $"n_exact",
+          (abs($"est_flat" - $"n_exact") * 100L <= $"n_exact" * 5L)
+            .as("merged_ok"),
+          (abs($"est_direct" - $"n_exact") * 100L <= $"n_exact" * 5L)
+            .as("direct_ok"),
+          ($"est_tree" === $"est_flat").as("tree_eq_flat"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
+             TRUE AS merged_ok, TRUE AS direct_ok,
+             TRUE AS tree_eq_flat
+      FROM events GROUP BY 1 ORDER BY 1"""))
+
+  /** CUSUM changepoint detection per event series — the
+    * data-drift-monitoring shape [[drift_chi2]] doesn't cover: WHERE
+    * in time a daily-volume series shifted, not whether two
+    * distributions differ. The classic statistic is
+    * max_k |S_k − k·S_n/n| (cumulative deviation from the global
+    * mean); multiplying through by n gives D_k = n·S_k − k·S_n —
+    * EVERY term integral, so both engines compare identical integers
+    * and the argmax is hash-gateable (libm-free, the znorm/χ²
+    * lesson). Overflow bound: n ≤ 10^5 days and S_n ≤ 10^12 rows
+    * keep |D_k| < 10^17 < 2^63. The plan collapses the event stream
+    * to per-(type, day) counts FIRST (the only full-data shuffle,
+    * map-side combined), then every window — running sum, row
+    * number, whole-partition totals, argmax pick — reuses the single
+    * event_type exchange over that tiny daily table; the
+    * whole-partition frames are the orderBy-less kind Spark
+    * evaluates once per partition. Tie-break: earliest day. */
+  val cusum_changepoint = GQuery(
+    "cusum_changepoint",
+    (s, d) => {
+      import s.implicits._
+      val daily = T.events(s, d)
+        .groupBy($"event_type",
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000")
+            .as("day"))
+        .agg(count(lit(1)).as("c"))
+      val run = Window.partitionBy($"event_type").orderBy($"day")
+      val whole = Window.partitionBy($"event_type")
+      val dev = daily
+        .withColumn("k", row_number().over(run).cast("long"))
+        .withColumn("sk", sum($"c").over(run))
+        .withColumn("n", count(lit(1)).over(whole))
+        .withColumn("sn", sum($"c").over(whole))
+        .withColumn("absdev", abs($"n" * $"sk" - $"k" * $"sn"))
+      val pick = Window.partitionBy($"event_type")
+        .orderBy($"absdev".desc, $"day".asc)
+      dev.withColumn("rn", row_number().over(pick))
+        .filter($"rn" === 1)
+        .select($"event_type", $"day".as("change_day"),
+          $"absdev".as("max_absdev"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+      dev AS (
+        SELECT event_type, day,
+               CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                 ORDER BY day) AS BIGINT) AS k,
+               CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS sk,
+               CAST(COUNT(*) OVER (PARTITION BY event_type)
+                 AS BIGINT) AS n,
+               CAST(SUM(c) OVER (PARTITION BY event_type)
+                 AS BIGINT) AS sn
+        FROM daily)
+      SELECT event_type, day AS change_day,
+             CAST(ABS(n * sk - k * sn) AS BIGINT) AS max_absdev
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+              ORDER BY ABS(n * sk - k * sn) DESC, day ASC) AS rn
+            FROM dev)
+      WHERE rn = 1 ORDER BY event_type"""))
+
   val all: Seq[GQuery] = Seq(sample_weighted, ngram_topk,
     vocab_coverage, label_gini, funnel_steps, corr_matrix_exact,
     window_distinct_users, pareto_frontier, retention_cohorts,
-    event_transitions, quality_threshold_sweep)
+    event_transitions, quality_threshold_sweep, ndv_sketch_merge,
+    cusum_changepoint)
 }

@@ -270,5 +270,58 @@ object Retrieval {
              ROUND(CAST(SUM(wd) AS DOUBLE), 6) AS score
       FROM w GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10"""))
 
-  val all: Seq[GQuery] = Seq(index_postings, bm25_topk, bm25_join_topk)
+  /** Exact phrase search — the adjacency query a positional inverted
+    * index exists to answer ("table hash" as consecutive tokens), the
+    * retrieval capability BM25's bag-of-words scoring cannot express.
+    *
+    * The Spark side never builds positional postings: the bigram
+    * GENERATOR (the [[Analytics.ngram_topk]] shape — transform over
+    * 0..|t|−2 exploded by codegen'd Generate) is filtered to the
+    * target pair IMMEDIATELY, so only phrase HITS ever reach the
+    * (doc_id) count exchange — at 100 TB the shuffle carries a few
+    * thousand rows off a full-corpus scan. The pure scan-local HOF
+    * spelling (`size(filter(sequence(0,|t|−2), i → t[i]=a ∧
+    * t[i+1]=b))`, zero shuffle) was measured FIVE TIMES SLOWER at
+    * sf0.1 (4.5 s vs 0.9 s warm): higher-order lambdas are
+    * CodegenFallback, so the per-token interpreted filter loses to
+    * generate-then-codegen-filter even though the latter "does more".
+    * The ORACLE is the classic positional-index algorithm — DuckDB
+    * builds (doc, pos, term) via unnest + generate_subscripts and
+    * self-joins on pos+1 — so the gate crosses two structurally
+    * different phrase-match implementations, not one algorithm run
+    * twice. The `size ≥ 2` guard matters: Spark's `sequence(0, -1)`
+    * STEPS DOWNWARD (yielding [0,-1]) rather than returning empty.
+    */
+  val phrase_query = GQuery(
+    "phrase_query",
+    (s, d) => {
+      import s.implicits._
+      T.documents(s, d)
+        .select($"doc_id", toks($"text").as("t"))
+        .filter(size($"t") >= 2)
+        .select($"doc_id", explode(expr(
+          "transform(sequence(0, size(t) - 2)," +
+            " i -> struct(t[i] AS a, t[i + 1] AS b))")).as("bg"))
+        .filter($"bg.a" === "table" && $"bg.b" === "hash")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).cast("int").as("n_matches"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '),
+                           x -> x <> '') AS l
+        FROM documents),
+      p AS (
+        SELECT doc_id, unnest(l) AS term,
+               generate_subscripts(l, 1) AS pos
+        FROM t)
+      SELECT a.doc_id, CAST(COUNT(*) AS INT) AS n_matches
+      FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      WHERE a.term = 'table' AND b.term = 'hash'
+      GROUP BY a.doc_id ORDER BY a.doc_id"""))
+
+  val all: Seq[GQuery] =
+    Seq(index_postings, bm25_topk, bm25_join_topk, phrase_query)
 }
