@@ -83,8 +83,10 @@ object ScaleSweep {
     // round-9 second wave: release planning (documents)
     "mix_budget", "quality_threshold_sweep",
     // round-9 third wave: phrase retrieval (documents), sketch-IVM
-    // NDV + CUSUM changepoint (events)
-    "phrase_query", "ndv_sketch_merge", "cusum_changepoint")
+    // NDV + CUSUM changepoint (events), incremental edge maintenance
+    // (lineitem)
+    "phrase_query", "ndv_sketch_merge", "cusum_changepoint",
+    "graph_ivm_edges")
   // fk_violations is EXCLUDED: it joins customer/part, which MkScale
   // does not scale - a sweep would measure a mixed-scale plan.
   // pareto_frontier is excluded for the same reason (part-backed);

@@ -305,7 +305,85 @@ object Graph {
       SELECT a, b, shared, deg_a, deg_b, jac
       FROM j WHERE jac >= 0.5 ORDER BY a, b"""))
 
+  /** Incremental maintenance of the materialized co-purchase edge
+    * table — the IVM discipline ([[Extras.ivm_agg_refresh]] /
+    * ivm_join_refresh) applied to the graph lifecycle table: a 5%
+    * ingest batch updates the standing edge weights WITHOUT
+    * rescanning the base lineitem.
+    *
+    * Standing state (what a 100 TB deployment keeps between
+    * ingests), parked as parquet by the harness: the aggregated edge
+    * table E(u,v,w) AND the part-membership index P = distinct
+    * (order, part) — incremental edge maintenance needs P because a
+    * delta ROW whose (order, part) is already present must
+    * contribute NOTHING (the lifecycle table counts distinct shared
+    * orders, the ADVICE-r8 semantics). The refresh reads ONLY Δ and
+    * the standing state: Δ is deduped, anti-joined against P
+    * (suppressing already-present pairs), and the genuinely new
+    * memberships ΔP produce edge deltas as ΔP⋈P (same order — a new
+    * part pairs with every standing part of its order; p-inequality
+    * is automatic since ΔP∩P=∅) plus ΔP⋈ΔP (u<v). One keyed count
+    * then a co-partitioned full-outer merge folds Δw into E. At
+    * 100 TB both standing tables are bucketed (P by order key, E by
+    * (u,v)), so every join here is co-located and the refresh cost is
+    * O(|Δ| × order width), independent of history size.
+    *
+    * The split (rows where (31·ok + 17·p + ln) mod 20 = 0 — 5.03% of
+    * rows, ROW-level so base and delta genuinely overlap in (ok,p)
+    * and the anti-join is load-bearing) exists only on the Spark
+    * side: the ORACLE derives the final edge table from-scratch from
+    * the full lineitem, so the gate proves merged ≡ rebuilt
+    * bit-for-bit — the IVM house gate. All-positive integer
+    * arithmetic; the tag product is ≤ 31·6e8 at sf10, far inside
+    * long range. */
+  val graph_ivm_edges = GQuery(
+    "graph_ivm_edges",
+    (s, d) => graft.GQuery.withTempTable(s, "graft-graph-ivm") { t =>
+      import s.implicits._
+      val li = T.lineitem(s, d).select(
+        $"l_orderkey".as("ok"), $"l_partkey".as("p"),
+        $"l_linenumber".as("ln"))
+      val tagged = li.withColumn("is_delta",
+        ($"ok" * 31L + $"p" * 17L + $"ln") % 20L === 0L)
+      // standing state: membership index P and edge table E
+      val pBase = tagged.filter(!$"is_delta")
+        .select($"ok", $"p").distinct()
+      pBase.write.parquet(s"$t/p_base")
+      val pb = s.read.parquet(s"$t/p_base")
+      pb.as("a").join(pb.as("b"),
+          $"a.ok" === $"b.ok" && $"a.p" < $"b.p")
+        .select($"a.p".as("u"), $"b.p".as("v"))
+        .groupBy($"u", $"v").agg(count(lit(1)).as("w"))
+        .write.parquet(s"$t/e_base")
+      tagged.filter($"is_delta").select($"ok", $"p")
+        .write.parquet(s"$t/delta")
+      // refresh: only Δ and the standing state are read past here
+      val P = s.read.parquet(s"$t/p_base")
+      val E = s.read.parquet(s"$t/e_base")
+      val dNew = s.read.parquet(s"$t/delta").distinct()
+        .join(P, Seq("ok", "p"), "left_anti")
+      val cross = dNew.as("a").join(P.as("b"), $"a.ok" === $"b.ok")
+        .select(least($"a.p", $"b.p").as("u"),
+          greatest($"a.p", $"b.p").as("v"))
+      val within = dNew.as("a").join(dNew.as("b"),
+          $"a.ok" === $"b.ok" && $"a.p" < $"b.p")
+        .select($"a.p".as("u"), $"b.p".as("v"))
+      val dE = cross.unionByName(within)
+        .groupBy($"u", $"v").agg(count(lit(1)).as("dw"))
+      E.join(dE, Seq("u", "v"), "full_outer")
+        .select($"u", $"v",
+          (coalesce($"w", lit(0L)) + coalesce($"dw", lit(0L)))
+            .as("w"))
+        .orderBy($"u", $"v")
+    },
+    Some("""
+      WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+                  FROM lineitem)
+      SELECT a.p AS u, b.p AS v, CAST(COUNT(*) AS BIGINT) AS w
+      FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
+      GROUP BY 1, 2 ORDER BY u, v"""))
+
   val all: Seq[GQuery] = Seq(graph_edges, graph_pagerank,
     graph_pagerank_directed, graph_triangles, graph_kcore,
-    graph_components, graph_jaccard)
+    graph_components, graph_jaccard, graph_ivm_edges)
 }

@@ -79,6 +79,48 @@ class Round9cSpec extends SparkSpec {
     }
   }
 
+  test("graph_ivm_edges: planted delta classes - pure duplicates " +
+      "change nothing, new parts and new orders land exactly") {
+    import spark.implicits._
+    // ln value that lands a row in the delta (tag % 20 == 0), and a
+    // base ln one off it
+    def dln(ok: Long, p: Long): Long =
+      java.lang.Math.floorMod(-(31L * ok + 17L * p), 20L)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-givm-plant").toString
+    try {
+      val rows = Seq(
+        // order 100: parts 1,2,3 in base; part 2 DUPLICATED in the
+        // delta -> the anti-join must suppress it entirely
+        (100L, 1L, dln(100, 1) + 1), (100L, 2L, dln(100, 2) + 1),
+        (100L, 3L, dln(100, 3) + 1), (100L, 2L, dln(100, 2)),
+        // order 200: parts 5,6 in base; part 7 arrives only in the
+        // delta -> two new cross edges
+        (200L, 5L, dln(200, 5) + 1), (200L, 6L, dln(200, 6) + 1),
+        (200L, 7L, dln(200, 7)),
+        // order 300: a wholly-new order, both parts in the delta ->
+        // one within-delta edge
+        (300L, 8L, dln(300, 8)), (300L, 9L, dln(300, 9)))
+      rows.toDF("l_orderkey", "l_partkey", "l_linenumber")
+        .write.parquet(s"$dir/lineitem.parquet")
+      val got = Registry.queryMap("graph_ivm_edges")(spark, dir)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val expected = Seq(
+        (1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L),
+        (5L, 6L, 1L), (5L, 7L, 1L), (6L, 7L, 1L),
+        (8L, 9L, 1L))
+      assert(got == expected,
+        s"merged edges $got differ from planted expectation")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("ndv_sketch_merge: merge-tree associativity holds, estimates " +
       "within contract, exact NDV pinned") {
     import spark.implicits._
