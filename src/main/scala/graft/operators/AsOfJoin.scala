@@ -127,4 +127,79 @@ object AsOfJoin {
           col(s"__l_$c").as(c)) ++
         payload.map(p => col(s"__c_$p").as(p)): _*)
   }
+
+  /** Nearest as-of join — for each left row, the right row of the same
+    * key whose `rightTs` is CLOSEST to `leftTs` in either direction,
+    * ties to the earlier (backward) match: pandas merge_asof
+    * direction='nearest'. Composed as ONE union and ONE keyed
+    * exchange carrying BOTH directional carries — the backward carry
+    * over the ascending running frame and the forward carry over the
+    * descending one (two Window nodes share the partitioning, so the
+    * plan is Exchange → Sort(asc) → Window → Sort(desc) → Window: two
+    * in-partition sorts, never a second shuffle, and both frames are
+    * the O(n)-per-key running spelling — no UnboundedFollowing
+    * re-aggregation). The nearer carry is chosen per row by exact
+    * distance subtraction, so `leftTs`/`rightTs` must be NUMERIC
+    * (callers convert timestamps to epoch micros first); at equal
+    * distances the backward match wins, mirroring pandas.
+    *
+    * Output = left columns + chosen `payload` + `asof_dir` ('b'/'f')
+    * + `asof_dist` (non-negative, in ts units). Left rows with no
+    * right row on either side are dropped (inner semantics).
+    */
+  def asofNearest(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    // the right timestamp rides along as one more carried payload so
+    // the chooser can compute both distances row-locally
+    val pAll = payload :+ "__rts"
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+    val lAll = pAll.foldLeft(l)((df, p) =>
+      df.withColumn(s"__p_$p", lit(null)))
+    val r = right
+      .withColumn("__rts", col(rightTs))
+      .withColumn("__ts", col(rightTs))
+      .withColumn("__side", lit(0))
+    val rAll = pAll.foldLeft(r)((df, p) =>
+      df.withColumn(s"__p_$p", col(p)))
+    val unioned = lAll
+      .select((keyCols ++ Seq("__ts", "__side")).map(col) ++
+        leftCols.filterNot(keyCols.contains).map(c =>
+          col(c).as(s"__l_$c")) ++
+        pAll.map(p => col(s"__p_$p")): _*)
+      .unionByName(
+        rAll.select((keyCols ++ Seq("__ts", "__side")).map(col) ++
+          leftCols.filterNot(keyCols.contains).map(c =>
+            lit(null).as(s"__l_$c")) ++
+          pAll.map(p => col(s"__p_$p")): _*))
+    // ascending: right-before-left at equal ts → backward ≤ carry;
+    // descending: right-before-left at equal ts → forward ≥ carry
+    val wb = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ts").desc, col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = pAll.foldLeft(unioned)((df, p) =>
+      df.withColumn(s"__b_$p",
+          last(col(s"__p_$p"), ignoreNulls = true).over(wb))
+        .withColumn(s"__f_$p",
+          last(col(s"__p_$p"), ignoreNulls = true).over(wf)))
+    val bTs = col("__b___rts")
+    val fTs = col("__f___rts")
+    val useB = bTs.isNotNull &&
+      (fTs.isNull || (col("__ts") - bTs) <= (fTs - col("__ts")))
+    carried
+      .filter(col("__side") === 1 && (bTs.isNotNull || fTs.isNotNull))
+      .select(keyCols.map(col) ++
+        leftCols.filterNot(keyCols.contains).map(c =>
+          col(s"__l_$c").as(c)) ++
+        payload.map(p =>
+          when(useB, col(s"__b_$p")).otherwise(col(s"__f_$p")).as(p)) ++
+        Seq(when(useB, lit("b")).otherwise(lit("f")).as("asof_dir"),
+          when(useB, col("__ts") - bTs)
+            .otherwise(fTs - col("__ts")).as("asof_dist")): _*)
+  }
 }

@@ -138,6 +138,178 @@ object Analytics {
                    CAST((SELECT SUM(n) FROM c) AS DOUBLE), 6)
                AS coverage"""))
 
+  /** Top-15 bigram collocations by pointwise mutual information — the
+    * "which word pairs co-occur more than chance" pass of corpus
+    * linguistics / tokenizer design. PMI = log p(x,y)/(p(x)p(y)) is
+    * ranked WITHOUT ever computing the log: log is monotone, so
+    * ordering by the exact rational lift (c_xy·N)/(c_x·c_y) is the
+    * same order — and the gated score is that lift in exact integer
+    * micro-units, `(c_xy·N·10⁶) DIV (c_x·c_y)`, widened to
+    * DECIMAL(38,0)/HUGEINT before the products (the corr_matrix
+    * discipline) so both engines hash identically (ln is NOT gateable
+    * across libms; rationals are). With the min-support filter
+    * c_xy ≥ 5, lift_micro ≤ 10⁶·N/max(c_x,c_y) ≤ 2·10⁵·N — BIGINT-
+    * safe past 4·10¹³ tokens (≳100 TB of text). Shape at scale: one
+    * unigram count and one bigram count (each one keyed exchange with
+    * map-side partials), the support filter shrinks the bigram table
+    * BEFORE its two vocabulary-keyed unigram joins, the 1-row token
+    * total broadcasts back, and the top-15 plans as
+    * TakeOrderedAndProject under the (lift DESC, a, b) total
+    * tie-break — never a global sort. Tokenization is the
+    * repo-canonical single-space split shared with [[ngram_topk]]. */
+  val collocations_pmi = GQuery(
+    "collocations_pmi",
+    (s, d) => {
+      import s.implicits._
+      val toksDf = T.documents(s, d).select(split($"text", " ").as("t"))
+      val uni = toksDf.select(explode($"t").as("tok"))
+        .groupBy($"tok").agg(count(lit(1)).as("c"))
+      val tot = uni.agg(sum($"c").as("n_tokens"))
+      val bi = toksDf.filter(size($"t") >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(t) - 2)," +
+            " i -> struct(t[i] AS a, t[i + 1] AS b))")).as("bg"))
+        .select($"bg.a".as("a"), $"bg.b".as("b"))
+        .groupBy($"a", $"b").agg(count(lit(1)).as("c_xy"))
+        .filter($"c_xy" >= 5)
+      bi.join(uni.select($"tok".as("a"), $"c".as("c_a")), "a")
+        .join(uni.select($"tok".as("b"), $"c".as("c_b")), "b")
+        .crossJoin(broadcast(tot))
+        .select($"a", $"b", $"c_xy", $"c_a", $"c_b",
+          expr("""CAST((CAST(c_xy AS DECIMAL(38,0))
+                        * CAST(n_tokens AS DECIMAL(38,0)) * 1000000)
+                       DIV (CAST(c_a AS DECIMAL(38,0))
+                            * CAST(c_b AS DECIMAL(38,0)))
+                  AS BIGINT)""").as("lift_micro"))
+        .orderBy($"lift_micro".desc, $"a", $"b")
+        .limit(15)
+    },
+    Some("""
+      WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+      u AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+            FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok),
+      n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens FROM u),
+      bg AS (
+        SELECT t[i] AS a, t[i + 1] AS b, CAST(COUNT(*) AS BIGINT) AS c_xy
+        FROM toks, LATERAL (SELECT UNNEST(range(1, len(t))) AS i) ix
+        WHERE len(t) >= 2
+        GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+      SELECT bg.a, bg.b, c_xy, ua.c AS c_a, ub.c AS c_b,
+             CAST((CAST(c_xy AS HUGEINT) * n_tokens * 1000000)
+                  // (CAST(ua.c AS HUGEINT) * ub.c) AS BIGINT)
+               AS lift_micro
+      FROM bg JOIN u ua ON bg.a = ua.tok
+              JOIN u ub ON bg.b = ub.tok, n
+      ORDER BY lift_micro DESC, a, b LIMIT 15"""))
+
+  /** BPE tokenizer-vocabulary induction — 5 byte-pair-merge rounds,
+    * the algorithm every LLM tokenizer is trained with. This is the
+    * SCALABLE BPE shape: ONE corpus pass builds the word-frequency
+    * histogram (the only data-sized stage), and every merge round
+    * runs over the DISTINCT-WORD DICTIONARY weighted by frequency —
+    * bounded by vocabulary, not corpus, so 5 rounds cost 5 tiny
+    * keyed aggregates no matter the corpus size. Each round: adjacent
+    * symbol pairs from the current tokenization, weighted count,
+    * argmax under the (count DESC, lhs, rhs) total tie-break (a 1-row
+    * TakeOrderedAndProject broadcast back), then the merge applied to
+    * the dictionary state.
+    *
+    * The tokenization state is a SENTINEL-WRAPPED STRING — every
+    * symbol spelled `#sym#` and concatenated — so applying a merge is
+    * one codegen'd `replace(wr, '#a##b#', '#ab#')`: wrapped symbols
+    * share no boundary characters, making string replace's leftmost
+    * non-overlapping semantics EXACTLY greedy BPE (an array-rebuild
+    * via higher-order lambdas would be CodegenFallback — the
+    * phrase_query lesson). Both engines run the same string algebra;
+    * '#' cannot collide (corpus tokens are lowercase words).
+    * `n_merged` is the standard pre-merge adjacent-pair count (for a
+    * self-pair like (a,a) over "aaa" it counts overlaps the greedy
+    * replace won't all rewrite — the textbook BPE statistic, same on
+    * both engines); `symbols_after` is recomputed FROM the post-merge
+    * state on each engine independently, so any replace-semantics
+    * divergence flips the hash even where n_merged agrees. Rounds are
+    * lineage-cut (the pagerank discipline): eager localCheckpoints
+    * keep round k from replanning rounds 1..k−1, and the corpus scan
+    * happens exactly once. The oracle is a GENERATED 5-deep unrolled
+    * CTE chain of the same recurrence. */
+  val bpe_train: GQuery = {
+    val steps = 5
+    GQuery(
+      "bpe_train",
+      (s, d) => {
+        import s.implicits._
+        val hist = T.documents(s, d)
+          .select(explode(split($"text", " ")).as("w"))
+          .groupBy($"w").agg(count(lit(1)).as("n"))
+        var state = hist
+          .select(regexp_replace($"w", "(.)", "#$1#").as("wr"), $"n")
+          .localCheckpoint()
+        val out = (1 to steps).map { step =>
+          val toksd = state.select(
+            split(expr("substring(wr, 2, length(wr) - 2)"), "##").as("t"),
+            $"n")
+          val win = toksd.filter(size($"t") >= 2)
+            .select(explode(expr(
+              "transform(sequence(0, size(t) - 2)," +
+                " i -> struct(t[i] AS a, t[i + 1] AS b))")).as("p"), $"n")
+            .select($"p.a".as("lhs"), $"p.b".as("rhs"), $"n")
+            .groupBy($"lhs", $"rhs").agg(sum($"n").as("n_merged"))
+            .orderBy($"n_merged".desc, $"lhs", $"rhs").limit(1)
+            .localCheckpoint()
+          state = state.crossJoin(broadcast(win))
+            .select(expr(
+              "replace(wr, '#' || lhs || '##' || rhs || '#'," +
+                " '#' || lhs || rhs || '#')").as("wr"), $"n")
+            .localCheckpoint()
+          val after = state.agg(
+            sum($"n" * size(split(
+              expr("substring(wr, 2, length(wr) - 2)"), "##")))
+              .as("symbols_after"))
+          win.crossJoin(broadcast(after))
+            .select(lit(step).as("step"), $"lhs", $"rhs",
+              $"n_merged", $"symbols_after")
+        }
+        out.reduce(_ unionByName _).orderBy($"step")
+      },
+      Some {
+        val rounds = (1 to steps).map { k =>
+          s"""t$k AS (
+            SELECT string_split(substr(wr, 2, length(wr) - 2), '##')
+                     AS t, n
+            FROM s${k - 1}),
+          m$k AS (
+            SELECT t[i] AS lhs, t[i + 1] AS rhs,
+                   CAST(SUM(n) AS BIGINT) AS n_merged
+            FROM t$k, LATERAL (SELECT UNNEST(range(1, len(t))) AS i) ix
+            WHERE len(t) >= 2
+            GROUP BY 1, 2 ORDER BY n_merged DESC, lhs, rhs LIMIT 1),
+          s$k AS (
+            SELECT replace(wr, '#' || lhs || '##' || rhs || '#',
+                           '#' || lhs || rhs || '#') AS wr, n
+            FROM s${k - 1}, m$k)"""
+        }.mkString(",\n          ")
+        val selects = (1 to steps).map { k =>
+          s"""SELECT $k AS step, lhs, rhs, n_merged,
+            (SELECT CAST(SUM(n * len(string_split(
+                       substr(wr, 2, length(wr) - 2), '##'))) AS BIGINT)
+             FROM s$k) AS symbols_after
+          FROM m$k"""
+        }.mkString("\n          UNION ALL\n          ")
+        s"""
+          WITH h AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+            GROUP BY w),
+          s0 AS (
+            SELECT regexp_replace(w, '(.)', '#\\1#', 'g') AS wr, n
+            FROM h),
+          $rounds
+          $selects
+          ORDER BY step"""
+      })
+  }
+
   /** Label-balance report: per language, the Gini impurity of its
     * source distribution (1 − Σc²/n²) — the class-balance check a
     * mixture designer runs before weighting (mix_temperature's
@@ -827,5 +999,5 @@ object Analytics {
     vocab_coverage, label_gini, funnel_steps, corr_matrix_exact,
     window_distinct_users, pareto_frontier, retention_cohorts,
     event_transitions, quality_threshold_sweep, ndv_sketch_merge,
-    cusum_changepoint)
+    cusum_changepoint, collocations_pmi, bpe_train)
 }

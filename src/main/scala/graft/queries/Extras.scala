@@ -978,6 +978,73 @@ object Extras {
         ON p.user_id = c.user_id AND p.ts <= c.ts
       ORDER BY purchase_id"""))
 
+  /** Nearest as-of join: each purchase matched to the user's CLOSEST
+    * click in either direction, ties to the earlier one — pandas
+    * merge_asof direction='nearest', completing the as-of family
+    * (backward = [[asof_attribution]], forward = [[asof_forward]]).
+    * Spark side is [[graft.operators.AsOfJoin.asofNearest]]: ONE
+    * union + ONE keyed exchange carrying both directional running
+    * frames, the nearer picked per row by exact epoch-µs subtraction
+    * (both sides pre-converted to longs, the range_join_window
+    * precedent, so distances never touch timestamp arithmetic). The
+    * oracle composes DuckDB's native ASOF LEFT JOIN twice — once per
+    * inequality direction — and re-derives the same tie-to-backward
+    * choice in a CASE over the two µs distances: structurally
+    * different algorithm, same rows. The chosen direction and the
+    * distance are both IN the gated output, so a wrong tie-break or
+    * an off-by-one frame boundary flips hashes, not just row counts. */
+  val asof_nearest = GQuery(
+    "asof_nearest",
+    (s, d) => {
+      import s.implicits._
+      val e = T.events(s, d)
+        .withColumn("us", unix_micros($"ts".cast("timestamp")))
+      val clicks = e.filter($"event_type" === "click")
+        .groupBy($"user_id", $"us")
+        .agg(max($"event_id").as("click_id"))
+      val purchases = e.filter($"event_type" === "purchase")
+        .select($"user_id", $"us", $"event_id".as("purchase_id"), $"value")
+      graft.operators.AsOfJoin.asofNearest(purchases, clicks,
+          Seq("user_id"), "us", "us", Seq("click_id"))
+        .select($"user_id", $"purchase_id", $"click_id",
+          $"asof_dir".as("direction"),
+          $"asof_dist".cast("bigint").as("dist_us"), $"value")
+        .orderBy($"purchase_id")
+    },
+    Some("""
+      WITH clicks AS (
+        SELECT user_id, epoch_us(ts) AS cus, MAX(event_id) AS click_id
+        FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+      p AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id AS purchase_id,
+               value
+        FROM events WHERE event_type = 'purchase'),
+      b AS (
+        SELECT p.purchase_id, c.click_id, c.cus
+        FROM p ASOF LEFT JOIN clicks c
+          ON p.user_id = c.user_id AND p.us >= c.cus),
+      f AS (
+        SELECT p.purchase_id, c.click_id, c.cus
+        FROM p ASOF LEFT JOIN clicks c
+          ON p.user_id = c.user_id AND p.us <= c.cus)
+      SELECT p.user_id, p.purchase_id,
+             CASE WHEN b.click_id IS NOT NULL AND (f.click_id IS NULL
+                    OR (p.us - b.cus) <= (f.cus - p.us))
+                  THEN b.click_id ELSE f.click_id END AS click_id,
+             CASE WHEN b.click_id IS NOT NULL AND (f.click_id IS NULL
+                    OR (p.us - b.cus) <= (f.cus - p.us))
+                  THEN 'b' ELSE 'f' END AS direction,
+             CAST(CASE WHEN b.click_id IS NOT NULL AND (f.click_id IS
+                    NULL OR (p.us - b.cus) <= (f.cus - p.us))
+                  THEN p.us - b.cus ELSE f.cus - p.us END AS BIGINT)
+               AS dist_us,
+             p.value
+      FROM p
+      JOIN b USING (purchase_id)
+      JOIN f USING (purchase_id)
+      WHERE b.click_id IS NOT NULL OR f.click_id IS NOT NULL
+      ORDER BY purchase_id"""))
+
   /** Range/interval join: error events within one hour after a signup
     * of the same user. Spark side runs the binned equi-join composition
     * (graft.operators.RangeJoin — no nested-loop cross product); the
@@ -1398,7 +1465,8 @@ object Extras {
     mm_audio_meta, mm_audio_downsample,
     agg_approx_distinct, ml_kmeans_profiles, ml_kmeans_contract,
     ml_quadfit_contract, set_ops, w2_rank_lag,
-    j6_outer_join, asof_attribution, asof_forward, range_join_window,
+    j6_outer_join, asof_attribution, asof_forward, asof_nearest,
+    range_join_window,
     pipeline_e2e,
     funnel, sql_shipping_priority, pivot_events)
 }

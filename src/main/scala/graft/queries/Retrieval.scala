@@ -322,6 +322,57 @@ object Retrieval {
       WHERE a.term = 'table' AND b.term = 'hash'
       GROUP BY a.doc_id ORDER BY a.doc_id"""))
 
+  /** Boolean AND retrieval — docs containing ALL query terms, with the
+    * per-term frequencies in the gated output (the posting-list
+    * INTERSECTION a boolean inverted index answers, complementing
+    * [[bm25_topk]]'s ranked-OR and [[phrase_query]]'s adjacency).
+    *
+    * The Spark side never builds postings: the token stream is
+    * filtered to the 3 query terms BEFORE the doc-keyed exchange (the
+    * phrase_query discipline — only candidate hits shuffle, a few
+    * thousand rows off a full-corpus scan at 100 TB), and the AND is
+    * one HashAggregate of conditional sums with `tf > 0` conjunct
+    * filters — no countDistinct, so no Expand, and no per-term
+    * self-join (the classic posting-intersection plan would join the
+    * term postings df-ascending; at this term count the single
+    * filtered aggregate strictly dominates — zero joins). Exact
+    * integer tfs make the gate hash-stable. */
+  val conjunctive_query = GQuery(
+    "conjunctive_query",
+    (s, d) => {
+      import s.implicits._
+      T.documents(s, d)
+        .select($"doc_id", explode(toks($"text")).as("term"))
+        .filter($"term".isin("table", "hash", "dup"))
+        .groupBy($"doc_id")
+        .agg(
+          sum(when($"term" === "table", 1L).otherwise(0L)).as("tf_table"),
+          sum(when($"term" === "hash", 1L).otherwise(0L)).as("tf_hash"),
+          sum(when($"term" === "dup", 1L).otherwise(0L)).as("tf_dup"))
+        .filter($"tf_table" > 0 && $"tf_hash" > 0 && $"tf_dup" > 0)
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH tk AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(lower(text), ' '),
+                                  t -> t <> '')) AS term
+        FROM documents),
+      m AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN term = 'table' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS tf_table,
+               CAST(SUM(CASE WHEN term = 'hash' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS tf_hash,
+               CAST(SUM(CASE WHEN term = 'dup' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS tf_dup
+        FROM tk WHERE term IN ('table', 'hash', 'dup')
+        GROUP BY doc_id)
+      SELECT doc_id, tf_table, tf_hash, tf_dup
+      FROM m WHERE tf_table > 0 AND tf_hash > 0 AND tf_dup > 0
+      ORDER BY doc_id"""))
+
   val all: Seq[GQuery] =
-    Seq(index_postings, bm25_topk, bm25_join_topk, phrase_query)
+    Seq(index_postings, bm25_topk, bm25_join_topk, phrase_query,
+      conjunctive_query)
 }

@@ -1,0 +1,147 @@
+package graft.queries
+
+import graft.{Registry, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** Property pins for the round-9 fourth wave, beyond the oracle gates:
+  * BPE merge rounds reproduce a HAND-COMPUTED merge table on a planted
+  * dictionary (pinning greedy-replace overlap semantics, re-merge of
+  * already-merged symbols, and the count-tie lhs tie-break),
+  * asof_nearest's direction/tie choices are pinned on planted boundary
+  * cases, and the PMI and AND-query outputs agree with independent
+  * driver-side recounts. Semantics pins at sf0.001 / synthetic inputs,
+  * not scale runs. */
+class Round9dSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def withPlant(prefix: String)(body: String => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toString
+    try body(dir)
+    finally {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("bpe_train: reproduces a hand-computed merge table, including " +
+      "overlap counting, re-merges, and the count-tie tie-break") {
+    import spark.implicits._
+    withPlant("graft-bpe-plant") { dir =>
+      // word histogram: aaa*30 xyxy*10 xzw*6 pqr*4 pq*3 qr*3
+      // (172 initial symbols). Hand-run of 5 greedy merge rounds:
+      //  r1 (a,a):   pre-merge pair count 60 (overlaps COUNTED), but
+      //              greedy replace rewrites only 30 -> 142 symbols
+      //  r2 (aa,a):  30 -> 112       (re-merge of a merged symbol)
+      //  r3 (x,y):   20 -> 92
+      //  r4 (xy,xy): 10 -> 82        (merged-pair self-merge)
+      //  r5 (p,q):   7, TIED with (q,r) at 7 -> lhs 'p' < 'q' wins
+      //              -> 75
+      val words = Seq("aaa" -> 30, "xyxy" -> 10, "xzw" -> 6,
+        "pqr" -> 4, "pq" -> 3, "qr" -> 3)
+      val text = words.flatMap { case (w, n) => Seq.fill(n)(w) }
+        .mkString(" ")
+      Seq((0L, text, "en", "src0", text.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      val got = Registry.queryMap("bpe_train")(spark, dir)
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getLong(3), r.getLong(4)))
+        .toSeq
+      val want = Seq(
+        (1, "a", "a", 60L, 142L),
+        (2, "aa", "a", 30L, 112L),
+        (3, "x", "y", 20L, 92L),
+        (4, "xy", "xy", 10L, 82L),
+        (5, "p", "q", 7L, 75L))
+      assert(got == want, s"merge table mismatch:\n$got\nvs\n$want")
+    }
+  }
+
+  test("asof_nearest: planted boundary cases pin direction choice, " +
+      "the distance tie to backward, and no-click drop") {
+    import spark.implicits._
+    withPlant("graft-asofn-plant") { dir =>
+      // user 1: clicks at 100s and 200s (event_ids 1001, 1002);
+      // purchases probing every boundary. user 2: purchase, no
+      // clicks -> dropped.
+      val evs = Seq(
+        (1001L, 100L, 1L, "click"),
+        (1002L, 200L, 1L, "click"),
+        (1L, 50L, 1L, "purchase"), //  before all  -> f, 1001, 50
+        (2L, 149L, 1L, "purchase"), // nearer 100  -> b, 1001, 49
+        (3L, 150L, 1L, "purchase"), // exact tie   -> b, 1001, 50
+        (4L, 151L, 1L, "purchase"), // nearer 200  -> f, 1002, 49
+        (5L, 200L, 1L, "purchase"), // at a click  -> b, 1002, 0
+        (6L, 300L, 1L, "purchase"), // after all   -> b, 1002, 100
+        (7L, 123L, 2L, "purchase")) // no clicks   -> dropped
+      evs.toDF("event_id", "sec", "user_id", "event_type")
+        .select($"event_id", timestamp_micros($"sec" * 1000000L).as("ts"),
+          $"user_id", $"event_type", lit(1.0).as("value"),
+          lit("{}").as("props"))
+        .write.parquet(s"$dir/events.parquet")
+      val got = Registry.queryMap("asof_nearest")(spark, dir)
+        .collect()
+        .map(r => r.getLong(1) ->
+          (r.getLong(2), r.getString(3), r.getLong(4)))
+        .toMap
+      val want = Map(
+        1L -> (1001L, "f", 50000000L),
+        2L -> (1001L, "b", 49000000L),
+        3L -> (1001L, "b", 50000000L),
+        4L -> (1002L, "f", 49000000L),
+        5L -> (1002L, "b", 0L),
+        6L -> (1002L, "b", 100000000L))
+      assert(got == want, s"asof_nearest mismatch:\n$got\nvs\n$want")
+    }
+  }
+
+  test("collocations_pmi: lift_micro equals an independent driver-side " +
+      "recompute from raw counts, ordered and support-filtered") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val toks = docs.select(split($"text", " ").as("t")).collect()
+      .map(_.getSeq[String](0))
+    val uni = toks.flatten.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val n = uni.values.sum
+    val bi = toks.flatMap(t => t.sliding(2).filter(_.size == 2)
+        .map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter(_._2 >= 5)
+    val expect = bi.toSeq.map { case ((a, b), cxy) =>
+      val lift = (BigInt(cxy) * n * 1000000L) / (BigInt(uni(a)) * uni(b))
+      (a, b, cxy, uni(a), uni(b), lift.toLong)
+    }.sortBy { case (a, b, _, _, _, l) => (-l, a, b) }.take(15)
+    val got = Registry.queryMap("collocations_pmi")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSeq
+    assert(got == expect, s"PMI mismatch:\n$got\nvs\n$expect")
+  }
+
+  test("conjunctive_query: exactly the docs whose token set contains " +
+      "all three terms, with exact per-term frequencies") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", split(lower($"text"), " ").as("t")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[String](1).filter(_.nonEmpty))
+    val expect = docs.flatMap { case (id, t) =>
+      val (ta, ha, du) = (t.count(_ == "table").toLong,
+        t.count(_ == "hash").toLong, t.count(_ == "dup").toLong)
+      if (ta > 0 && ha > 0 && du > 0) Some(id -> (ta, ha, du)) else None
+    }.toMap
+    val got = Registry.queryMap("conjunctive_query")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == expect,
+      s"AND-query mismatch: ${got.size} vs ${expect.size} docs")
+  }
+}
