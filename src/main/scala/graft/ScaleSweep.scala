@@ -86,7 +86,11 @@ object ScaleSweep {
     // NDV + CUSUM changepoint (events), incremental edge maintenance
     // (lineitem)
     "phrase_query", "ndv_sketch_merge", "cusum_changepoint",
-    "graph_ivm_edges")
+    "graph_ivm_edges",
+    // round-9 fourth wave: tokenizer induction + collocations + AND
+    // retrieval (documents), nearest as-of (events)
+    "bpe_train", "collocations_pmi", "conjunctive_query",
+    "asof_nearest")
   // fk_violations is EXCLUDED: it joins customer/part, which MkScale
   // does not scale - a sweep would measure a mixed-scale plan.
   // pareto_frontier is excluded for the same reason (part-backed);
