@@ -232,63 +232,92 @@ object Analytics {
     * keep round k from replanning rounds 1..k−1, and the corpus scan
     * happens exactly once. The oracle is a GENERATED 5-deep unrolled
     * CTE chain of the same recurrence. */
-  val bpe_train: GQuery = {
-    val steps = 5
+  private val bpeSteps = 5
+
+  /** The BPE merge loop shared by [[bpe_train]] and [[bpe_encode]]:
+    * word histogram (the one corpus pass) → `bpeSteps` greedy merge
+    * rounds over the dictionary. Returns the final dictionary state
+    * (w, wr, n) and the per-step 1-row merge frames. Rounds are
+    * lineage-cut so round k never replans rounds 1..k−1. */
+  private def bpeMergeLoop(s: org.apache.spark.sql.SparkSession,
+      d: String): (org.apache.spark.sql.DataFrame,
+      Seq[org.apache.spark.sql.DataFrame]) = {
+    import s.implicits._
+    val hist = T.documents(s, d)
+      .select(explode(split($"text", " ")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("n"))
+    var state = hist
+      .select($"w", regexp_replace($"w", "(.)", "#$1#").as("wr"), $"n")
+      .localCheckpoint()
+    val rows = (1 to bpeSteps).map { step =>
+      val toksd = state.select(
+        split(expr("substring(wr, 2, length(wr) - 2)"), "##").as("t"),
+        $"n")
+      val win = toksd.filter(size($"t") >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(t) - 2)," +
+            " i -> struct(t[i] AS a, t[i + 1] AS b))")).as("p"), $"n")
+        .select($"p.a".as("lhs"), $"p.b".as("rhs"), $"n")
+        .groupBy($"lhs", $"rhs").agg(sum($"n").as("n_merged"))
+        .orderBy($"n_merged".desc, $"lhs", $"rhs").limit(1)
+        .localCheckpoint()
+      state = state.crossJoin(broadcast(win))
+        .select($"w", expr(
+          "replace(wr, '#' || lhs || '##' || rhs || '#'," +
+            " '#' || lhs || rhs || '#')").as("wr"), $"n")
+        .localCheckpoint()
+      val after = state.agg(
+        sum($"n" * size(split(
+          expr("substring(wr, 2, length(wr) - 2)"), "##")))
+          .as("symbols_after"))
+      win.crossJoin(broadcast(after))
+        .select(lit(step).as("step"), $"lhs", $"rhs",
+          $"n_merged", $"symbols_after")
+    }
+    (state, rows)
+  }
+
+  /** The generated WITH-chain both BPE oracles share: histogram, s0,
+    * then (pairs → argmax → merged state) per round, states carrying
+    * the original word `w` through every round. */
+  private def bpeOracleChain: String = {
+    val rounds = (1 to bpeSteps).map { k =>
+      s"""t$k AS (
+        SELECT string_split(substr(wr, 2, length(wr) - 2), '##')
+                 AS t, n
+        FROM s${k - 1}),
+      m$k AS (
+        SELECT t[i] AS lhs, t[i + 1] AS rhs,
+               CAST(SUM(n) AS BIGINT) AS n_merged
+        FROM t$k, LATERAL (SELECT UNNEST(range(1, len(t))) AS i) ix
+        WHERE len(t) >= 2
+        GROUP BY 1, 2 ORDER BY n_merged DESC, lhs, rhs LIMIT 1),
+      s$k AS (
+        SELECT w, replace(wr, '#' || lhs || '##' || rhs || '#',
+                       '#' || lhs || rhs || '#') AS wr, n
+        FROM s${k - 1}, m$k)"""
+    }.mkString(",\n      ")
+    s"""WITH h AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        GROUP BY w),
+      s0 AS (
+        SELECT w, regexp_replace(w, '(.)', '#\\1#', 'g') AS wr, n
+        FROM h),
+      $rounds"""
+  }
+
+  val bpe_train: GQuery =
     GQuery(
       "bpe_train",
       (s, d) => {
         import s.implicits._
-        val hist = T.documents(s, d)
-          .select(explode(split($"text", " ")).as("w"))
-          .groupBy($"w").agg(count(lit(1)).as("n"))
-        var state = hist
-          .select(regexp_replace($"w", "(.)", "#$1#").as("wr"), $"n")
-          .localCheckpoint()
-        val out = (1 to steps).map { step =>
-          val toksd = state.select(
-            split(expr("substring(wr, 2, length(wr) - 2)"), "##").as("t"),
-            $"n")
-          val win = toksd.filter(size($"t") >= 2)
-            .select(explode(expr(
-              "transform(sequence(0, size(t) - 2)," +
-                " i -> struct(t[i] AS a, t[i + 1] AS b))")).as("p"), $"n")
-            .select($"p.a".as("lhs"), $"p.b".as("rhs"), $"n")
-            .groupBy($"lhs", $"rhs").agg(sum($"n").as("n_merged"))
-            .orderBy($"n_merged".desc, $"lhs", $"rhs").limit(1)
-            .localCheckpoint()
-          state = state.crossJoin(broadcast(win))
-            .select(expr(
-              "replace(wr, '#' || lhs || '##' || rhs || '#'," +
-                " '#' || lhs || rhs || '#')").as("wr"), $"n")
-            .localCheckpoint()
-          val after = state.agg(
-            sum($"n" * size(split(
-              expr("substring(wr, 2, length(wr) - 2)"), "##")))
-              .as("symbols_after"))
-          win.crossJoin(broadcast(after))
-            .select(lit(step).as("step"), $"lhs", $"rhs",
-              $"n_merged", $"symbols_after")
-        }
-        out.reduce(_ unionByName _).orderBy($"step")
+        val (_, rows) = bpeMergeLoop(s, d)
+        rows.reduce(_ unionByName _).orderBy($"step")
       },
       Some {
-        val rounds = (1 to steps).map { k =>
-          s"""t$k AS (
-            SELECT string_split(substr(wr, 2, length(wr) - 2), '##')
-                     AS t, n
-            FROM s${k - 1}),
-          m$k AS (
-            SELECT t[i] AS lhs, t[i + 1] AS rhs,
-                   CAST(SUM(n) AS BIGINT) AS n_merged
-            FROM t$k, LATERAL (SELECT UNNEST(range(1, len(t))) AS i) ix
-            WHERE len(t) >= 2
-            GROUP BY 1, 2 ORDER BY n_merged DESC, lhs, rhs LIMIT 1),
-          s$k AS (
-            SELECT replace(wr, '#' || lhs || '##' || rhs || '#',
-                           '#' || lhs || rhs || '#') AS wr, n
-            FROM s${k - 1}, m$k)"""
-        }.mkString(",\n          ")
-        val selects = (1 to steps).map { k =>
+        val selects = (1 to bpeSteps).map { k =>
           s"""SELECT $k AS step, lhs, rhs, n_merged,
             (SELECT CAST(SUM(n * len(string_split(
                        substr(wr, 2, length(wr) - 2), '##'))) AS BIGINT)
@@ -296,19 +325,56 @@ object Analytics {
           FROM m$k"""
         }.mkString("\n          UNION ALL\n          ")
         s"""
-          WITH h AS (
-            SELECT w, CAST(COUNT(*) AS BIGINT) AS n
-            FROM (SELECT unnest(string_split(text, ' ')) AS w
-                  FROM documents)
-            GROUP BY w),
-          s0 AS (
-            SELECT regexp_replace(w, '(.)', '#\\1#', 'g') AS wr, n
-            FROM h),
-          $rounds
+          $bpeOracleChain
           $selects
           ORDER BY step"""
       })
-  }
+
+  /** BPE ENCODING — apply the learned merges back to the corpus and
+    * gate per-document token counts (whitespace vs BPE), i.e. "token
+    * counting with a BPE tokenizer", the number every training-data
+    * budget is denominated in. The scalable encode NEVER re-tokenizes
+    * document text: the merge loop already produced the dictionary's
+    * final tokenization, so encoding is `n_tok(word)` computed once
+    * per DISTINCT word and BROADCAST-joined onto the corpus token
+    * stream — the corpus pays one explode + one broadcast hash join +
+    * one doc-keyed aggregate with map-side partials, and the merge
+    * machinery stays vocabulary-bounded. The oracle re-derives the
+    * same 5 merges through the generated CTE chain and joins the
+    * word→token-count map the textbook way. `n_bpe_tokens ≤
+    * n_ws_tokens · max-word-length` and ≥ n_ws_tokens by
+    * construction; both counts are exact longs in the gate. */
+  val bpe_encode: GQuery =
+    GQuery(
+      "bpe_encode",
+      (s, d) => {
+        import s.implicits._
+        val (state, _) = bpeMergeLoop(s, d)
+        val ntok = state.select($"w",
+          size(split(expr("substring(wr, 2, length(wr) - 2)"), "##"))
+            .cast("long").as("n_tok"))
+        T.documents(s, d)
+          .select($"doc_id", explode(split($"text", " ")).as("w"))
+          .join(broadcast(ntok), "w")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_ws_tokens"),
+            sum($"n_tok").as("n_bpe_tokens"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        $bpeOracleChain,
+        nt AS (
+          SELECT w, CAST(len(string_split(
+                   substr(wr, 2, length(wr) - 2), '##')) AS BIGINT)
+                   AS n_tok
+          FROM s$bpeSteps),
+        dw AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ws_tokens,
+               CAST(SUM(n_tok) AS BIGINT) AS n_bpe_tokens
+        FROM dw JOIN nt USING (w)
+        GROUP BY doc_id ORDER BY doc_id"""))
 
   /** Label-balance report: per language, the Gini impurity of its
     * source distribution (1 − Σc²/n²) — the class-balance check a
@@ -999,5 +1065,5 @@ object Analytics {
     vocab_coverage, label_gini, funnel_steps, corr_matrix_exact,
     window_distinct_users, pareto_frontier, retention_cohorts,
     event_transitions, quality_threshold_sweep, ndv_sketch_merge,
-    cusum_changepoint, collocations_pmi, bpe_train)
+    cusum_changepoint, collocations_pmi, bpe_train, bpe_encode)
 }

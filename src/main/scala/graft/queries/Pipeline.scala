@@ -2695,6 +2695,81 @@ object Pipeline {
       FROM x GROUP BY seq_id ORDER BY seq_id"""
     })
 
+  /** Cross-source contamination matrix: 3-token-shingle Jaccard
+    * similarity between every source pair — the "how much does corpus
+    * A leak into corpus B" report a release manager reads before
+    * mixing sources (decontaminate answers it against a benchmark;
+    * this answers it between the sources themselves). Whole-doc
+    * fingerprints would gate an all-zero matrix here (exact dups are
+    * within-source by construction), so the overlap unit is the
+    * DISTINCT (source, shingle) pair — the same ShingleSet kernel the
+    * dedup family uses.
+    *
+    * Scale shape: one explode + one (source, shingle) distinct (the
+    * only corpus-sized exchange), then a shingle-keyed wedge join
+    * whose per-shingle fanout is bounded by the SOURCE count (≤
+    * C(n_src, 2) pairs per shingle — the graph_jaccard geometry, never
+    * doc×doc), per-source sizes off one tiny keyed count, and the
+    * full matrix completed by a broadcast cross of the source list
+    * (n_src² rows) so ZERO-overlap pairs gate too. Jaccard is exact
+    * integers end-to-end: micro-units via (shared·10⁶) DIV
+    * (n_a + n_b − shared) through DECIMAL(38,0)/HUGEINT (shared ≤
+    * distinct shingles ~10¹¹ at 100 TB; ·10⁶ = 10¹⁷ < 2⁶³, widened
+    * anyway per house rule). */
+  val source_overlap = GQuery(
+    "source_overlap",
+    (s, d) => {
+      import s.implicits._
+      import graft.functions.HashExprs
+      val sh = T.documents(s, d)
+        .select($"source",
+          explode(HashExprs.shingleSet(split($"text", " "), 3)).as("sh"))
+        .distinct()
+      val per = sh.groupBy($"source").agg(count(lit(1)).as("n"))
+      val shared = sh.as("a").join(sh.as("b"),
+          col("a.sh") === col("b.sh") &&
+            col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("shared"))
+      per.select($"source".as("src_a"), $"n".as("n_a"))
+        .crossJoin(broadcast(
+          per.select($"source".as("src_b"), $"n".as("n_b"))))
+        .filter($"src_a" < $"src_b")
+        .join(shared, Seq("src_a", "src_b"), "left")
+        .na.fill(0L, Seq("shared"))
+        .select($"src_a", $"src_b", $"n_a", $"n_b", $"shared",
+          expr("""CAST(CAST(shared AS DECIMAL(38,0)) * 1000000
+                       DIV (CAST(n_a AS DECIMAL(38,0)) + n_b - shared)
+                  AS BIGINT)""").as("jaccard_micro"))
+        .orderBy($"src_a", $"src_b")
+    },
+    Some("""
+      WITH t AS (
+        SELECT source, string_split(text, ' ') AS t FROM documents),
+      sh AS (
+        SELECT DISTINCT source,
+               t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS sh
+        FROM t, LATERAL (SELECT UNNEST(range(1, len(t) - 1)) AS i) ix
+        WHERE len(t) >= 3),
+      per AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+        FROM sh GROUP BY source),
+      pw AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(COUNT(*) AS BIGINT) AS shared
+        FROM sh a JOIN sh b
+          ON a.sh = b.sh AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT pa.source AS src_a, pb.source AS src_b,
+             pa.n AS n_a, pb.n AS n_b,
+             COALESCE(pw.shared, 0) AS shared,
+             CAST(CAST(COALESCE(pw.shared, 0) AS HUGEINT) * 1000000
+                  // (pa.n + pb.n - COALESCE(pw.shared, 0)) AS BIGINT)
+               AS jaccard_micro
+      FROM per pa JOIN per pb ON pa.source < pb.source
+      LEFT JOIN pw ON pw.src_a = pa.source AND pw.src_b = pb.source
+      ORDER BY src_a, src_b"""))
+
   val all: Seq[GQuery] = Seq(dedup_canonical,
     dedup_exact, dedup_incremental, dedup_spans, fuzzy_match_blocked,
     dedup_minhash_lsh, dedup_simhash, dedup_ngram_jaccard,
@@ -2713,5 +2788,5 @@ object Pipeline {
     heavy_hitters, text_tfidf,
     upsert_snapshot, upsert_time_travel, layout_report,
     zorder_curve, layout_zorder, partition_prune, bucketed_join,
-    corpus_release_e2e)
+    corpus_release_e2e, source_overlap)
 }

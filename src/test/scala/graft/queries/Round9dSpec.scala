@@ -62,6 +62,53 @@ class Round9dSpec extends SparkSpec {
     }
   }
 
+  test("bpe_encode: planted dictionary encodes to the hand-computed " +
+      "per-doc token counts (and matches symbols_after at step 5)") {
+    import spark.implicits._
+    withPlant("graft-bpee-plant") { dir =>
+      // same dictionary as the bpe_train plant; after the 5 merges
+      // the words tokenize as: aaa->1, xyxy->1, xzw->3, pqr->2,
+      // pq->1, qr->2 => n_bpe = 30+10+18+8+3+6 = 75 (= the pinned
+      // step-5 symbols_after, as it must), n_ws = 56.
+      val words = Seq("aaa" -> 30, "xyxy" -> 10, "xzw" -> 6,
+        "pqr" -> 4, "pq" -> 3, "qr" -> 3)
+      val text = words.flatMap { case (w, n) => Seq.fill(n)(w) }
+        .mkString(" ")
+      Seq((0L, text, "en", "src0", text.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      val got = Registry.queryMap("bpe_encode")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.toSeq == Seq((0L, 56L, 75L)),
+        s"encode mismatch: ${got.toSeq}")
+    }
+  }
+
+  test("source_overlap: planted sources pin shingle-set Jaccard, " +
+      "within-source dedup, and zero-overlap matrix completion") {
+    import spark.implicits._
+    withPlant("graft-srcov-plant") { dir =>
+      // srcA: {a b c, b c d} (duplicated doc must NOT double-count),
+      // srcB: {b c d, c d e} -> shared 1, union 3 -> 333333 micro.
+      // srcC: {z z z} -> zero overlap with both (rows still present).
+      val docs = Seq(
+        (0L, "a b c d", "srcA"), (1L, "a b c d", "srcA"),
+        (2L, "b c d e", "srcB"), (3L, "z z z z z", "srcC"))
+      docs.toDF("doc_id", "text", "source")
+        .select($"doc_id", $"text", lit("en").as("lang"), $"source",
+          length($"text").cast("long").as("n_chars"))
+        .write.parquet(s"$dir/documents.parquet")
+      val got = Registry.queryMap("source_overlap")(spark, dir)
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      val want = Seq(
+        ("srcA", "srcB", 2L, 2L, 1L, 333333L),
+        ("srcA", "srcC", 2L, 1L, 0L, 0L),
+        ("srcB", "srcC", 2L, 1L, 0L, 0L))
+      assert(got.toSeq == want, s"overlap mismatch: ${got.toSeq}")
+    }
+  }
+
   test("asof_nearest: planted boundary cases pin direction choice, " +
       "the distance tie to backward, and no-click drop") {
     import spark.implicits._
