@@ -90,7 +90,10 @@ object ScaleSweep {
     // round-9 fourth wave: tokenizer induction + collocations + AND
     // retrieval (documents), nearest as-of (events)
     "bpe_train", "collocations_pmi", "conjunctive_query",
-    "asof_nearest")
+    "asof_nearest",
+    // round-9 fifth wave: BPE corpus encoding + cross-source
+    // contamination matrix (documents)
+    "bpe_encode", "source_overlap")
   // fk_violations is EXCLUDED: it joins customer/part, which MkScale
   // does not scale - a sweep would measure a mixed-scale plan.
   // pareto_frontier is excluded for the same reason (part-backed);
