@@ -182,11 +182,16 @@ object AsOfJoin {
     val wf = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("__ts").desc, col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = pAll.foldLeft(unioned)((df, p) =>
+    // all backward carries first, then all forward: CollapseWindow
+    // only merges ADJACENT same-spec windows, so interleaving b/f per
+    // payload would plan 2·|payload| Window nodes (and sorts) where
+    // grouping plans exactly two
+    val withB = pAll.foldLeft(unioned)((df, p) =>
       df.withColumn(s"__b_$p",
-          last(col(s"__p_$p"), ignoreNulls = true).over(wb))
-        .withColumn(s"__f_$p",
-          last(col(s"__p_$p"), ignoreNulls = true).over(wf)))
+        last(col(s"__p_$p"), ignoreNulls = true).over(wb)))
+    val carried = pAll.foldLeft(withB)((df, p) =>
+      df.withColumn(s"__f_$p",
+        last(col(s"__p_$p"), ignoreNulls = true).over(wf)))
     val bTs = col("__b___rts")
     val fTs = col("__f___rts")
     val useB = bTs.isNotNull &&

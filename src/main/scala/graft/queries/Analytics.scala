@@ -162,15 +162,35 @@ object Analytics {
     (s, d) => {
       import s.implicits._
       val toksDf = T.documents(s, d).select(split($"text", " ").as("t"))
-      val uni = toksDf.select(explode($"t").as("tok"))
-        .groupBy($"tok").agg(count(lit(1)).as("c"))
-      val tot = uni.agg(sum($"c").as("n_tokens"))
-      val bi = toksDf.filter(size($"t") >= 2)
+      // ONE corpus pass feeds everything: each token occurrence
+      // generates exactly one (token, next-token-or-NULL) struct, so
+      // the single (a, b)-keyed count — vocab²-bounded — yields the
+      // bigram table directly AND the unigram counts by summing over
+      // b (every occurrence is `a` exactly once). The naive spelling
+      // (separate unigram + bigram aggregates, unigram referenced by
+      // both joins and the total) replans per reference and scans the
+      // corpus 4×. The lineage cut pins the sharing; the cut state is
+      // vocabulary-squared-bounded, never corpus-sized. The i-indexed
+      // transform stays in bounds by construction (t[i-1] for
+      // i ∈ 1..|t|; the CASE guards t[i]) — no sequence(0, -1)
+      // downward hazard on 1-token docs.
+      val counts = toksDf.filter(size($"t") >= 1)
         .select(explode(expr(
-          "transform(sequence(0, size(t) - 2)," +
-            " i -> struct(t[i] AS a, t[i + 1] AS b))")).as("bg"))
-        .select($"bg.a".as("a"), $"bg.b".as("b"))
-        .groupBy($"a", $"b").agg(count(lit(1)).as("c_xy"))
+          "transform(sequence(1, size(t))," +
+            " i -> struct(t[i - 1] AS a," +
+            " CASE WHEN i < size(t) THEN t[i] ELSE NULL END AS b))"))
+          .as("p"))
+        .groupBy($"p.a".as("a"), $"p.b".as("b"))
+        .agg(count(lit(1)).as("c"))
+        // vocab²-bounded: collapse to one partition before the cut so
+        // the materialization is one task, not 32 near-empty ones
+        .coalesce(1)
+        .localCheckpoint()
+      val uni = counts.groupBy($"a").agg(sum($"c").as("c"))
+        .select($"a".as("tok"), $"c")
+      val tot = uni.agg(sum($"c").as("n_tokens"))
+      val bi = counts.filter($"b".isNotNull)
+        .select($"a", $"b", $"c".as("c_xy"))
         .filter($"c_xy" >= 5)
       bi.join(uni.select($"tok".as("a"), $"c".as("c_a")), "a")
         .join(uni.select($"tok".as("b"), $"c".as("c_b")), "b")

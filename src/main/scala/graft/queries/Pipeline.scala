@@ -2721,10 +2721,19 @@ object Pipeline {
     (s, d) => {
       import s.implicits._
       import graft.functions.HashExprs
+      // the distinct (source, shingle) table feeds THREE subplans
+      // (per-source sizes + both sides of the wedge join); Spark
+      // replans each reference, so the lineage cut is what makes
+      // "one corpus-sized exchange" true — without it the corpus is
+      // shingled and deduped three times. At 100 TB this is the
+      // derive-once/persist call (the graph lifecycle-table shape),
+      // and the cut state is the DEDUPED shingle set, already far
+      // smaller than the corpus on any real (replicated) corpus.
       val sh = T.documents(s, d)
         .select($"source",
           explode(HashExprs.shingleSet(split($"text", " "), 3)).as("sh"))
         .distinct()
+        .localCheckpoint()
       val per = sh.groupBy($"source").agg(count(lit(1)).as("n"))
       val shared = sh.as("a").join(sh.as("b"),
           col("a.sh") === col("b.sh") &&

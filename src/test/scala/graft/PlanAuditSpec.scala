@@ -595,4 +595,52 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("NestedLoop"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("r9d: asof_nearest carries BOTH directions through exactly two " +
+      "Window nodes over one union exchange") {
+    val p = plan("asof_nearest", "simple")
+    // CollapseWindow must leave exactly 2 Window nodes (b-carries,
+    // f-carries); the interleaved fold would plan 4
+    assert(p.split("Window").length - 1 == 2,
+      "window-node count changed:\n" + p)
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+    // exchanges: clicks pre-agg + union key shuffle + output ordering
+    assert(p.split("Exchange").length - 1 == 3, "exchanges changed:\n" + p)
+  }
+
+  test("r9d: conjunctive_query filters the token stream BEFORE the doc " +
+      "exchange and aggregates without Expand") {
+    val p = plan("conjunctive_query")
+    // the isin filter must sit under Generate's output, pre-exchange
+    assert(p.contains("term#") && p.contains("Generate"), p)
+    assert(!p.contains("Expand"), "countDistinct-style Expand crept in:\n" + p)
+    val simple = plan("conjunctive_query", "simple")
+    // doc-keyed agg + output ordering only
+    assert(simple.split("Exchange").length - 1 == 2,
+      "exchanges changed:\n" + simple)
+  }
+
+  test("r9d: collocations_pmi tops out as TakeOrderedAndProject with " +
+      "vocabulary joins broadcast") {
+    val p = plan("collocations_pmi", "simple")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "vocab join fell back to SMJ:\n" + p)
+  }
+
+  test("r9e: source_overlap completes the matrix by broadcast (never " +
+      "CartesianProduct) and joins shingles hash-to-hash") {
+    val p = plan("source_overlap", "simple")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // the n_src² cross
+  }
+
+  test("r9d/e: the BPE corpus stages — histogram once, encode via " +
+      "broadcast dictionary join") {
+    val enc = plan("bpe_encode", "simple")
+    assert(enc.contains("BroadcastHashJoin"),
+      "dictionary encode join not broadcast:\n" + enc)
+    assert(!enc.contains("SortMergeJoin"), enc)
+  }
 }
