@@ -93,7 +93,10 @@ object ScaleSweep {
     "asof_nearest",
     // round-9 fifth wave: BPE corpus encoding + cross-source
     // contamination matrix (documents)
-    "bpe_encode", "source_overlap")
+    "bpe_encode", "source_overlap",
+    // round-9 sixth wave: truncation quality curve (embeddings),
+    // two-phase per-group top-k (orders)
+    "embed_truncate", "topk_per_group")
   // fk_violations is EXCLUDED: it joins customer/part, which MkScale
   // does not scale - a sweep would measure a mixed-scale plan.
   // pareto_frontier is excluded for the same reason (part-backed);

@@ -117,6 +117,85 @@ object Prep {
              MAX(ABS(q * amax / 127 - v)) AS max_err
       FROM q GROUP BY dim ORDER BY dim"""))
 
+  /** Matryoshka-style truncation quality curve: how much retrieval
+    * geometry survives keeping only the first k of 64 embedding
+    * dimensions — the report that decides whether a corpus can ship
+    * truncated vectors (4×/8× cheaper ANN) without re-embedding.
+    * Because a truncated vector is the PREFIX of the full one,
+    * cos(full, trunc_k) has the closed form √(E_k/E_64) where E_k is
+    * the prefix energy Σ_{i<k} v_i² — so the whole curve is three
+    * extra left-folds per row, no second vector table and no joins.
+    * Determinism discipline: each fold is the identical IEEE tree on
+    * both engines (cast-to-double square, left-to-right additions —
+    * the list_reduce(list_prepend) oracle spelling), √ and / are
+    * correctly rounded (gateable; ln is not), per-row cosines are cast
+    * to DECIMAL(38,12) before the cross-row SUM so the label averages
+    * are exact until the final round(…, 6). Zero vectors are excluded
+    * by the same E_64 > 0 predicate on both engines. Shape at 100 TB:
+    * one scan, one label-keyed aggregate with map-side partials —
+    * nothing else. */
+  val embed_truncate = GQuery(
+    "embed_truncate",
+    (s, d) => {
+      import s.implicits._
+      def energy(k: Int): org.apache.spark.sql.Column = expr(
+        s"aggregate(slice(embedding, 1, $k), 0D," +
+          " (acc, x) -> acc + (CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,12)")
+      T.embeddings(s, d)
+        .select($"label", energy(8).as("e8"), energy(16).as("e16"),
+          energy(32).as("e32"), energy(64).as("e64"))
+        .filter($"e64" > 0d)
+        .select($"label",
+          dec(sqrt($"e8" / $"e64")).as("c8"),
+          dec(sqrt($"e16" / $"e64")).as("c16"),
+          dec(sqrt($"e32" / $"e64")).as("c32"),
+          sqrt($"e32" / $"e64").as("c32d"))
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n"),
+          round(sum($"c8").cast("double") / count(lit(1)), 6)
+            .as("avg_cos_8"),
+          round(sum($"c16").cast("double") / count(lit(1)), 6)
+            .as("avg_cos_16"),
+          round(sum($"c32").cast("double") / count(lit(1)), 6)
+            .as("avg_cos_32"),
+          min($"c32d").as("min_cos_32"))
+        .orderBy($"label")
+    },
+    Some("""
+      WITH e AS (
+        SELECT label,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(embedding[1:8],
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                 (acc, x) -> acc + x) AS e8,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(embedding[1:16],
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                 (acc, x) -> acc + x) AS e16,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(embedding[1:32],
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                 (acc, x) -> acc + x) AS e32,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(embedding[1:64],
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                 (acc, x) -> acc + x) AS e64
+        FROM embeddings),
+      c AS (
+        SELECT label,
+               CAST(SQRT(e8 / e64) AS DECIMAL(38,12)) AS c8,
+               CAST(SQRT(e16 / e64) AS DECIMAL(38,12)) AS c16,
+               CAST(SQRT(e32 / e64) AS DECIMAL(38,12)) AS c32,
+               SQRT(e32 / e64) AS c32d
+        FROM e WHERE e64 > 0)
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(CAST(SUM(c8) AS DOUBLE) / COUNT(*), 6) AS avg_cos_8,
+             ROUND(CAST(SUM(c16) AS DOUBLE) / COUNT(*), 6) AS avg_cos_16,
+             ROUND(CAST(SUM(c32) AS DOUBLE) / COUNT(*), 6) AS avg_cos_32,
+             MIN(c32d) AS min_cos_32
+      FROM c GROUP BY label ORDER BY label"""))
+
   /** Keyed pseudonymization of the user-id column (the release-side
     * companion to text_pii_scrub): pseudonym = SHA-256 over a salted
     * rendering of the id, with the injectivity certificate IN the
@@ -727,7 +806,8 @@ object Prep {
       FROM g GROUP BY fold ORDER BY fold"""))
 
   val all: Seq[GQuery] =
-    Seq(chunk_windows, embed_quant_int8, anonymize_ids, kanon_suppress,
+    Seq(chunk_windows, embed_quant_int8, embed_truncate,
+      anonymize_ids, kanon_suppress,
       drift_chi2, fk_violations, source_cap, source_cap_agg, chunk_dedup,
       znorm_features, winsorize_clip, winsorize_approx,
       split_time_embargo)

@@ -818,8 +818,41 @@ object Relational {
              CAST(SUM(cents) AS BIGINT) AS sum_cents
       FROM c, s GROUP BY 1 ORDER BY 1"""))
 
+  /** Per-group top-k — the "3 biggest orders per priority class"
+    * report, the single most common window use. The point of the gate
+    * is the PLAN: Spark rewrites `row_number ≤ k` into
+    * WindowGroupLimit, and with spark.sql.window.group.limit enabled
+    * it plans TWO-PHASE — a Partial WindowGroupLimit keeps a k-heap
+    * per map task BEFORE the group exchange, so at 100 TB the shuffle
+    * carries ≤ k rows per (task × group), not the whole table (the
+    * map-side-combine of windows). PlanAuditSpec pins both phases.
+    * Total tie-break (o_totalprice DESC, o_orderkey) makes row_number
+    * deterministic, so the rows hash-gate exactly. */
+  val topk_per_group = GQuery(
+    "topk_per_group",
+    (s, d) => {
+      import s.implicits._
+      T.orders(s, d)
+        .select($"o_orderpriority".as("grp"), $"o_orderkey",
+          $"o_totalprice")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"grp")
+            .orderBy($"o_totalprice".desc, $"o_orderkey")))
+        .filter($"rn" <= 3)
+        .select($"grp", $"rn", $"o_orderkey", $"o_totalprice")
+        .orderBy($"grp", $"rn")
+    },
+    Some("""
+      SELECT grp, rn, o_orderkey, o_totalprice
+      FROM (
+        SELECT o_orderpriority AS grp, o_orderkey, o_totalprice,
+               CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        FROM orders)
+      WHERE rn <= 3 ORDER BY grp, rn"""))
+
   val all: Seq[GQuery] = Seq(null_semantics, sample_stratified,
-    agg_rollup, agg_grouping_sets,
+    agg_rollup, agg_grouping_sets, topk_per_group,
     unpivot_measures, w3_distribution, agg_percentiles,
     agg_approx_percentile, str_funcs, hof_tokens, skew_salted_join,
     sub_exists, sub_scalar_corr, c8_calendar, agg_collect,

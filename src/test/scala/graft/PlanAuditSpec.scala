@@ -643,4 +643,24 @@ class PlanAuditSpec extends SparkSpec {
       "dictionary encode join not broadcast:\n" + enc)
     assert(!enc.contains("SortMergeJoin"), enc)
   }
+
+  test("r9f: topk_per_group plans TWO-PHASE WindowGroupLimit — the " +
+      "map-side k-heap runs BEFORE the group exchange") {
+    val p = plan("topk_per_group", "simple")
+    assert(p.split("WindowGroupLimit").length - 1 == 2,
+      "two-phase group limit lost:\n" + p)
+    // Partial phase must appear UNDER the first exchange (later in
+    // the printed tree): the shuffle carries <= k rows per task-group
+    val firstEx = p.indexOf("Exchange")
+    val lastWgl = p.lastIndexOf("WindowGroupLimit")
+    assert(lastWgl > firstEx, "partial phase not below the exchange:\n" + p)
+  }
+
+  test("r9f: embed_truncate is one scan + one label-keyed aggregate — " +
+      "no joins, no second vector pass") {
+    val p = plan("embed_truncate", "simple")
+    assert(!p.contains("Join"), "a join crept into the energy curve:\n" + p)
+    assert(p.split("Exchange").length - 1 == 2, // agg + output ordering
+      "exchanges changed:\n" + p)
+  }
 }

@@ -172,6 +172,38 @@ class Round9dSpec extends SparkSpec {
     assert(got == expect, s"PMI mismatch:\n$got\nvs\n$expect")
   }
 
+  test("embed_truncate: label averages equal an independent driver-side " +
+      "recompute of the closed-form prefix-energy cosine") {
+    import spark.implicits._
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"label", $"embedding").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1))
+    def e(v: Seq[Float], k: Int): Double =
+      v.take(k).foldLeft(0d)((acc, x) => acc + x.toDouble * x.toDouble)
+    val byLabel = vecs.filter { case (_, v) => e(v, 64) > 0 }
+      .groupBy(_._1).view.mapValues { vs =>
+        def avg(k: Int) = {
+          val s = vs.map { case (_, v) =>
+            BigDecimal(math.sqrt(e(v, k) / e(v, 64)))
+              .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+          }.sum
+          BigDecimal(s.toDouble / vs.size)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+        (vs.size.toLong, avg(8), avg(16), avg(32))
+      }.toMap
+    val got = Registry.queryMap("embed_truncate")(spark, sf)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(got == byLabel, s"truncation curve mismatch:\n$got\nvs\n$byLabel")
+    // prefix energy is monotone in k, so each row's cosine — and
+    // therefore every average — must be non-decreasing in k
+    got.values.foreach { case (_, c8, c16, c32) =>
+      assert(c8 <= c16 + 1e-9 && c16 <= c32 + 1e-9, (c8, c16, c32))
+    }
+  }
+
   test("conjunctive_query: exactly the docs whose token set contains " +
       "all three terms, with exact per-term frequencies") {
     import spark.implicits._
