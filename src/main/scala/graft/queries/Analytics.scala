@@ -149,11 +149,15 @@ object Analytics {
     * discipline) so both engines hash identically (ln is NOT gateable
     * across libms; rationals are). With the min-support filter
     * c_xy ≥ 5, lift_micro ≤ 10⁶·N/max(c_x,c_y) ≤ 2·10⁵·N — BIGINT-
-    * safe past 4·10¹³ tokens (≳100 TB of text). Shape at scale: one
-    * unigram count and one bigram count (each one keyed exchange with
-    * map-side partials), the support filter shrinks the bigram table
-    * BEFORE its two vocabulary-keyed unigram joins, the 1-row token
-    * total broadcasts back, and the top-15 plans as
+    * safe past 4·10¹³ tokens (≳100 TB of text). Shape at scale: ONE
+    * corpus pass — each token occurrence generates a single
+    * (token, next-or-NULL) struct, so one vocab²-bounded (a,b) count
+    * yields the bigram table directly and the unigram counts by
+    * summing over b (PERF.md rescue #5; the separate-aggregate
+    * spelling replanned the unigram subplan per reference and scanned
+    * the corpus 4×). The count is lineage-cut, the support filter
+    * shrinks the bigram table BEFORE its two vocabulary-keyed joins,
+    * the 1-row token total broadcasts back, and the top-15 plans as
     * TakeOrderedAndProject under the (lift DESC, a, b) total
     * tie-break — never a global sort. Tokenization is the
     * repo-canonical single-space split shared with [[ngram_topk]]. */

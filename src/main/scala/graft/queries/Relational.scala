@@ -820,9 +820,10 @@ object Relational {
 
   /** Per-group top-k — the "3 biggest orders per priority class"
     * report, the single most common window use. The point of the gate
-    * is the PLAN: Spark rewrites `row_number ≤ k` into
-    * WindowGroupLimit, and with spark.sql.window.group.limit enabled
-    * it plans TWO-PHASE — a Partial WindowGroupLimit keeps a k-heap
+    * is the PLAN: Spark's InferWindowGroupLimit rewrites
+    * `row_number ≤ k` into WindowGroupLimit whenever k is under
+    * spark.sql.window.group.limit.threshold (default 1000), and it
+    * plans TWO-PHASE — a Partial WindowGroupLimit keeps a k-heap
     * per map task BEFORE the group exchange, so at 100 TB the shuffle
     * carries ≤ k rows per (task × group), not the whole table (the
     * map-side-combine of windows). PlanAuditSpec pins both phases.
