@@ -2779,6 +2779,120 @@ object Pipeline {
       LEFT JOIN pw ON pw.src_a = pa.source AND pw.src_b = pb.source
       ORDER BY src_a, src_b"""))
 
+  /** Train/test contamination audit over the engine's own split rule —
+    * the release check run before any eval number is trusted: (1)
+    * EXACT leakage, normalized-fingerprint groups with members on both
+    * sides of the split (a test doc whose exact body is in train), and
+    * (2) n-gram NOVELTY, the fraction of distinct test-side 3-token
+    * shingles unseen in train (the memorization-risk denominator; its
+    * complement is cross-split shingle overlap). The split is
+    * byte-identically [[split_shuffle]]'s seeded md5 bucket rule
+    * (Mix.split, seed graft-r3) and the fingerprint is
+    * [[text_fingerprint]]'s md5-of-normalized-text — both spelled
+    * token-for-token in the oracle, so this gate also regression-pins
+    * that the split and fingerprint kernels stay stable. Validation
+    * docs are excluded: the audit is the train→test boundary.
+    *
+    * Shape at 100 TB: two corpus passes, each one keyed exchange —
+    * (fp)-keyed side-flag aggregate, then distinct (side, shingle) →
+    * shingle-keyed flag aggregate — folding straight into two 1-row
+    * frames joined by broadcast; nothing corpus-sized is ever
+    * retained. Counts are exact longs; novelty in integer micro-units
+    * via HUGEINT/DECIMAL DIV (novel·10⁶ ≤ 10¹⁷ at 10¹¹ distinct
+    * shingles — BIGINT-safe, widened per house rule). */
+  val split_leakage = GQuery(
+    "split_leakage",
+    (s, d) => {
+      import s.implicits._
+      import graft.functions.HashExprs
+      val sided = T.documents(s, d)
+        .select($"doc_id", $"text",
+          Mix.split($"doc_id", "graft-r3").as("split"))
+        .filter($"split" =!= "val")
+        .select($"doc_id", $"text", ($"split" === "test").as("is_test"))
+      val fpStats = sided
+        .select($"is_test", TA.fingerprint($"text").as("fp"))
+        .groupBy($"fp")
+        .agg(sum(when($"is_test", 1L).otherwise(0L)).as("n_test"),
+          sum(when(!$"is_test", 1L).otherwise(0L)).as("n_train"))
+        .agg(sum($"n_train").as("n_train_docs"),
+          sum($"n_test").as("n_test_docs"),
+          sum(when($"n_test" > 0 && $"n_train" > 0, 1L).otherwise(0L))
+            .as("exact_leak_groups"),
+          sum(when($"n_train" > 0, $"n_test").otherwise(0L))
+            .as("exact_leaked_test_docs"))
+      val shStats = sided
+        .select($"is_test",
+          explode(HashExprs.shingleSet(split($"text", " "), 3)).as("sh"))
+        .distinct()
+        .groupBy($"sh")
+        .agg(max(when($"is_test", 1L).otherwise(0L)).as("in_test"),
+          max(when(!$"is_test", 1L).otherwise(0L)).as("in_train"))
+        .agg(sum($"in_train").as("train_shingles"),
+          sum($"in_test").as("test_shingles"),
+          sum($"in_test" * $"in_train").as("overlap_shingles"))
+      fpStats.crossJoin(broadcast(shStats))
+        .select($"n_train_docs", $"n_test_docs", $"exact_leak_groups",
+          $"exact_leaked_test_docs", $"train_shingles",
+          $"test_shingles", $"overlap_shingles",
+          expr("""CAST((CAST(test_shingles - overlap_shingles
+                             AS DECIMAL(38,0)) * 1000000)
+                       DIV CAST(test_shingles AS DECIMAL(38,0))
+                  AS BIGINT)""").as("novelty_micro"))
+    },
+    Some("""
+      WITH sided AS (
+        SELECT doc_id, text,
+               (CAST(('0x' || substr(md5('graft-r3:' ||
+                  CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100)
+                 AS b
+        FROM documents),
+      st AS (
+        SELECT doc_id, text, b >= 5 AND b < 10 AS is_test
+        FROM sided WHERE b >= 5),
+      fg AS (
+        SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+                 AS fp,
+               CAST(SUM(CASE WHEN is_test THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_test,
+               CAST(SUM(CASE WHEN is_test THEN 0 ELSE 1 END)
+                 AS BIGINT) AS n_train
+        FROM st GROUP BY 1),
+      fstats AS (
+        SELECT CAST(SUM(n_train) AS BIGINT) AS n_train_docs,
+               CAST(SUM(n_test) AS BIGINT) AS n_test_docs,
+               CAST(SUM(CASE WHEN n_test > 0 AND n_train > 0 THEN 1
+                             ELSE 0 END) AS BIGINT) AS exact_leak_groups,
+               CAST(SUM(CASE WHEN n_train > 0 THEN n_test ELSE 0 END)
+                 AS BIGINT) AS exact_leaked_test_docs
+        FROM fg),
+      tk AS (SELECT is_test, string_split(text, ' ') AS t FROM st),
+      shd AS (
+        SELECT DISTINCT is_test,
+               t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS sh
+        FROM tk, LATERAL (SELECT UNNEST(range(1, len(t) - 1)) AS i) ix
+        WHERE len(t) >= 3),
+      shf AS (
+        SELECT sh,
+               CAST(MAX(CASE WHEN is_test THEN 1 ELSE 0 END)
+                 AS BIGINT) AS in_test,
+               CAST(MAX(CASE WHEN is_test THEN 0 ELSE 1 END)
+                 AS BIGINT) AS in_train
+        FROM shd GROUP BY sh),
+      sstats AS (
+        SELECT CAST(SUM(in_train) AS BIGINT) AS train_shingles,
+               CAST(SUM(in_test) AS BIGINT) AS test_shingles,
+               CAST(SUM(in_test * in_train) AS BIGINT)
+                 AS overlap_shingles
+        FROM shf)
+      SELECT n_train_docs, n_test_docs, exact_leak_groups,
+             exact_leaked_test_docs, train_shingles, test_shingles,
+             overlap_shingles,
+             CAST((CAST(test_shingles - overlap_shingles AS HUGEINT)
+                   * 1000000) // CAST(test_shingles AS HUGEINT)
+               AS BIGINT) AS novelty_micro
+      FROM fstats, sstats"""))
+
   val all: Seq[GQuery] = Seq(dedup_canonical,
     dedup_exact, dedup_incremental, dedup_spans, fuzzy_match_blocked,
     dedup_minhash_lsh, dedup_simhash, dedup_ngram_jaccard,
@@ -2797,5 +2911,5 @@ object Pipeline {
     heavy_hitters, text_tfidf,
     upsert_snapshot, upsert_time_travel, layout_report,
     zorder_curve, layout_zorder, partition_prune, bucketed_join,
-    corpus_release_e2e, source_overlap)
+    corpus_release_e2e, source_overlap, split_leakage)
 }

@@ -172,6 +172,50 @@ class Round9dSpec extends SparkSpec {
     assert(got == expect, s"PMI mismatch:\n$got\nvs\n$expect")
   }
 
+  test("split_leakage: a PLANTED cross-split exact duplicate fires the " +
+      "detector; within-side duplicates and val docs do not") {
+    import spark.implicits._
+    // the engine's split rule, recomputed independently: md5 of
+    // "graft-r3:<id>", first 8 hex chars as a long, mod 100;
+    // [0,5)=val, [5,10)=test, [10,100)=train
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"graft-r3:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % 100
+    }
+    val ids = (0L until 200L)
+    val testIds = ids.filter(i => bucket(i) >= 5 && bucket(i) < 10)
+    val trainIds = ids.filter(i => bucket(i) >= 10)
+    val valIds = ids.filter(i => bucket(i) < 5)
+    assert(testIds.size >= 2 && trainIds.size >= 3 && valIds.nonEmpty)
+    withPlant("graft-leak-plant") { dir =>
+      val leak = "x y z w v" // planted: one test + one train copy
+      val docs =
+        Seq((testIds(0), leak), (trainIds(0), leak),
+          // within-train dup pair: must NOT count as leakage
+          (trainIds(1), "p q r s t"), (trainIds(2), "p q r s t"),
+          // val doc with the leaked text: excluded from the audit
+          (valIds(0), leak),
+          (testIds(1), "a b c d e"))
+      docs.toDF("doc_id", "text")
+        .select($"doc_id", $"text", lit("en").as("lang"),
+          lit("src0").as("source"),
+          length($"text").cast("long").as("n_chars"))
+        .write.parquet(s"$dir/documents.parquet")
+      val r = Registry.queryMap("split_leakage")(spark, dir).collect()(0)
+      assert(r.getLong(0) == 3 && r.getLong(1) == 2, // train/test docs
+        s"side counts: $r")
+      assert(r.getLong(2) == 1, s"exact_leak_groups: $r")
+      assert(r.getLong(3) == 1, s"exact_leaked_test_docs: $r")
+      // shingles: test side {x y z, y z w, z w v, a b c, b c d, c d e}
+      // = 6, train {x y z, y z w, z w v, p q r, q r s, r s t} = 6,
+      // overlap 3 -> novelty (6-3)*1e6 // 6 = 500000
+      assert(r.getLong(5) == 6 && r.getLong(6) == 3 &&
+        r.getLong(7) == 500000L, s"shingle stats: $r")
+    }
+  }
+
   test("embed_truncate: label averages equal an independent driver-side " +
       "recompute of the closed-form prefix-energy cosine") {
     import spark.implicits._
