@@ -97,8 +97,9 @@ object ScaleSweep {
     // round-9 sixth wave: truncation quality curve (embeddings),
     // two-phase per-group top-k (orders)
     "embed_truncate", "topk_per_group",
-    // round-9 seventh wave: train/test contamination audit (documents)
-    "split_leakage")
+    // round-9 seventh wave: train/test contamination audit
+    // (documents) + robust MAD outlier report (events)
+    "split_leakage", "outliers_mad")
   // fk_violations is EXCLUDED: it joins customer/part, which MkScale
   // does not scale - a sweep would measure a mixed-scale plan.
   // pareto_frontier is excluded for the same reason (part-backed);

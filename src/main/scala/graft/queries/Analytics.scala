@@ -400,6 +400,70 @@ object Analytics {
         FROM dw JOIN nt USING (w)
         GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Robust outlier report per event type — median absolute deviation,
+    * the quality-filtering statistic that survives the heavy tails
+    * that break mean/σ (znorm's diagnostic complement; winsorize clips
+    * by rank, this COUNTS by robust distance). Exactness discipline:
+    * values are quantized to integer micro-units FIRST
+    * (floor(v·10⁶ + 0.5), the house tie rule), so both engines take
+    * medians of integers — an interpolated median of two ints is an
+    * exact .5 in double no matter how the engine spells the
+    * interpolation, where a raw-double median could differ in the last
+    * ulp between formulas. The outlier predicate |x − med| > 3·MAD
+    * compares exact-integer-valued doubles, so counts hash-gate.
+    * Shape: two keyed SORT-based exact-percentile aggregates over the
+    * (type, value) stream with the 64-key median table broadcast back
+    * between them, then one counting aggregate — the event stream
+    * shuffles on event_type only, and percentile state is per-group.
+    * (At 100 TB the drop-in scale path is percentile_approx — the
+    * winsorize_clip/winsorize_approx fence precedent, pair-priced
+    * there; this gate pins the exact semantics.) */
+  val outliers_mad = GQuery(
+    "outliers_mad",
+    (s, d) => {
+      import s.implicits._
+      val ev = T.events(s, d)
+        .select($"event_type",
+          floor($"value" * 1000000d + 0.5d).as("vm"))
+      val med = ev.groupBy($"event_type")
+        .agg(expr("percentile(vm, 0.5D)").as("med"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("adev", abs($"vm" - $"med"))
+      val mad = dev.groupBy($"event_type")
+        .agg(expr("percentile(adev, 0.5D)").as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          first($"med").as("median_micro"),
+          first($"mad").as("mad_micro"),
+          sum(when($"adev" > lit(3d) * $"mad", 1L).otherwise(0L))
+            .as("n_outliers"),
+          max($"adev").as("max_abs_dev"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_type,
+               FLOOR(value * 1000000 + 0.5) AS vm
+        FROM events),
+      med AS (
+        SELECT event_type, quantile_cont(vm, 0.5) AS med
+        FROM ev GROUP BY event_type),
+      dev AS (
+        SELECT ev.event_type, ABS(ev.vm - med.med) AS adev, med.med
+        FROM ev JOIN med USING (event_type)),
+      mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY event_type)
+      SELECT dev.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             ANY_VALUE(dev.med) AS median_micro,
+             ANY_VALUE(mad.mad) AS mad_micro,
+             CAST(SUM(CASE WHEN dev.adev > 3 * mad.mad THEN 1 ELSE 0
+                      END) AS BIGINT) AS n_outliers,
+             MAX(dev.adev) AS max_abs_dev
+      FROM dev JOIN mad USING (event_type)
+      GROUP BY dev.event_type ORDER BY dev.event_type"""))
+
   /** Label-balance report: per language, the Gini impurity of its
     * source distribution (1 − Σc²/n²) — the class-balance check a
     * mixture designer runs before weighting (mix_temperature's
@@ -1089,5 +1153,6 @@ object Analytics {
     vocab_coverage, label_gini, funnel_steps, corr_matrix_exact,
     window_distinct_users, pareto_frontier, retention_cohorts,
     event_transitions, quality_threshold_sweep, ndv_sketch_merge,
-    cusum_changepoint, collocations_pmi, bpe_train, bpe_encode)
+    cusum_changepoint, collocations_pmi, bpe_train, bpe_encode,
+    outliers_mad)
 }

@@ -216,6 +216,29 @@ class Round9dSpec extends SparkSpec {
     }
   }
 
+  test("outliers_mad: hand-computed medians, MAD, and the single " +
+      "planted outlier on a known distribution") {
+    import spark.implicits._
+    withPlant("graft-mad-plant") { dir =>
+      // micro-values [10,12,14,16,18,20,22,1000]: median 17, abs devs
+      // sorted [1,1,3,3,5,5,7,983] -> MAD 4, 3*MAD = 12 -> exactly
+      // one outlier (983), max_abs_dev 983
+      val vms = Seq(10L, 12L, 14L, 16L, 18L, 20L, 22L, 1000L)
+      vms.zipWithIndex.map { case (vm, i) =>
+        (i.toLong, i.toLong, "t", vm / 1e6)
+      }.toDF("event_id", "sec", "event_type", "value")
+        .select($"event_id", timestamp_micros($"sec" * 1000000L).as("ts"),
+          $"event_id".as("user_id"), $"event_type", $"value",
+          lit("{}").as("props"))
+        .write.parquet(s"$dir/events.parquet")
+      val r = Registry.queryMap("outliers_mad")(spark, dir).collect()(0)
+      assert(r.getString(0) == "t" && r.getLong(1) == 8, r.toString)
+      assert(r.getDouble(2) == 17.0 && r.getDouble(3) == 4.0, r.toString)
+      assert(r.getLong(4) == 1, s"outlier count: $r")
+      assert(r.getDouble(5) == 983.0, r.toString)
+    }
+  }
+
   test("embed_truncate: label averages equal an independent driver-side " +
       "recompute of the closed-form prefix-energy cosine") {
     import spark.implicits._
