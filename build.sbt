@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output is inherited directly by sbt's stdout/stderr —
+// no "[info] "/"[error] " line prefixes. Combined with showSuccess :=
+// false (drops the trailing "[success] Total time" line), Bench's
+// one-line JSON summary is the LAST raw stdout line, so a consumer
+// that tail-parses the build output gets clean JSON. BENCH_r1–r9 all
+// recorded parsed:null because every captured line carried an sbt
+// logger prefix and the final line was sbt's success banner.
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
+Compile / runMain / outputStrategy := Some(StdoutOutput)
+showSuccess := false
+Global / excludeLintKeys ++= Set(outputStrategy, showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -62,17 +62,27 @@ object Bench {
       "docs/bench_driver_last.json")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outPath), line + "\n")
-    catch { case _: Throwable => () }
+    catch {
+      // ADVICE-r9: a silent swallow made a missing full map
+      // undiagnosable — warn on stderr, still don't fail the bench.
+      case e: Throwable =>
+        System.err.println(
+          s"WARN Bench: failed to write full per-query map to $outPath" +
+            s" (${e.getClass.getSimpleName}: ${e.getMessage});" +
+            " only the short stdout summary survives this run")
+    }
     // stdout gets ONLY a short total-only line (VERDICT-r8 item 3):
     // the driver's tail window is narrower than the full per-query
     // map (~6 KB at 160+ entries), so the full line is what kept
     // truncating r6–r8 — the short line fits any plausible tail and
     // points at the stable file carrying the full map.
     val nOk = all.values.count(_ >= 0)
+    // Stop Spark BEFORE printing: any shutdown-time WARN lines land
+    // ahead of the JSON so it stays the last line of output.
+    spark.stop()
     println(s"""{"metric":"total","value":$total,"unit":"sec","n":${
       all.size},"n_ok":$nOk,"sf":"$sfDir","detail":"$outPath"}""")
     System.out.flush()
-    spark.stop()
   }
 
   /** Streaming legs, each measured like the batch queries: one untimed

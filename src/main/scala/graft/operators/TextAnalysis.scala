@@ -80,12 +80,20 @@ object TextAnalysis {
   def qualityFromStats(st: Column,
       minTokens: Int = 20, maxTokens: Int = 200): Column = {
     val n = st.getField("n_tokens")
+    val nc = st.getField("n_chars")
     val wLen = when(n >= minTokens && n <= maxTokens, 1.0).otherwise(0.0)
     val sr = st.getField("n_stop").cast("double") / n.cast("double")
     val wStop = when(sr >= 0.01 && sr <= 0.6, 1.0).otherwise(0.0)
-    val wDup = st.getField("n_distinct").cast("double") / n.cast("double")
-    val wAlpha = st.getField("n_alpha").cast("double") /
-      st.getField("n_chars").cast("double")
+    // ADVICE-r9: guard the 0/0 ratios — an all-whitespace document has
+    // n_tokens = n_chars = 0, and an unguarded NaN score diverges the
+    // engines downstream (Spark CAST(NaN AS BIGINT) = 0, DuckDB
+    // errors). Degenerate docs score the term 0.0 in BOTH spellings.
+    val wDup = when(n > 0,
+      st.getField("n_distinct").cast("double") / n.cast("double"))
+      .otherwise(0.0)
+    val wAlpha = when(nc > 0,
+      st.getField("n_alpha").cast("double") / nc.cast("double"))
+      .otherwise(0.0)
     lit(0.25) * wLen + lit(0.25) * wStop + lit(0.25) * wDup +
       lit(0.25) * wAlpha
   }

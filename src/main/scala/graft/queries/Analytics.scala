@@ -245,7 +245,9 @@ object Analytics {
     * non-overlapping semantics EXACTLY greedy BPE (an array-rebuild
     * via higher-order lambdas would be CodegenFallback — the
     * phrase_query lesson). Both engines run the same string algebra;
-    * '#' cannot collide (corpus tokens are lowercase words).
+    * '#' cannot collide BY CONSTRUCTION — tokens containing the
+    * sentinel are filtered out of the vocabulary in both engines
+    * (ADVICE-r9), not merely assumed absent.
     * `n_merged` is the standard pre-merge adjacent-pair count (for a
     * self-pair like (a,a) over "aaa" it counts overlaps the greedy
     * replace won't all rewrite — the textbook BPE statistic, same on
@@ -267,8 +269,17 @@ object Analytics {
       d: String): (org.apache.spark.sql.DataFrame,
       Seq[org.apache.spark.sql.DataFrame]) = {
     import s.implicits._
+    // ADVICE-r9: the sentinel algebra is only sound for tokens free
+    // of '#', and the corpus being lowercase words was previously just
+    // a comment. Enforce it structurally: tokens containing the
+    // sentinel are excluded from the vocabulary in BOTH engines (one
+    // predicate on the vocabulary-sized histogram; bpe_encode's inner
+    // join then drops the same tokens from the corpus stream on both
+    // sides), so a '#'-bearing corpus degrades identically instead of
+    // silently corrupting the merge algebra.
     val hist = T.documents(s, d)
       .select(explode(split($"text", " ")).as("w"))
+      .filter(!$"w".contains("#"))
       .groupBy($"w").agg(count(lit(1)).as("n"))
     var state = hist
       .select($"w", regexp_replace($"w", "(.)", "#$1#").as("wr"), $"n")
@@ -325,6 +336,7 @@ object Analytics {
         SELECT w, CAST(COUNT(*) AS BIGINT) AS n
         FROM (SELECT unnest(string_split(text, ' ')) AS w
               FROM documents)
+        WHERE w NOT LIKE '%#%'
         GROUP BY w),
       s0 AS (
         SELECT w, regexp_replace(w, '(.)', '#\\1#', 'g') AS wr, n
@@ -995,8 +1007,10 @@ object Analytics {
                    + 0.25 * (CASE WHEN nstop / n >= 0.01
                                    AND nstop / n <= 0.6
                              THEN 1.0 ELSE 0.0 END)
-                   + 0.25 * (ndist / n)
-                   + 0.25 * (nalpha / nchar), 6) * 1000000) AS BIGINT)
+                   + 0.25 * (CASE WHEN n > 0 THEN ndist / n
+                             ELSE 0.0 END)
+                   + 0.25 * (CASE WHEN nchar > 0 THEN nalpha / nchar
+                             ELSE 0.0 END), 6) * 1000000) AS BIGINT)
                  AS qm
         FROM f),
       b AS (

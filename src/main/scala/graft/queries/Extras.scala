@@ -1118,10 +1118,12 @@ object Extras {
                   t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
                 / len(string_split(text,' ')) BETWEEN 0.01 AND 0.6
                 THEN 1.0 ELSE 0.0 END)
-            + 0.25 * (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
-                / len(string_split(text,' ')))
-            + 0.25 * (CAST(len(regexp_extract_all(text,'[A-Za-z]')) AS DOUBLE)
-                / length(replace(text,' ',''))) >= 0.5),
+            + 0.25 * (CASE WHEN len(string_split(text,' ')) > 0 THEN
+                CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+                / len(string_split(text,' ')) ELSE 0.0 END)
+            + 0.25 * (CASE WHEN length(replace(text,' ','')) > 0 THEN
+                CAST(len(regexp_extract_all(text,'[A-Za-z]')) AS DOUBLE)
+                / length(replace(text,' ','')) ELSE 0.0 END) >= 0.5),
       deduped AS (
         SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         FROM scored GROUP BY fp)

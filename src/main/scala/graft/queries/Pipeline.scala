@@ -901,7 +901,8 @@ object Pipeline {
   /** Planted-recall contract for the capped mining (the
     * dedup_lsh_recall / dedup_ngram_steep_recall posture): every
     * 25th vector gets an EXACT-copy twin under a guaranteed-different
-    * label (−1−label never collides with the non-negative originals),
+    * label (−1−label ≠ label for any integer label) and a DERIVED id
+    * offset max(vec_id)+1 (collision-free for any id domain),
     * so the twin lands in the SAME bucket as its source in all 4
     * tables — the exact miner would hand every planted source a
     * negative with certainty. The capped miner may evict the twin
@@ -915,8 +916,15 @@ object Pipeline {
     (s, d) => {
       val base = T.embeddings(s, d).select(col("vec_id").as("id"),
         col("embedding").as("v"), col("label"))
+      // ADVICE-r9: the plant offset is DERIVED (max(id)+1, a 1-row
+      // broadcast), not a fixed 1e9 — collision-free for any id
+      // domain by construction. The twin label −1−label is already
+      // collision-free for ANY integer label (−1−x = x has no integer
+      // solution), negative labels included.
+      val mxid = base.agg(max(col("id")).as("mxid"))
       val plants = base.filter(col("id") % 25 === 0)
-        .select((col("id") + 1000000000L).as("id"), col("v"),
+        .crossJoin(broadcast(mxid))
+        .select((col("id") + col("mxid") + 1L).as("id"), col("v"),
           (lit(-1) - col("label")).as("label"))
       val mined = minedNegativesCapped(base.unionByName(plants), 8)
       val sources = base.filter(col("id") % 25 === 0)
@@ -934,7 +942,8 @@ object Pipeline {
     Some(cappedOracleSql(
       """SELECT vec_id, label, embedding FROM embeddings
         UNION ALL
-        SELECT vec_id + 1000000000, -1 - label, embedding
+        SELECT vec_id + (SELECT MAX(vec_id) + 1 FROM embeddings),
+               -1 - label, embedding
         FROM embeddings WHERE vec_id % 25 = 0""", 8,
       """,
       planted AS (SELECT vec_id AS anchor FROM embeddings
@@ -1087,8 +1096,10 @@ object Pipeline {
              ROUND(0.25 * (CASE WHEN n >= 20 AND n <= 200 THEN 1.0 ELSE 0.0 END)
                  + 0.25 * (CASE WHEN nstop / n >= 0.01 AND nstop / n <= 0.6
                            THEN 1.0 ELSE 0.0 END)
-                 + 0.25 * (ndist / n)
-                 + 0.25 * (nalpha / nchar), 6) AS quality
+                 + 0.25 * (CASE WHEN n > 0 THEN ndist / n
+                           ELSE 0.0 END)
+                 + 0.25 * (CASE WHEN nchar > 0 THEN nalpha / nchar
+                           ELSE 0.0 END), 6) AS quality
       FROM f ORDER BY doc_id"""))
 
   /** Language-ID heuristic: per-language marker-token hits, argmax with
@@ -1794,8 +1805,10 @@ object Pipeline {
                    + 0.25 * (CASE WHEN nstop / n >= 0.01
                                    AND nstop / n <= 0.6
                              THEN 1.0 ELSE 0.0 END)
-                   + 0.25 * (ndist / n)
-                   + 0.25 * (nalpha / nchar), 6) AS quality
+                   + 0.25 * (CASE WHEN n > 0 THEN ndist / n
+                             ELSE 0.0 END)
+                   + 0.25 * (CASE WHEN nchar > 0 THEN nalpha / nchar
+                             ELSE 0.0 END), 6) AS quality
         FROM f),
       k AS (
         SELECT doc_id, quality,

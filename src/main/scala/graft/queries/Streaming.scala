@@ -337,6 +337,13 @@ object Streaming {
         .select($"user_id", $"event_type",
           expr("unix_micros(ets) DIV 3600000000").as("h"), $"ets")
       writeTimeSliced(data, "ets", inDir, sliceCount(data.count()))
+      // ADVICE-r9: eviction evidence comes from a
+      // StreamingQueryListener (exact per-query totals over EVERY
+      // progress event), not from summing recentProgress — the ring
+      // buffer (default retention 100) silently undercounts long
+      // replays, and the length<retention tripwire that fenced that
+      // had a false-positive at exactly length == retention.
+      val ev = StreamOps.EvictionEvidence.install(s)
       val q = StreamOps.dedupStream(
           s.readStream.schema(s.read.parquet(inDir).schema)
             .option("maxFilesPerTrigger", "1").parquet(inDir),
@@ -349,22 +356,7 @@ object Streaming {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      // recentProgress is a ring buffer of the last
-      // numRecentProgressUpdates (default 100) batches — summing
-      // numRowsRemoved over it silently undercounts once the replay
-      // exceeds the retention, which would flip state_evicted false
-      // and fail the gate confusingly (ADVICE-r8). sliceCount caps at
-      // 8 batches today; assert the invariant where it's relied on.
-      val retention = s.conf
-        .get("spark.sql.streaming.numRecentProgressUpdates", "100").toInt
-      require(q.recentProgress.length < retention,
-        s"stream_dedup read ${q.recentProgress.length} progress " +
-          s"entries with retention $retention - eviction evidence " +
-          "may be truncated; raise numRecentProgressUpdates or use a " +
-          "StreamingQueryListener")
-      val stateOps = q.recentProgress.toSeq.flatMap(_.stateOperators)
-      val removed = stateOps.map(_.numRowsRemoved).sum
-      val peak = stateOps.map(_.numRowsTotal).foldLeft(0L)(math.max)
+      val (removed, peak) = ev.await(q.id)
       val out = s.read.parquet(s"$t/out")
       val nKeys = out.count()
       out.groupBy($"user_id")

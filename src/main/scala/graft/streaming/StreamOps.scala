@@ -74,4 +74,64 @@ object StreamOps {
       "inner")
       .drop(r(key))
   }
+
+  /** Exact state-eviction evidence via [[StreamingQueryListener]] —
+    * the ADVICE-r9 replacement for summing `recentProgress`, whose
+    * ring buffer (numRecentProgressUpdates, default 100) silently
+    * truncates long replays and whose length==retention tripwire had
+    * an unavoidable false-positive class. The listener sees EVERY
+    * progress event (per-query totals keyed by query run id, no
+    * retention), and [[EvictionEvidence.await]] blocks on the
+    * terminated event — the listener bus is FIFO per query, so once
+    * the termination event lands every progress event has too.
+    * Usage: `val ev = EvictionEvidence.install(spark)` before
+    * `start()`, then after `awaitTermination()`:
+    * `val (removed, peak) = ev.await(q.id)` (and the listener is
+    * removed). */
+  final class EvictionEvidence private[streaming] (
+      spark: org.apache.spark.sql.SparkSession) {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    private val removedById =
+      new java.util.concurrent.ConcurrentHashMap[java.util.UUID, java.lang.Long]
+    private val peakById =
+      new java.util.concurrent.ConcurrentHashMap[java.util.UUID, java.lang.Long]
+    private val doneById =
+      new java.util.concurrent.ConcurrentHashMap[java.util.UUID,
+        java.util.concurrent.CountDownLatch]
+    private def latch(id: java.util.UUID) =
+      doneById.computeIfAbsent(id,
+        _ => new java.util.concurrent.CountDownLatch(1))
+    private val listener = new StreamingQueryListener {
+      import StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val ops = e.progress.stateOperators
+        removedById.merge(e.progress.id,
+          ops.map(_.numRowsRemoved).sum, (a, b) => a + b)
+        peakById.merge(e.progress.id,
+          ops.map(_.numRowsTotal).foldLeft(0L)(math.max),
+          (a, b) => math.max(a, b))
+      }
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        latch(e.id).countDown()
+    }
+    spark.streams.addListener(listener)
+
+    /** (Σ numRowsRemoved, peak numRowsTotal) for query `id`, after
+      * waiting (≤60 s) for its terminated event; deregisters the
+      * listener. */
+    def await(id: java.util.UUID): (Long, Long) =
+      try {
+        require(latch(id).await(60,
+            java.util.concurrent.TimeUnit.SECONDS),
+          s"no QueryTerminated event for $id within 60s - listener " +
+            "bus stalled; eviction evidence would be incomplete")
+        (Option(removedById.get(id)).fold(0L)(_.longValue),
+          Option(peakById.get(id)).fold(0L)(_.longValue))
+      } finally spark.streams.removeListener(listener)
+  }
+  object EvictionEvidence {
+    def install(spark: org.apache.spark.sql.SparkSession)
+        : EvictionEvidence = new EvictionEvidence(spark)
+  }
 }
