@@ -99,7 +99,13 @@ object ScaleSweep {
     "embed_truncate", "topk_per_group",
     // round-9 seventh wave: train/test contamination audit
     // (documents) + robust MAD outlier report (events)
-    "split_leakage", "outliers_mad")
+    "split_leakage", "outliers_mad",
+    // round-10 wave: hybrid retrieval + trigram substring search
+    // (documents + embeddings), CM-sketch join sizing + runtime
+    // bloom-filter join (lineitem + orders), PCA contract
+    // (embeddings), median imputation (events)
+    "rrf_fusion", "substr_search_trgm", "joinsize_cm_sketch",
+    "runtime_filter_join", "ml_pca_contract", "impute_median")
   // fk_violations is EXCLUDED: it joins customer/part, which MkScale
   // does not scale - a sweep would measure a mixed-scale plan.
   // pareto_frontier is excluded for the same reason (part-backed);

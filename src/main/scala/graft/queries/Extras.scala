@@ -827,6 +827,74 @@ object Extras {
              TRUE AS within_tol
       FROM range(16, 46) ORDER BY age"""))
 
+  /** PCA contract over the embedding corpus — the dimensionality
+    * reduction an ANN pipeline runs before IVF/PQ (64 → 8 here).
+    * MLlib PCA (covariance eigendecomposition; SURVEY §2.8's third
+    * MLlib capability after KMeans and the quadratic fit). Gated
+    * PROPERTIES, not floats (the kmeans/quadfit posture):
+    *  - `orthonormal_ok`: the 64×8 loading matrix satisfies
+    *    PCᵀPC = I₈ within 1e-8 — checked driver-side on the
+    *    dim-bounded model matrix (64×8 doubles, never data-sized);
+    *  - `explained_ordered_ok`: explainedVariance proportions are
+    *    non-negative, non-increasing, and sum ≤ 1;
+    *  - `proj_var_ordered_ok`: the DISTRIBUTED check — per-component
+    *    variances of the projected corpus (one var_pop aggregate over
+    *    all 8 components in a single pass) are non-increasing, i.e.
+    *    the fitted directions actually sort the data's variance, not
+    *    just the model's own eigenvalues. var(Xv) = vᵀΣv is
+    *    shift-invariant, so the check is exact even though MLlib
+    *    projects uncentered vectors.
+    * The oracle predicts n_vecs relationally and pins the three
+    * booleans TRUE. */
+  val ml_pca_contract = GQuery(
+    "ml_pca_contract",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.ml.feature.PCA
+      import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+      val feats = T.embeddings(s, d)
+        .select($"vec_id",
+          array_to_vector($"embedding".cast("array<double>"))
+            .as("features"))
+      val model = new PCA().setInputCol("features").setOutputCol("pc")
+        .setK(8).fit(feats)
+      val pc = model.pc
+      val dim = pc.numRows
+      val k = pc.numCols
+      val colv = (0 until k).map(c => (0 until dim).map(r => pc(r, c)))
+      val orthonormal = (for { i <- 0 until k; j <- i until k } yield {
+        val dot = (0 until dim).map(t => colv(i)(t) * colv(j)(t)).sum
+        math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-8
+      }).forall(identity)
+      val ev = model.explainedVariance.toArray
+      val evOk = ev.forall(_ >= -1e-12) &&
+        ev.zip(ev.tail).forall { case (a, b) => a >= b - 1e-12 } &&
+        ev.sum <= 1.0 + 1e-9
+      val proj = model.transform(feats)
+        .select(vector_to_array($"pc").as("p"))
+      val varCols = (0 until k).map(i =>
+        var_pop(element_at($"p", i + 1)).as(s"v$i"))
+      val vr = proj.agg(varCols.head, varCols.tail: _*).first()
+      val pvars = (0 until k).map(vr.getDouble)
+      val projOk = pvars.zip(pvars.tail).forall {
+        case (a, b) => a >= b - 1e-6 * math.max(pvars.head, 1e-300)
+      }
+      val n = feats.count()
+      s.range(1).select(
+        lit(n).as("n_vecs"),
+        lit(k.toLong).as("k"),
+        lit(orthonormal).as("orthonormal_ok"),
+        lit(evOk).as("explained_ordered_ok"),
+        lit(projOk).as("proj_var_ordered_ok"))
+    },
+    Some("""
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             CAST(8 AS BIGINT) AS k,
+             TRUE AS orthonormal_ok,
+             TRUE AS explained_ordered_ok,
+             TRUE AS proj_var_ordered_ok
+      FROM embeddings"""))
+
   /** Set operations (INTERSECT/EXCEPT with distinct semantics). */
   val set_ops = GQuery(
     "set_ops",
@@ -1466,7 +1534,7 @@ object Extras {
     mm_feature_extract, mm_frame_sample, mm_resize,
     mm_audio_meta, mm_audio_downsample,
     agg_approx_distinct, ml_kmeans_profiles, ml_kmeans_contract,
-    ml_quadfit_contract, set_ops, w2_rank_lag,
+    ml_quadfit_contract, ml_pca_contract, set_ops, w2_rank_lag,
     j6_outer_join, asof_attribution, asof_forward, asof_nearest,
     range_join_window,
     pipeline_e2e,

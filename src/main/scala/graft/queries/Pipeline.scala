@@ -2906,7 +2906,72 @@ object Pipeline {
                AS BIGINT) AS novelty_micro
       FROM fstats, sstats"""))
 
-  val all: Seq[GQuery] = Seq(dedup_canonical,
+  /** Runtime Bloom-filter join pruning, MEASURED — Catalyst's
+    * InjectRuntimeFilter plants `might_contain(bloom(o_orderkey))` on
+    * the FACT scan side of a shuffle join whose other side carries a
+    * selective predicate, so fact rows that cannot match die at the
+    * scan instead of crossing the exchange — at 100 TB, the
+    * difference between shuffling the full fact table and shuffling
+    * the ~¼ that joins. The gate pins the ENGAGEMENT, not just the
+    * answer: the optimized plan must contain a
+    * BloomFilterMightContain over the application side
+    * (`bloom_injected`, hashed against the oracle's literal TRUE) and
+    * the join result is recounted relationally. Broadcast is disabled
+    * FOR THIS QUERY ONLY (saved/restored in finally): at test SF the
+    * dim side would broadcast and the rule correctly declines to
+    * inject (a broadcast join already prunes at the probe) — the
+    * shuffle-join path is exactly the 100 TB regime where both sides
+    * are too big to broadcast. The injection rule's own thresholds
+    * (application side ≥ 10 GB by default) are lowered the same
+    * scoped way. Row results are bloom-independent by construction
+    * (the filter only PRE-prunes; the join is exact), so a false
+    * positive can never wobble the hash — only a LOST injection flips
+    * the gated boolean. */
+  val runtime_filter_join = GQuery(
+    "runtime_filter_join",
+    (s, d) => {
+      val scoped = Map(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+      val saved = scoped.keys.map(k =>
+        k -> s.conf.getOption(k)).toMap
+      try {
+        scoped.foreach { case (k, v) => s.conf.set(k, v) }
+        val li = T.lineitem(s, d)
+        val os = T.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT")
+        val j = li.join(os, col("l_orderkey") === col("o_orderkey"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("l_quantity").cast("long")).as("sum_qty"))
+        val injected = j.queryExecution.optimizedPlan.expressions
+          .exists(_.exists(e => e.getClass.getSimpleName
+            .contains("BloomFilterMightContain"))) ||
+          j.queryExecution.optimizedPlan.exists(_.expressions
+            .exists(_.exists(e => e.getClass.getSimpleName
+              .contains("BloomFilterMightContain"))))
+        // 1-row collect while the scoped confs are live (the
+        // partition_prune evidence pattern) — the output frame below
+        // must be conf-independent literals.
+        val r = j.first()
+        s.range(1).select(
+          lit(r.getLong(0)).as("n_rows"),
+          lit(r.getLong(1)).as("sum_qty"),
+          lit(injected).as("bloom_injected"))
+      } finally saved.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    },
+    Some("""
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             TRUE AS bloom_injected
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '1-URGENT'"""))
+
+  val all: Seq[GQuery] = Seq(dedup_canonical, runtime_filter_join,
     dedup_exact, dedup_incremental, dedup_spans, fuzzy_match_blocked,
     dedup_minhash_lsh, dedup_simhash, dedup_ngram_jaccard,
     dedup_ngram_steep, dedup_ngram_steep_recall,

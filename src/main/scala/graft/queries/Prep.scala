@@ -805,10 +805,76 @@ object Prep {
              MIN(us) AS min_us, MAX(us) AS max_us
       FROM g GROUP BY fold ORDER BY fold"""))
 
+  /** Per-group median imputation — the robust missing-value fill a
+    * feature pipeline applies before training (mean imputation drags
+    * toward the heavy tail the MAD/winsorize family exists to
+    * resist). Missingness is DERIVED deterministically (vm % 97 = 0
+    * on the micro-unit value, ~1% of rows) so both engines mask the
+    * identical rows; the fill statistic is the per-event_type exact
+    * median of the SURVIVORS.
+    *
+    * Exactness discipline (the outliers_mad precedent, plus one new
+    * trick): values quantize to integer micro-units BEFORE the
+    * median, so the interpolated median of two ints is an exact .5 —
+    * and the gate then DOUBLES the units (`median2` = 2·median,
+    * `total2` = 2·Σ) so every output crossing an aggregation boundary
+    * is a BIGINT with the .5 gone: no double sum anywhere, hash-exact
+    * at any SF (a double carry of Σ + n·(x+.5) stays exact only
+    * below 2⁵³ — the ×2 trick removes the ceiling instead of
+    * fencing it).
+    *
+    * Shape: two keyed aggregates over the (type, vm) stream with the
+    * per-type median table BROADCAST back between them — the event
+    * stream shuffles once on event_type, percentile state is
+    * per-group, the final frame is type-cardinality-sized. At 100 TB
+    * the drop-in scale path swaps the exact sort-based percentile for
+    * percentile_approx (the winsorize_clip/winsorize_approx fence
+    * pair prices exactly this swap). */
+  val impute_median = GQuery(
+    "impute_median",
+    (s, d) => {
+      import s.implicits._
+      val ev = T.events(s, d)
+        .select($"event_type",
+          floor($"value" * 1000000d + 0.5d).cast("long").as("vm"))
+        .withColumn("miss", $"vm" % 97 === 0L)
+      val med = ev.filter(!$"miss")
+        .groupBy($"event_type")
+        .agg(expr("percentile(vm, 0.5D)").as("med"))
+      ev.join(broadcast(med), "event_type")
+        .groupBy($"event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when($"miss", 1L).otherwise(0L)).as("n_missing"),
+          first(($"med" * 2d).cast("long")).as("median2_micro"),
+          (sum(when($"miss", 0L).otherwise($"vm" * 2L)) +
+            sum(when($"miss", ($"med" * 2d).cast("long"))
+              .otherwise(0L))).as("total2_micro"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_type,
+               CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS vm
+        FROM events),
+      m AS (
+        SELECT event_type,
+               CAST(quantile_cont(vm, 0.5) * 2 AS BIGINT) AS med2
+        FROM ev WHERE vm % 97 <> 0 GROUP BY event_type)
+      SELECT ev.event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN vm % 97 = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_missing,
+             ANY_VALUE(med2) AS median2_micro,
+             CAST(SUM(CASE WHEN vm % 97 = 0 THEN med2
+                      ELSE vm * 2 END) AS BIGINT) AS total2_micro
+      FROM ev JOIN m ON ev.event_type = m.event_type
+      GROUP BY ev.event_type ORDER BY ev.event_type"""))
+
   val all: Seq[GQuery] =
     Seq(chunk_windows, embed_quant_int8, embed_truncate,
       anonymize_ids, kanon_suppress,
       drift_chi2, fk_violations, source_cap, source_cap_agg, chunk_dedup,
       znorm_features, winsorize_clip, winsorize_approx,
-      split_time_embargo)
+      split_time_embargo, impute_median)
 }

@@ -852,7 +852,93 @@ object Relational {
         FROM orders)
       WHERE rn <= 3 ORDER BY grp, rn"""))
 
+  /** Count-Min-sketch join-size estimation — the optimizer statistic
+    * that prices an equi-join WITHOUT running it: |L ⋈ O on k| =
+    * Σ_k c_L(k)·c_O(k), estimated by the inner product of the two
+    * sides' Count-Min sketches (d=4 rows × w=1024 buckets, universal
+    * hashes h_j(k) = ((a_j·k + b_j) mod (2³¹−1)) mod w with fixed
+    * prime multipliers — pure integer algebra, identically spelled in
+    * both engines; no md5, no floats). The CLASSIC GUARANTEE is the
+    * gate: every per-row estimate over-counts (collisions only ADD
+    * mass), so min_j est_j ≥ the true size ALWAYS — `overestimate_ok`
+    * is a theorem, not a tolerance. The true size is recomputed
+    * relationally on both engines (per-key count join — never the
+    * row-level join itself), so the output hashes exactly: sketch
+    * algebra AND bound.
+    *
+    * Scale shape: each sketch build is one groupBy(j, bucket) whose
+    * map-side partial aggregation bounds the exchange at d·w rows per
+    * task regardless of input size — the sketch, not the table, is
+    * what shuffles; the inner product joins two ≤ d·w-row frames.
+    * Products fit BIGINT through ~10⁹-row sides (c ≤ n per bucket ⇒
+    * Σ products ≤ n²; the overflow fence for 100 TB is the house
+    * DECIMAL(38,0) widening, drift_chi2's discipline). */
+  val joinsize_cm_sketch = GQuery(
+    "joinsize_cm_sketch",
+    (s, d) => {
+      import s.implicits._
+      val P = 2147483647L
+      val W = 1024L
+      val as = Seq(1299709L, 15485863L, 32452843L, 49979687L)
+      val bs = Seq(104729L, 224737L, 350377L, 479909L)
+      def buckets(key: org.apache.spark.sql.Column) = explode(array(
+        as.indices.map(j => struct(lit(j).as("j"),
+          (((key * as(j) + bs(j)) % P) % W).as("bkt"))): _*))
+      def sketch(df: org.apache.spark.sql.DataFrame,
+          key: String, cnt: String) =
+        df.select(buckets(col(key)).as("h"))
+          .groupBy($"h.j".as("j"), $"h.bkt".as("bkt"))
+          .agg(count(lit(1)).as(cnt))
+      val sl = sketch(T.lineitem(s, d), "l_orderkey", "cl")
+      val so = sketch(T.orders(s, d), "o_orderkey", "co")
+      val est = sl.join(so, Seq("j", "bkt"))
+        .groupBy($"j").agg(sum($"cl" * $"co").as("est_j"))
+        .agg(min($"est_j").as("est"))
+      val truth = T.lineitem(s, d).groupBy($"l_orderkey")
+        .agg(count(lit(1)).as("cl"))
+        .join(T.orders(s, d).groupBy($"o_orderkey")
+            .agg(count(lit(1)).as("co")),
+          $"l_orderkey" === $"o_orderkey")
+        .agg(sum($"cl" * $"co").as("n_true"))
+      truth.crossJoin(broadcast(est))
+        .select($"n_true", $"est",
+          ($"est" >= $"n_true").as("overestimate_ok"),
+          // integer division on both engines: Spark's `/` is float
+          // division and DuckDB ROUNDS on double→BIGINT casts where
+          // Spark truncates — DIV / `//` sidesteps the divergence
+          expr("CAST(((est - n_true) * 1000000) DIV n_true AS BIGINT)")
+            .as("rel_err_micro"))
+    },
+    Some("""
+      WITH hs(j, a, b) AS (VALUES
+        (0, 1299709, 104729), (1, 15485863, 224737),
+        (2, 32452843, 350377), (3, 49979687, 479909)),
+      sl AS (
+        SELECT j, ((l_orderkey * a + b) % 2147483647) % 1024 AS bkt,
+               CAST(COUNT(*) AS BIGINT) AS cl
+        FROM lineitem, hs GROUP BY 1, 2),
+      so AS (
+        SELECT j, ((o_orderkey * a + b) % 2147483647) % 1024 AS bkt,
+               CAST(COUNT(*) AS BIGINT) AS co
+        FROM orders, hs GROUP BY 1, 2),
+      est AS (
+        SELECT CAST(MIN(est_j) AS BIGINT) AS est FROM (
+          SELECT j, SUM(cl * co) AS est_j
+          FROM sl JOIN so USING (j, bkt) GROUP BY j)),
+      t AS (
+        SELECT CAST(SUM(cl * co) AS BIGINT) AS n_true FROM
+          (SELECT l_orderkey AS k, COUNT(*) AS cl
+           FROM lineitem GROUP BY 1) a
+          JOIN
+          (SELECT o_orderkey AS k, COUNT(*) AS co
+           FROM orders GROUP BY 1) b USING (k))
+      SELECT n_true, est, est >= n_true AS overestimate_ok,
+             CAST((est - n_true) * 1000000 // n_true AS BIGINT)
+               AS rel_err_micro
+      FROM t, est"""))
+
   val all: Seq[GQuery] = Seq(null_semantics, sample_stratified,
+    joinsize_cm_sketch,
     agg_rollup, agg_grouping_sets, topk_per_group,
     unpivot_measures, w3_distribution, agg_percentiles,
     agg_approx_percentile, str_funcs, hof_tokens, skew_salted_join,

@@ -372,7 +372,198 @@ object Retrieval {
       FROM m WHERE tf_table > 0 AND tf_hash > 0 AND tf_dup > 0
       ORDER BY doc_id"""))
 
+  /** Hybrid lexical+semantic retrieval with Reciprocal Rank Fusion —
+    * the standard production RAG shape (BM25 leg ∪ embedding leg,
+    * fused by rank, not by incomparable scores). Lexical leg: the
+    * [[bm25_topk]] scoring tree verbatim, top-50 by (score, doc_id).
+    * Semantic leg: cosine against the fixed query vector (vec_id 0's
+    * embedding), top-50 via [[graft.operators.Similarity
+    * .bruteForceTopK]] — the gated exact baseline; at 100 TB the leg
+    * swaps to the IVF/PQ family priced in queries/Pipeline, identical
+    * fusion. Fusion is EXACT-INTEGER RRF: contribution = 1000000 DIV
+    * (60 + rank) per leg (integer division of the micro-scaled
+    * classic 1/(k+r), k=60), absent legs contribute 0 — so the fused
+    * score is a BIGINT and the gate hash-stable (double RRF would
+    * hinge on addition order). Each leg is one corpus scan ending in
+    * TakeOrderedAndProject(50); the rank windows run over exactly 50
+    * rows (bounded-domain exception, the quality_threshold_sweep
+    * precedent), and the fusion join/sort is k-sized. */
+  val rrf_fusion = GQuery(
+    "rrf_fusion",
+    (s, d) => {
+      import s.implicits._
+      // ---- lexical leg: bm25_topk's scoring tree, widened to top-50
+      val tfCols = QueryTerms.map { t =>
+        size(filter(toks($"text"), x => x === t)).cast("long")
+          .as(s"tf_$t")
+      }
+      val base = T.documents(s, d)
+        .select(($"doc_id" +:
+          size(toks($"text")).cast("long").as("dl") +: tfCols): _*)
+      val statCols =
+        count(lit(1)).as("n_docs") +: sum($"dl").as("sum_dl") +:
+          QueryTerms.map(t =>
+            sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+      val stats = base.agg(statCols.head, statCols.tail: _*)
+      val avgdl = $"sum_dl".cast("double") / $"n_docs".cast("double")
+      val score = QueryTerms
+        .map(t => bm25w(col(s"tf_$t"), col(s"df_$t"), $"dl",
+          $"n_docs", avgdl))
+        .reduce(_ + _)
+      val lexTop = base.crossJoin(broadcast(stats))
+        .select($"doc_id", round(score, 6).as("score"))
+        .filter($"score" > 0d)
+        .orderBy($"score".desc, $"doc_id")
+        .limit(50)
+      val lex = lexTop.select($"doc_id",
+        row_number().over(Window.orderBy($"score".desc, $"doc_id"))
+          .as("lex_rank"))
+      // ---- semantic leg: exact cosine top-50 for query vector 0
+      val emb = T.embeddings(s, d)
+      val sem = graft.operators.Similarity.bruteForceTopK(
+          emb, emb.filter(col("vec_id") === 0L), "vec_id", "embedding",
+          50)
+        .select(col("neighbor_id").as("doc_id"),
+          col("rank").as("sem_rank"))
+      lex.join(sem, Seq("doc_id"), "full_outer")
+        .select($"doc_id", $"lex_rank", $"sem_rank",
+          (coalesce(expr("1000000 DIV (60 + lex_rank)"), lit(0L)) +
+            coalesce(expr("1000000 DIV (60 + sem_rank)"), lit(0L)))
+            .as("rrf_micro"))
+        .orderBy($"rrf_micro".desc, $"doc_id")
+        .limit(10)
+    },
+    Some("""
+      WITH base AS (
+        SELECT doc_id,
+               len(list_filter(string_split(lower(text), ' '),
+                               t -> t <> '')) AS dl,
+               len(list_filter(string_split(lower(text), ' '),
+                               t -> t = 'dup')) AS tf_dup,
+               len(list_filter(string_split(lower(text), ' '),
+                               t -> t = 'vector')) AS tf_vector,
+               len(list_filter(string_split(lower(text), ' '),
+                               t -> t = 'spark')) AS tf_spark
+        FROM documents),
+      stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS BIGINT) AS sum_dl,
+               CAST(SUM(CASE WHEN tf_dup > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS df_dup,
+               CAST(SUM(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS df_vector,
+               CAST(SUM(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS df_spark
+        FROM base),
+      scored AS (
+        SELECT doc_id,
+             ROUND(
+               ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_dup AS DOUBLE)
+                         + 0.5) / (CAST(df_dup AS DOUBLE) + 0.5))
+                 * (CAST(tf_dup AS DOUBLE) * 2.2)
+                 / (CAST(tf_dup AS DOUBLE)
+                    + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                             / (CAST(sum_dl AS DOUBLE)
+                                / CAST(n_docs AS DOUBLE))))
+             + ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_vector AS DOUBLE)
+                         + 0.5) / (CAST(df_vector AS DOUBLE) + 0.5))
+                 * (CAST(tf_vector AS DOUBLE) * 2.2)
+                 / (CAST(tf_vector AS DOUBLE)
+                    + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                             / (CAST(sum_dl AS DOUBLE)
+                                / CAST(n_docs AS DOUBLE))))
+             + ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_spark AS DOUBLE)
+                         + 0.5) / (CAST(df_spark AS DOUBLE) + 0.5))
+                 * (CAST(tf_spark AS DOUBLE) * 2.2)
+                 / (CAST(tf_spark AS DOUBLE)
+                    + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                             / (CAST(sum_dl AS DOUBLE)
+                                / CAST(n_docs AS DOUBLE)))), 6) AS score
+        FROM base, stats),
+      lex AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                 AS INT) AS lex_rank
+        FROM scored WHERE score > 0
+        ORDER BY score DESC, doc_id LIMIT 50),
+      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      dots AS (
+        SELECT vec_id AS doc_id,
+               SUM(CAST(qv[i.i+1] AS DOUBLE) * CAST(embedding[i.i+1] AS DOUBLE)) AS dot,
+               SUM(CAST(qv[i.i+1] AS DOUBLE) * CAST(qv[i.i+1] AS DOUBLE)) AS nq,
+               SUM(CAST(embedding[i.i+1] AS DOUBLE) * CAST(embedding[i.i+1] AS DOUBLE)) AS nc
+        FROM embeddings, q,
+             (SELECT CAST(range AS INT) AS i FROM range(64)) i
+        WHERE vec_id <> 0
+        GROUP BY vec_id),
+      sem AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (
+                 ORDER BY ROUND(dot / (SQRT(nq) * SQRT(nc)), 6) DESC,
+                          doc_id) AS INT) AS sem_rank
+        FROM dots
+        ORDER BY ROUND(dot / (SQRT(nq) * SQRT(nc)), 6) DESC, doc_id
+        LIMIT 50)
+      SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+             lex.lex_rank, sem.sem_rank,
+             CAST(COALESCE(1000000 // (60 + lex.lex_rank), 0)
+                + COALESCE(1000000 // (60 + sem.sem_rank), 0)
+                AS BIGINT) AS rrf_micro
+      FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+      ORDER BY rrf_micro DESC, doc_id LIMIT 10"""))
+
+  /** Trigram-index substring search — `LIKE '%ash jo%'` answered the
+    * pg_trgm way: every 3-char window of the pattern must occur in a
+    * matching document, so docs containing ALL pattern trigrams are
+    * the candidate set and a `contains` check on candidates only
+    * verifies. The gate is ALGORITHM-INDEPENDENT: the oracle is the
+    * naive full-scan LIKE (no trigram anywhere in the SQL), so the
+    * index path must reproduce the scan's answer exactly.
+    *
+    * Scale shape: the trigram GENERATOR is scan-local (codegen'd
+    * Generate off `transform(sequence(...))` — the phrase_query
+    * lesson) and filtered to the pattern's 4 trigrams IMMEDIATELY, so
+    * the doc-keyed exchange carries only pattern-trigram occurrences
+    * — a sliver of the corpus trigram stream. Candidates then
+    * BROADCAST back onto the corpus for the verify fetch (selectivity-
+    * sized by construction). At 100 TB the trigram postings would be
+    * PERSISTED once (the index_postings lifecycle) and queries would
+    * probe them; the in-plan build here prices the worst case — index
+    * built AND queried in one pass — and still never shuffles the
+    * corpus. Occurrence counts are exact integers
+    * ((len − len(remove)) DIV 6, identical algebra both engines). */
+  val substr_search_trgm = GQuery(
+    "substr_search_trgm",
+    (s, d) => {
+      import s.implicits._
+      val pat = "ash jo"
+      val patTrgs = pat.sliding(3).toSeq.distinct // 4 trigrams
+      val cands = T.documents(s, d)
+        .select($"doc_id", explode(expr(
+          "transform(sequence(1, greatest(length(text) - 2, 1))," +
+            " i -> substring(text, i, 3))")).as("g"))
+        .filter($"g".isin(patTrgs: _*))
+        .groupBy($"doc_id")
+        .agg(countDistinct($"g").as("ng"))
+        .filter($"ng" === patTrgs.size.toLong)
+        .select($"doc_id")
+      T.documents(s, d)
+        .join(broadcast(cands), Seq("doc_id"))
+        .filter($"text".contains(pat))
+        .select($"doc_id",
+          expr("CAST((length(text) - length(replace(text, 'ash jo', '')))" +
+            " DIV 6 AS BIGINT)").as("n_occurrences"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CAST((length(text) - length(replace(text, 'ash jo', '')))
+               // 6 AS BIGINT) AS n_occurrences
+      FROM documents
+      WHERE contains(text, 'ash jo')
+      ORDER BY doc_id"""))
+
   val all: Seq[GQuery] =
     Seq(index_postings, bm25_topk, bm25_join_topk, phrase_query,
-      conjunctive_query)
+      conjunctive_query, rrf_fusion, substr_search_trgm)
 }
