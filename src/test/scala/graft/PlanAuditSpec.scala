@@ -663,4 +663,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.split("Exchange").length - 1 == 2, // agg + output ordering
       "exchanges changed:\n" + p)
   }
+
+  test("r10: rrf_fusion's legs end in TakeOrderedAndProject — no " +
+      "global sort of either corpus") {
+    val p = plan("rrf_fusion", "simple")
+    assert(p.split("TakeOrderedAndProject").length - 1 >= 2,
+      "a leg lost its top-k plan:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("r10: substr_search_trgm broadcasts the candidate set back for " +
+      "the verify fetch — the corpus side is never shuffle-joined") {
+    val p = plan("substr_search_trgm", "simple")
+    assert(p.contains("BroadcastHashJoin"),
+      "candidate verify join not broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "corpus entered a shuffle join:\n" + p)
+  }
+
+  test("r10: joinsize_cm_sketch sketch builds carry map-side partial " +
+      "aggregation — the exchange is sketch-sized, never table-sized") {
+    val p = plan("joinsize_cm_sketch")
+    // two sketch builds + per-j inner product + final min + truth side:
+    // every groupBy must plan partial_count/partial_sum before its
+    // exchange (HashAggregate keys=[j,bkt] partial pairs)
+    assert(p.contains("partial_count"), "lost map-side partials:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
