@@ -105,7 +105,14 @@ object ScaleSweep {
     // bloom-filter join (lineitem + orders), PCA contract
     // (embeddings), median imputation (events)
     "rrf_fusion", "substr_search_trgm", "joinsize_cm_sketch",
-    "runtime_filter_join", "ml_pca_contract", "impute_median")
+    "runtime_filter_join", "ml_pca_contract", "impute_median",
+    // round-10 second wave: grouped trend/test stats + sweep-line
+    // concurrency + TWAP (events), CDC apply + equi-depth binning
+    // (orders + lineitem), containment dedup + its recall gate
+    // (documents), uniform per-group reservoir (events)
+    "grouped_ols", "ab_welch_t", "interval_concurrency", "twap",
+    "cdc_apply", "quantile_bins", "sample_reservoir",
+    "dedup_containment", "dedup_containment_recall")
   // fk_violations is EXCLUDED: it joins customer/part, which MkScale
   // does not scale - a sweep would measure a mixed-scale plan.
   // pareto_frontier is excluded for the same reason (part-backed);

@@ -395,4 +395,67 @@ object Dedup {
           when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
           .reduce(_ + _).as("simhash"))
   }
+
+  /** Asymmetric CONTAINMENT near-dup join — finds documents mostly
+    * CONTAINED in another (C(A→B) = |sh(A)∩sh(B)| / |sh(A)| with
+    * |sh(A)| ≤ |sh(B)|), the boilerplate/sub-document case symmetric
+    * Jaccard is structurally blind to: a 50-shingle doc inside a
+    * 500-shingle doc has J ≈ 0.1 (minhash banding never surfaces it)
+    * but C = 1.0. Blocking is prefix filtering from the set-similarity
+    * join literature (AllPairs/PPJoin family): every doc PROBES with
+    * its `probeK` lowest-md5 distinct shingles, the posting side drops
+    * shingles with df > `dfCap`, and a candidate is any (probe,
+    * posting) shingle match — fanout is ≤ probeK·dfCap pairs per doc
+    * BY CONSTRUCTION, the bounded-occupancy discipline of
+    * hard_negatives_capped. If C(A→B) ≥ 0.9, each of A's probe
+    * shingles is in B w.p. ≥ 0.9 under hash-random selection, so the
+    * miss rate is ≲ 0.1^probeK plus the df-cap loss — priced honestly
+    * by the planted-recall gate, never assumed.
+    *
+    * Pairs orient small-into-big ((nsh, id) lexicographic), verify
+    * exactly on the distinct-shingle sets, and pass at
+    * 10·inter ≥ thrTimes10·n1 — exact integer algebra, no division.
+    * The `sets` frame is localCheckpoint'd: postings, probes, and both
+    * verify sides consume it, and Spark replans per reference
+    * (the collocations_pmi lesson — without the cut the shingle
+    * kernel runs four times). */
+  def containmentNearDups(df: DataFrame, idCol: String, textCol: String,
+      thrTimes10: Int = 9, probeK: Int = 4, dfCap: Int = 64)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("sid"),
+      split(col(textCol), " ").as("toks"))
+    val sets = toks.select(col("sid"),
+        graft.functions.HashExprs.shingleSet(col("toks"), 3).as("shset"))
+      .filter(size(col("shset")) > 0)
+      .localCheckpoint()
+    val dsh = sets.select(col("sid"), explode(col("shset")).as("sh"))
+    val rare = dsh.groupBy(col("sh")).agg(count(lit(1)).as("dfc"))
+      .filter(col("dfc") <= dfCap).select(col("sh"))
+    val post = dsh.join(rare, "sh").select(col("sh"), col("sid").as("b"))
+    val probe = dsh.withColumn("rk", row_number().over(
+        Window.partitionBy(col("sid")).orderBy(md5(col("sh")), col("sh"))))
+      .filter(col("rk") <= probeK)
+      .select(col("sid").as("a"), col("sh"))
+    val sized = sets.select(col("sid"), size(col("shset")).as("nsh"))
+    val flip = col("na") > col("nb") ||
+      (col("na") === col("nb") && col("a") > col("b"))
+    val canon = probe.join(post, "sh")
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("b")).distinct()
+      .join(sized.select(col("sid").as("a"), col("nsh").as("na")), "a")
+      .join(sized.select(col("sid").as("b"), col("nsh").as("nb")), "b")
+      .select(when(flip, col("b")).otherwise(col("a")).as("d1"),
+        when(flip, col("a")).otherwise(col("b")).as("d2"))
+      .distinct()
+    canon
+      .join(sets.select(col("sid").as("d1"), col("shset").as("s1")), "d1")
+      .join(sets.select(col("sid").as("d2"), col("shset").as("s2")), "d2")
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("s1"), col("s2"))).cast("long")
+          .as("inter"),
+        size(col("s1")).cast("long").as("n1"),
+        size(col("s2")).cast("long").as("n2"))
+      .filter(col("inter") * 10 >= col("n1") * thrTimes10)
+  }
 }

@@ -1163,10 +1163,278 @@ object Analytics {
             FROM dev)
       WHERE rn = 1 ORDER BY event_type"""))
 
+  // ------------------------------------------------------------ r10b
+  /** Per-group OLS regression (value-vs-time trend per event_type) —
+    * the grouped trend fit a metrics pipeline runs to flag drifting
+    * series. Everything up to the final division is EXACT integer
+    * algebra: x = whole seconds since 2024-01-01 (integer DIV on both
+    * engines, range ≤ 2.6e6 within the generated month), y = value in
+    * micro-units, and the five moment sums (n, Σx, Σy, Σxy, Σx²)
+    * cross the aggregate boundary as BIGINT/DECIMAL(38,0) per the
+    * drift_chi2 widening rule — per-row products stay under 2^63
+    * (xy ≤ 8.6e14) but their 100 TB sums do not, so the products are
+    * widened BEFORE the SUM. Slope and r² are then ONE double
+    * division each over identically-spelled wide operands (num/den ~
+    * 1e28 at sf10 fits DECIMAL(38,0)/HUGEINT; num² does NOT, so r²
+    * multiplies the two double RATIOS instead of squaring the wide
+    * int), rounded to 6.
+    *
+    * Shape: one map-side-combined groupBy over a 5-row output — the
+    * classic moment-sum fold (corr_matrix_exact's discipline applied
+    * to the regression pair), no window, no second pass. */
+  val grouped_ols = GQuery(
+    "grouped_ols",
+    (s, d) => {
+      import s.implicits._
+      val ev = T.events(s, d)
+        .withColumn("us", unix_micros($"ts".cast("timestamp")))
+        .select($"event_type",
+          expr("us DIV 1000000 - 1704067200").as("x"),
+          floor($"value" * 1000000d + 0.5d).cast("long").as("y"))
+      val g = ev.groupBy($"event_type").agg(
+        count(lit(1)).as("n"),
+        sum($"x").as("sx"),
+        sum($"y").as("sy"),
+        sum(($"x" * $"y").cast("decimal(38,0)")).as("sxy"),
+        sum(($"x" * $"x").cast("decimal(38,0)")).as("sxx"),
+        sum(($"y" * $"y").cast("decimal(38,0)")).as("syy"))
+      val nD = $"n".cast("decimal(38,0)")
+      val num = nD * $"sxy" - $"sx".cast("decimal(38,0)") *
+        $"sy".cast("decimal(38,0)")
+      val den = nD * $"sxx" - $"sx".cast("decimal(38,0)") *
+        $"sx".cast("decimal(38,0)")
+      val dyy = nD * $"syy" - $"sy".cast("decimal(38,0)") *
+        $"sy".cast("decimal(38,0)")
+      g.select($"event_type", $"n", $"sx", $"sy",
+          round(num.cast("double") / den.cast("double"), 6)
+            .as("slope_micro_per_s"),
+          round((num.cast("double") / den.cast("double")) *
+            (num.cast("double") / dyy.cast("double")), 6).as("r2"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_type,
+               epoch_us(ts) // 1000000 - 1704067200 AS x,
+               CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS y
+        FROM events),
+      g AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+               SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+               SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+        FROM ev GROUP BY event_type),
+      w AS (
+        SELECT event_type, n, sx, sy,
+               CAST(n AS HUGEINT) * sxy
+                 - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS num,
+               CAST(n AS HUGEINT) * sxx
+                 - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS den,
+               CAST(n AS HUGEINT) * syy
+                 - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) AS dyy
+        FROM g)
+      SELECT event_type, n, sx, sy,
+             ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+               AS slope_micro_per_s,
+             ROUND((CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) *
+                   (CAST(num AS DOUBLE) / CAST(dyy AS DOUBLE)), 6)
+               AS r2
+      FROM w ORDER BY event_type"""))
+
+  /** Welch two-sample t-test per event_type (A/B = user_id parity) —
+    * the experiment-readout query. The moment sums are exact
+    * (micro-unit BIGINT counts/sums, Σy² widened to DECIMAL(38,0) /
+    * HUGEINT before the aggregate per the drift_chi2 rule); the t
+    * statistic and Welch–Satterthwaite df are then computed in ONE
+    * identically-spelled IEEE double tree on both engines (the house
+    * float rule: doubles are gateable iff the operation tree is
+    * identical — divisions and sqrt are deterministic), rounded to 6.
+    * `significant` compares the UNROUNDED |t| against 1.96 so the
+    * decision is pinned by the same tree, not the rounding.
+    *
+    * Shape: one map-side-combined groupBy (A/B disaggregation via
+    * conditional sums, no second shuffle), 5-row output. */
+  val ab_welch_t = GQuery(
+    "ab_welch_t",
+    (s, d) => {
+      import s.implicits._
+      val ev = T.events(s, d)
+        .select($"event_type", ($"user_id" % 2 === 0L).as("arm_a"),
+          floor($"value" * 1000000d + 0.5d).cast("long").as("y"))
+      val g = ev.groupBy($"event_type").agg(
+        sum(when($"arm_a", 1L).otherwise(0L)).as("na"),
+        sum(when(!$"arm_a", 1L).otherwise(0L)).as("nb"),
+        sum(when($"arm_a", $"y").otherwise(0L)).as("sa"),
+        sum(when(!$"arm_a", $"y").otherwise(0L)).as("sb"),
+        sum(when($"arm_a", ($"y" * $"y").cast("decimal(38,0)"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("qa"),
+        sum(when(!$"arm_a", ($"y" * $"y").cast("decimal(38,0)"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("qb"))
+      val naD = $"na".cast("double"); val nbD = $"nb".cast("double")
+      val saD = $"sa".cast("double"); val sbD = $"sb".cast("double")
+      val va = ($"qa".cast("double") - saD * saD / naD) / (naD - 1d)
+      val vb = ($"qb".cast("double") - sbD * sbD / nbD) / (nbD - 1d)
+      val se2 = va / naD + vb / nbD
+      val t = (saD / naD - sbD / nbD) / sqrt(se2)
+      val df = se2 * se2 /
+        ((va / naD) * (va / naD) / (naD - 1d) +
+          (vb / nbD) * (vb / nbD) / (nbD - 1d))
+      g.select($"event_type", $"na", $"nb", $"sa", $"sb",
+          round(t, 6).as("t_welch"), round(df, 6).as("df_welch"),
+          (abs(t) > 1.96d).as("significant"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_type, user_id % 2 = 0 AS arm_a,
+               CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS y
+        FROM events),
+      g AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN arm_a THEN 1 ELSE 0 END) AS BIGINT)
+                 AS na,
+               CAST(SUM(CASE WHEN arm_a THEN 0 ELSE 1 END) AS BIGINT)
+                 AS nb,
+               CAST(SUM(CASE WHEN arm_a THEN y ELSE 0 END) AS BIGINT)
+                 AS sa,
+               CAST(SUM(CASE WHEN arm_a THEN 0 ELSE y END) AS BIGINT)
+                 AS sb,
+               SUM(CASE WHEN arm_a THEN CAST(y AS HUGEINT)
+                   * CAST(y AS HUGEINT) ELSE 0 END) AS qa,
+               SUM(CASE WHEN arm_a THEN 0 ELSE CAST(y AS HUGEINT)
+                   * CAST(y AS HUGEINT) END) AS qb
+        FROM ev GROUP BY event_type),
+      w AS (
+        SELECT event_type, na, nb, sa, sb,
+               (CAST(qa AS DOUBLE)
+                 - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+                   / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1)
+                 AS va,
+               (CAST(qb AS DOUBLE)
+                 - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+                   / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1)
+                 AS vb
+        FROM g),
+      x AS (
+        SELECT event_type, na, nb, sa, sb, va, vb,
+               va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE)
+                 AS se2,
+               (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+                 - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+                 / SQRT(va / CAST(na AS DOUBLE)
+                        + vb / CAST(nb AS DOUBLE)) AS t
+        FROM w)
+      SELECT event_type, na, nb, sa, sb,
+             ROUND(t, 6) AS t_welch,
+             ROUND(se2 * se2 /
+               ((va / CAST(na AS DOUBLE)) * (va / CAST(na AS DOUBLE))
+                  / (CAST(na AS DOUBLE) - 1)
+                + (vb / CAST(nb AS DOUBLE)) * (vb / CAST(nb AS DOUBLE))
+                  / (CAST(nb AS DOUBLE) - 1)), 6) AS df_welch,
+             ABS(t) > 1.96 AS significant
+      FROM x ORDER BY event_type"""))
+
+  /** Peak interval concurrency per (event_type, day) — the classic
+    * sweep-line: each event opens an interval [start, start+dur) with
+    * dur derived deterministically from its value (1 s … 1 h + 1 s),
+    * intervals are CLIPPED at day boundaries into ≤ 2 per-day
+    * segments (dur is bounded, so two is a proof not a heuristic),
+    * each segment emits a +1/−1 marker pair, and a per-(type, day)
+    * running sum over (t, delta DESC, event_id) — starts before ends
+    * at the same instant, so touching intervals COUNT as concurrent,
+    * pinned here — yields the concurrency profile whose max and
+    * first-attained time are the gate.
+    *
+    * Shape: the window partitions are (type, day) — bounded by the
+    * day clip, so no single partition grows with corpus lifetime (the
+    * unbounded-key sweep is exactly what the Pack prefix-sum
+    * machinery would replace at 100 TB; the day clip makes that swap
+    * unnecessary here and the clipping algebra is the part worth
+    * gating). One exchange: both Window nodes and the final aggregate
+    * share the (type, day) partitioning. */
+  val interval_concurrency = GQuery(
+    "interval_concurrency",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val D = 86400000000L
+      val ev = T.events(s, d)
+        .withColumn("us", unix_micros($"ts".cast("timestamp")))
+        .select($"event_id", $"event_type", $"us",
+          (floor($"value" * 1000000d + 0.5d).cast("long") % 3600L *
+            1000000L + 1000000L).as("dur"))
+        .withColumn("fin", $"us" + $"dur")
+        .withColumn("bound", (expr(s"us DIV ${D}L") + 1L) * D)
+      val segs = ev.select($"event_id", $"event_type",
+          explode(array(
+            struct($"us".as("s"), least($"fin", $"bound").as("e")),
+            struct($"bound".as("s"), $"fin".as("e")))).as("seg"))
+        .filter($"seg.e" > $"seg.s")
+      val marks = segs.select($"event_id", $"event_type",
+          expr(s"seg.s DIV ${D}L").as("day"),
+          explode(array(
+            struct($"seg.s".as("t"), lit(1L).as("delta")),
+            struct($"seg.e".as("t"), lit(-1L).as("delta")))).as("m"))
+        .select($"event_id", $"event_type", $"day",
+          $"m.t".as("t"), $"m.delta".as("delta"))
+      val w = Window.partitionBy($"event_type", $"day")
+        .orderBy($"t", $"delta".desc, $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val run = marks.withColumn("run", sum($"delta").over(w))
+        .withColumn("peak", max($"run").over(
+          Window.partitionBy($"event_type", $"day")))
+      run.filter($"run" === $"peak")
+        .groupBy($"event_type", $"day")
+        .agg(first($"peak").as("peak"), min($"t").as("peak_at_us"))
+        .orderBy($"event_type", $"day")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_id, event_type, epoch_us(ts) AS us,
+               CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) % 3600
+                 * 1000000 + 1000000 AS dur
+        FROM events),
+      seg0 AS (
+        SELECT event_id, event_type, us, us + dur AS fin,
+               (us // 86400000000 + 1) * 86400000000 AS bound
+        FROM ev),
+      segs AS (
+        SELECT event_id, event_type, us AS s,
+               LEAST(fin, bound) AS e
+        FROM seg0
+        UNION ALL
+        SELECT event_id, event_type, bound AS s, fin AS e
+        FROM seg0 WHERE fin > bound),
+      marks AS (
+        SELECT event_id, event_type, s // 86400000000 AS day,
+               s AS t, 1 AS delta FROM segs WHERE e > s
+        UNION ALL
+        SELECT event_id, event_type, s // 86400000000 AS day,
+               e AS t, -1 AS delta FROM segs WHERE e > s),
+      run AS (
+        SELECT event_type, day, t,
+               CAST(SUM(delta) OVER (
+                 PARTITION BY event_type, day
+                 ORDER BY t, delta DESC, event_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+        FROM marks),
+      pk AS (
+        SELECT event_type, day, t, run,
+               MAX(run) OVER (PARTITION BY event_type, day) AS peak
+        FROM run)
+      SELECT event_type, day, ANY_VALUE(peak) AS peak,
+             MIN(t) AS peak_at_us
+      FROM pk WHERE run = peak
+      GROUP BY event_type, day
+      ORDER BY event_type, day"""))
+
   val all: Seq[GQuery] = Seq(sample_weighted, ngram_topk,
     vocab_coverage, label_gini, funnel_steps, corr_matrix_exact,
     window_distinct_users, pareto_frontier, retention_cohorts,
     event_transitions, quality_threshold_sweep, ndv_sketch_merge,
     cusum_changepoint, collocations_pmi, bpe_train, bpe_encode,
-    outliers_mad)
+    outliers_mad, grouped_ols, ab_welch_t, interval_concurrency)
 }

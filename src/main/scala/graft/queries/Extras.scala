@@ -1526,8 +1526,73 @@ object Extras {
     },
     ivm_agg_refresh.oracle)
 
+  // ------------------------------------------------------------ r10b
+  /** Time-weighted average per (event_type, day) — the metric a
+    * monitoring pipeline wants when observations are irregular (a
+    * plain AVG over-weights bursty periods): each observation holds
+    * its value until the next one, the last until midnight, so
+    * TWAP = Σ v·Δt / Σ Δt over the hold segments. The hold duration
+    * is `lead(us) − us` within the (type, day) partition (ties on us
+    * break by event_id, giving the earlier tied row a zero-length
+    * hold — pinned, not incidental), and coverage runs from the FIRST
+    * observation to midnight (no backfill before it — the resample
+    * family owns that semantics).
+    *
+    * Exactness: v·Δt reaches 2.9e19 per row (micro-value × µs), past
+    * 2^63 — the product is widened to DECIMAL(38,0)/HUGEINT BEFORE
+    * the sum (drift_chi2 rule); the single double division at the end
+    * is `round`ed to 6. One window (lead) and one aggregate over the
+    * same (type, day) partitioning — day-bounded partitions, one
+    * exchange, no self-join. */
+  val twap = GQuery(
+    "twap",
+    (s, d) => {
+      import s.implicits._
+      val D = 86400000000L
+      val ev = T.events(s, d)
+        .withColumn("us", unix_micros($"ts".cast("timestamp")))
+        .select($"event_type", $"event_id", $"us",
+          expr(s"us DIV ${D}L").as("day"),
+          floor($"value" * 1000000d + 0.5d).cast("long").as("vm"))
+      val w = Window.partitionBy($"event_type", $"day")
+        .orderBy($"us", $"event_id")
+      val seg = ev.withColumn("dur",
+        coalesce(lead($"us", 1).over(w), ($"day" + 1L) * D) - $"us")
+      seg.groupBy($"event_type", $"day")
+        .agg(count(lit(1)).as("n"),
+          sum($"vm".cast("decimal(38,0)") * $"dur".cast("decimal(38,0)"))
+            .as("num"),
+          sum($"dur").as("den_us"))
+        .select($"event_type", $"day", $"n", $"den_us",
+          round($"num".cast("double") / $"den_us".cast("double") /
+            1000000d, 6).as("twap_val"))
+        .orderBy($"event_type", $"day")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_type, event_id, epoch_us(ts) AS us,
+               epoch_us(ts) // 86400000000 AS day,
+               CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS vm
+        FROM events),
+      seg AS (
+        SELECT event_type, day, vm,
+               COALESCE(LEAD(us) OVER (
+                   PARTITION BY event_type, day
+                   ORDER BY us, event_id),
+                 (day + 1) * 86400000000) - us AS dur
+        FROM ev)
+      SELECT event_type, day,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(dur) AS BIGINT) AS den_us,
+             ROUND(CAST(SUM(CAST(vm AS HUGEINT) * CAST(dur AS HUGEINT))
+                     AS DOUBLE)
+                   / CAST(SUM(dur) AS DOUBLE) / 1000000, 6) AS twap_val
+      FROM seg GROUP BY event_type, day
+      ORDER BY event_type, day"""))
+
   val all: Seq[GQuery] = Seq(sessionize, scd2_islands, schema_evolution,
     table_diff, json_corrupt_routing, resample_ffill, resample_interp,
+    twap,
     agg_mode, ivm_agg_refresh, ivm_join_refresh,
     stream_ivm_refresh, agg_cube,
     mm_binary_meta,

@@ -2971,7 +2971,184 @@ object Pipeline {
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       WHERE o_orderpriority = '1-URGENT'"""))
 
+  // ------------------------------------------------------------ r10b
+  /** CDC log apply — collapse an insert/update/delete change stream to
+    * its final snapshot by last-writer-wins: orders plays the change
+    * log (key = o_custkey, several changes per key; seq packs
+    * (epoch_day << 32) | o_orderkey into one BIGINT so the total
+    * order is a single comparable; op = DELETE on every 7th orderkey,
+    * else UPSERT), and the apply keeps each key's highest-seq record —
+    * deleted keys surface in a `__DELETED__` audit group with their
+    * last-known value mass instead of vanishing silently.
+    *
+    * Shape: ONE map-side-combined aggregate — `max_by(struct(...),
+    * seq)` — where the textbook spelling (and the oracle) is a
+    * row_number window over a full shuffle+sort; same-oracle dual
+    * path, the a6_last_value/resample precedent promoted to the CDC
+    * use case. At 100 TB the max_by form is the one that survives:
+    * partial aggregation collapses each mapper's slice of a key
+    * before the exchange, so the shuffle carries ≤ one record per
+    * (mapper, key) instead of the whole log. */
+  val cdc_apply = GQuery(
+    "cdc_apply",
+    (s, d) => {
+      import s.implicits._
+      val log = T.orders(s, d).select(
+        $"o_custkey".as("k"),
+        (expr("unix_micros(cast(o_orderdate as timestamp))" +
+          " DIV 86400000000") * 4294967296L + $"o_orderkey").as("seq"),
+        when($"o_orderkey" % 7 === 0L, lit("D")).otherwise(lit("U"))
+          .as("op"),
+        floor($"o_totalprice" * 100d + 0.5d).cast("long").as("cents"),
+        $"o_orderpriority".as("pri"))
+      log.groupBy($"k")
+        .agg(max_by(struct($"op", $"cents", $"pri"), $"seq").as("f"))
+        .select(when($"f.op" === "U", $"f.pri")
+          .otherwise(lit("__DELETED__")).as("grp"), $"f.cents")
+        .groupBy($"grp")
+        .agg(count(lit(1)).as("n_keys"), sum($"cents").as("cents"))
+        .orderBy($"grp")
+    },
+    Some("""
+      WITH log AS (
+        SELECT o_custkey AS k,
+               epoch_us(o_orderdate) // 86400000000
+                 * 4294967296 + o_orderkey AS seq,
+               CASE WHEN o_orderkey % 7 = 0 THEN 'D' ELSE 'U' END
+                 AS op,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                 AS cents,
+               o_orderpriority AS pri
+        FROM orders),
+      last AS (
+        SELECT k, op, cents, pri,
+               ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC)
+                 AS rn
+        FROM log)
+      SELECT CASE WHEN op = 'U' THEN pri ELSE '__DELETED__' END
+               AS grp,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(cents) AS BIGINT) AS cents
+      FROM last WHERE rn = 1
+      GROUP BY 1 ORDER BY grp"""))
+
+  /** DuckDB spelling of [[Dedup.containmentNearDups]] over a corpus
+    * CTE (parameterized so the recall gate can plant into it):
+    * identical algorithm — distinct 3-shingles, bottom-4 md5 probes,
+    * df ≤ 64 postings, (nsh, id)-oriented pairs, exact set
+    * containment at 10·inter ≥ 9·n1. */
+  private def containmentSql(corpusCte: String): String = s"""
+      WITH corpus AS ($corpusCte),
+      toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+      sh0 AS (
+        SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        FROM toks, LATERAL (SELECT UNNEST(range(1, len(t) - 1)) AS i) u),
+      dsh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+      sized AS (SELECT doc_id, COUNT(*) AS nsh FROM dsh GROUP BY doc_id),
+      rare AS (SELECT sh FROM dsh GROUP BY sh HAVING COUNT(*) <= 64),
+      probe AS (
+        SELECT doc_id AS a, sh FROM (
+          SELECT doc_id, sh, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY md5(sh), sh) AS rk
+          FROM dsh)
+        WHERE rk <= 4),
+      post AS (SELECT d.sh, d.doc_id AS b
+               FROM dsh d JOIN rare USING (sh)),
+      cand AS (
+        SELECT DISTINCT
+          CASE WHEN sa.nsh < sb.nsh OR (sa.nsh = sb.nsh AND a < b)
+               THEN a ELSE b END AS d1,
+          CASE WHEN sa.nsh < sb.nsh OR (sa.nsh = sb.nsh AND a < b)
+               THEN b ELSE a END AS d2
+        FROM probe JOIN post USING (sh)
+        JOIN sized sa ON sa.doc_id = a
+        JOIN sized sb ON sb.doc_id = b
+        WHERE a <> b),
+      sets AS (SELECT doc_id, list_distinct(list(sh)) AS s
+               FROM sh0 GROUP BY doc_id),
+      scored AS (
+        SELECT d1, d2,
+               CAST(len(list_intersect(x.s, y.s)) AS BIGINT) AS inter,
+               CAST(len(x.s) AS BIGINT) AS n1,
+               CAST(len(y.s) AS BIGINT) AS n2
+        FROM cand JOIN sets x ON d1 = x.doc_id
+                  JOIN sets y ON d2 = y.doc_id),
+      hits AS (SELECT d1, d2, inter, n1, n2 FROM scored
+               WHERE inter * 10 >= n1 * 9)"""
+
+  /** Containment near-dup detection over the organic corpus — see
+    * [[Dedup.containmentNearDups]] for the algorithm and its bounded
+    * candidate-fanout scale posture (≤ probeK·dfCap pairs per doc).
+    * This surfaces the sub-document duplication the symmetric Jaccard
+    * family cannot: J(A,B) ≥ 0.8 requires |A| ≈ |B|, so every
+    * small-doc-inside-big-doc case is invisible to
+    * dedup_ngram_jaccard/steep by construction, not by tuning. */
+  val dedup_containment = GQuery(
+    "dedup_containment",
+    (s, d) => Dedup.containmentNearDups(T.documents(s, d), "doc_id",
+        "text").orderBy(col("d1"), col("d2")),
+    Some(containmentSql("SELECT doc_id, text FROM documents") + """
+      SELECT d1, d2, inter, n1, n2 FROM hits ORDER BY d1, d2"""))
+
+  /** Planted-recall gate for the containment path (the
+    * dedup_lsh_recall discipline: every lossy blocking stage gets its
+    * loss measured, never assumed): every 10th doc with ≥ 6 tokens
+    * plants a PREFIX twin — its first half of tokens, under the
+    * sign-flipped id −doc_id−1, collision-free against any
+    * non-negative real id by construction (the ADVICE-r9 plant rule)
+    * — whose shingles are a SUBSET of the original's, so containment
+    * is exactly 1.0 and orientation always puts the plant first
+    * (fewer-or-equal shingles, smaller id on ties). Detection loss
+    * can therefore come ONLY from blocking (probe selection + df
+    * cap), which is what the recovered fraction prices; the hash gate
+    * pins the measured value bit-for-bit. */
+  val dedup_containment_recall = GQuery(
+    "dedup_containment_recall",
+    (s, d) => {
+      import s.implicits._
+      val base = T.documents(s, d).select($"doc_id", $"text")
+      val half = (size(split($"text", " ")) / 2).cast("int")
+      val plants = base
+        .filter($"doc_id" % 10 === 0L && size(split($"text", " ")) >= 6)
+        .select((-$"doc_id" - 1L).as("doc_id"),
+          array_join(slice(split($"text", " "), lit(1), half), " ")
+            .as("text"))
+      val planted = plants.select((-$"doc_id" - 1L).as("orig"),
+        $"doc_id".as("pid"))
+      val hits = Dedup.containmentNearDups(base.unionByName(plants),
+        "doc_id", "text")
+      val np = planted.agg(count(lit(1)).as("n_planted"))
+      val nr = planted.join(hits,
+          planted("pid") === hits("d1") && planted("orig") === hits("d2"),
+          "left_semi")
+        .agg(count(lit(1)).as("n_recovered"))
+      np.crossJoin(nr).select($"n_planted", $"n_recovered",
+        ($"n_recovered" * 10 >= $"n_planted" * 9).as("recall_ok"))
+    },
+    Some(containmentSql("""
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT -doc_id - 1 AS doc_id,
+               array_to_string(list_slice(string_split(text, ' '), 1,
+                 len(string_split(text, ' ')) // 2), ' ') AS text
+        FROM documents
+        WHERE doc_id % 10 = 0
+          AND len(string_split(text, ' ')) >= 6""") + """
+      , planted AS (
+        SELECT -doc_id - 1 AS pid, doc_id AS orig FROM documents
+        WHERE doc_id % 10 = 0
+          AND len(string_split(text, ' ')) >= 6),
+      np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_planted FROM planted),
+      nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_recovered
+             FROM planted p
+             WHERE EXISTS (SELECT 1 FROM hits h
+                           WHERE h.d1 = p.pid AND h.d2 = p.orig))
+      SELECT n_planted, n_recovered,
+             n_recovered * 10 >= n_planted * 9 AS recall_ok
+      FROM np, nr"""))
+
   val all: Seq[GQuery] = Seq(dedup_canonical, runtime_filter_join,
+    cdc_apply, dedup_containment, dedup_containment_recall,
     dedup_exact, dedup_incremental, dedup_spans, fuzzy_match_blocked,
     dedup_minhash_lsh, dedup_simhash, dedup_ngram_jaccard,
     dedup_ngram_steep, dedup_ngram_steep_recall,

@@ -871,10 +871,127 @@ object Prep {
       FROM ev JOIN m ON ev.event_type = m.event_type
       GROUP BY ev.event_type ORDER BY ev.event_type"""))
 
+  // ------------------------------------------------------------ r10b
+  /** Deterministic uniform k-per-group sample — the seed-free
+    * reservoir: order each group by an md5 priority of the row key
+    * (uniform over permutations, reproducible everywhere, no RNG
+    * state) and keep the k = 100 lowest. Selection is VALUE-BLIND by
+    * construction — the priority hashes only event_id — which is what
+    * separates this from topk_per_group (top-k BY a value is a biased
+    * sample; this one is exchangeable).
+    *
+    * Shape: rank-filter over a hash order, which Spark executes as
+    * the two-phase WindowGroupLimit (per-partition top-k before the
+    * exchange, k rows per mapper per group shuffle — the
+    * topk_per_group plan pin applies verbatim): no group ever
+    * materializes whole. sample_weighted owns the weighted variant;
+    * this is its uniform floor. */
+  val sample_reservoir = GQuery(
+    "sample_reservoir",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      T.events(s, d)
+        .select($"event_type", $"event_id",
+          floor($"value" * 1000000d + 0.5d).cast("long").as("vm"),
+          md5(concat($"event_id".cast("string"), lit(":r10")))
+            .as("pri"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"event_type").orderBy($"pri", $"event_id")))
+        .filter($"rn" <= 100)
+        .select($"event_type", $"rn", $"event_id", $"vm")
+        .orderBy($"event_type", $"rn")
+    },
+    Some("""
+      SELECT event_type, rn, event_id, vm FROM (
+        SELECT event_type, event_id,
+               CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS vm,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY event_type
+                 ORDER BY md5(CAST(event_id AS VARCHAR) || ':r10'),
+                          event_id) AS INT) AS rn
+        FROM events)
+      WHERE rn <= 100 ORDER BY event_type, rn"""))
+
+  /** Equi-depth decile binning of lineitem prices — the discretizer a
+    * feature pipeline runs before bucketized features / monotone
+    * calibration: nine interior cutpoints from the exact interpolated
+    * percentile, then a broadcast CASE-chain assignment (NOT an
+    * array-lambda fold: HOF lambdas are CodegenFallback — the
+    * phrase_query lesson — and the assignment is the per-row hot
+    * path). Cutpoints quantize as floor(q·10 + 0.5): for p = k/10 the
+    * interpolated value over integer cents is an exact multiple of
+    * 0.1, so ×10 recovers the integer and the half-up floor only
+    * absorbs double dust (the impute_median ×2 trick generalized to
+    * deciles); bin(v) = #{cutpoints ≤ v} on the ×10 integer scale —
+    * pure integer compares both engines.
+    *
+    * Scale posture: the exact percentile is the gate; the 100 TB
+    * drop-in is approx_percentile cutpoints (same CASE assignment),
+    * the swap winsorize_clip/winsorize_approx already prices. */
+  val quantile_bins = GQuery(
+    "quantile_bins",
+    (s, d) => {
+      import s.implicits._
+      val li = T.lineitem(s, d)
+        .select(floor($"l_extendedprice" * 100d + 0.5d).cast("long")
+          .as("cents"))
+      val cuts = li.agg(expr(
+        "percentile(cents, array(0.1D,0.2D,0.3D,0.4D,0.5D," +
+          "0.6D,0.7D,0.8D,0.9D))").as("q"))
+        .select((1 to 9).map(i =>
+          floor(element_at($"q", i) * 10d + 0.5d).cast("long")
+            .as(s"c$i")): _*)
+      val binned = li.crossJoin(broadcast(cuts))
+        .withColumn("v10", $"cents" * 10L)
+        .withColumn("bin", (1 to 9).map(i =>
+          when($"v10" >= col(s"c$i"), 1L).otherwise(0L))
+          .reduce(_ + _))
+      binned.groupBy($"bin")
+        .agg(count(lit(1)).as("n"), sum($"cents").as("cents_sum"))
+        .orderBy($"bin")
+    },
+    Some("""
+      WITH li AS (
+        SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+          AS cents FROM lineitem),
+      q AS (
+        SELECT quantile_cont(cents,
+          [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+        FROM li),
+      cuts AS (
+        SELECT CAST(FLOOR(qs[1] * 10 + 0.5) AS BIGINT) AS c1,
+               CAST(FLOOR(qs[2] * 10 + 0.5) AS BIGINT) AS c2,
+               CAST(FLOOR(qs[3] * 10 + 0.5) AS BIGINT) AS c3,
+               CAST(FLOOR(qs[4] * 10 + 0.5) AS BIGINT) AS c4,
+               CAST(FLOOR(qs[5] * 10 + 0.5) AS BIGINT) AS c5,
+               CAST(FLOOR(qs[6] * 10 + 0.5) AS BIGINT) AS c6,
+               CAST(FLOOR(qs[7] * 10 + 0.5) AS BIGINT) AS c7,
+               CAST(FLOOR(qs[8] * 10 + 0.5) AS BIGINT) AS c8,
+               CAST(FLOOR(qs[9] * 10 + 0.5) AS BIGINT) AS c9
+        FROM q),
+      binned AS (
+        SELECT cents,
+               (CASE WHEN cents * 10 >= c1 THEN 1 ELSE 0 END
+                + CASE WHEN cents * 10 >= c2 THEN 1 ELSE 0 END
+                + CASE WHEN cents * 10 >= c3 THEN 1 ELSE 0 END
+                + CASE WHEN cents * 10 >= c4 THEN 1 ELSE 0 END
+                + CASE WHEN cents * 10 >= c5 THEN 1 ELSE 0 END
+                + CASE WHEN cents * 10 >= c6 THEN 1 ELSE 0 END
+                + CASE WHEN cents * 10 >= c7 THEN 1 ELSE 0 END
+                + CASE WHEN cents * 10 >= c8 THEN 1 ELSE 0 END
+                + CASE WHEN cents * 10 >= c9 THEN 1 ELSE 0 END)
+                 AS bin
+        FROM li, cuts)
+      SELECT CAST(bin AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS cents_sum
+      FROM binned GROUP BY bin ORDER BY bin"""))
+
   val all: Seq[GQuery] =
     Seq(chunk_windows, embed_quant_int8, embed_truncate,
       anonymize_ids, kanon_suppress,
       drift_chi2, fk_violations, source_cap, source_cap_agg, chunk_dedup,
       znorm_features, winsorize_clip, winsorize_approx,
-      split_time_embargo, impute_median)
+      split_time_embargo, impute_median, sample_reservoir, quantile_bins)
 }
