@@ -690,4 +690,57 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count"), "lost map-side partials:\n" + p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("r10b: cdc_apply collapses by ONE max_by aggregate with a " +
+      "map-side partial — no Window, no per-key sort of the whole log " +
+      "after the exchange") {
+    val p = plan("cdc_apply", "simple")
+    assert(!p.contains("Window"), "LWW fell back to a window:\n" + p)
+    assert(p.contains("max_by"), p)
+    // partial aggregate BEFORE the first exchange (the plan prints
+    // top-down, so scan-adjacent = LAST in the string): the deepest
+    // aggregate must sit below the deepest exchange — the shuffle
+    // then carries <= one record per (mapper, key), not the log
+    assert(p.lastIndexOf("Aggregate") > p.lastIndexOf("Exchange"),
+      "no partial aggregate before the exchange:\n" + p)
+  }
+
+  test("r10b: sample_reservoir plans two-phase WindowGroupLimit on " +
+      "the hash priority — no group materializes whole") {
+    val p = plan("sample_reservoir", "simple")
+    assert(p.split("WindowGroupLimit").length - 1 == 2,
+      "lost the two-phase group-limit:\n" + p)
+  }
+
+  test("r10b: twap and interval_concurrency reuse the window " +
+      "partitioning for the final aggregate — exactly one data " +
+      "exchange plus the presentation sort") {
+    for (q <- Seq("twap", "interval_concurrency")) {
+      val p = plan(q, "simple")
+      val nEx = p.split("Exchange").length - 1
+      assert(nEx == 2, s"$q: expected 1 data + 1 sort exchange, " +
+        s"got $nEx:\n" + p)
+      assert(p.contains("Window"), p)
+    }
+  }
+
+  test("r10b: quantile_bins assigns bins via a broadcast 1-row " +
+      "cutpoint join and a codegen'd CASE chain — no HOF fold, no " +
+      "shuffle join in the hot path") {
+    val p = plan("quantile_bins", "simple")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "cutpoints not broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("ArrayAggregate"),
+      "HOF lambda entered the hot path (CodegenFallback):\n" + p)
+  }
+
+  test("r10b: dedup_containment verifies on CANDIDATES only — the " +
+      "corpus-sized shingle kernel feeds the bounded probe/posting " +
+      "joins, never a pairwise cross product") {
+    val p = plan("dedup_containment", "simple")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.split("WindowGroupLimit").length - 1 == 2,
+      "probe selection lost the two-phase group-limit:\n" + p)
+  }
 }
