@@ -112,7 +112,10 @@ object ScaleSweep {
     // (documents), uniform per-group reservoir (events)
     "grouped_ols", "ab_welch_t", "interval_concurrency", "twap",
     "cdc_apply", "quantile_bins", "sample_reservoir",
-    "dedup_containment", "dedup_containment_recall")
+    "dedup_containment", "dedup_containment_recall",
+    // round-10 third wave: the sixth streaming gate (orders-backed
+    // CDC replay through the FMGWS LWW machine)
+    "stream_cdc_apply")
   // fk_violations is EXCLUDED: it joins customer/part, which MkScale
   // does not scale - a sweep would measure a mixed-scale plan.
   // pareto_frontier is excluded for the same reason (part-backed);

@@ -2989,26 +2989,43 @@ object Pipeline {
     * partial aggregation collapses each mapper's slice of a key
     * before the exchange, so the shuffle carries ≤ one record per
     * (mapper, key) instead of the whole log. */
+  /** The CDC change log derived from orders (shared by the batch
+    * apply and the streaming gate): key, packed LWW sequence, op,
+    * value cents, priority. */
+  private[queries] def cdcLog(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    import s.implicits._
+    T.orders(s, d).select(
+      $"o_custkey".as("k"),
+      (expr("unix_micros(cast(o_orderdate as timestamp))" +
+        " DIV 86400000000") * 4294967296L + $"o_orderkey").as("seq"),
+      when($"o_orderkey" % 7 === 0L, lit("D")).otherwise(lit("U"))
+        .as("op"),
+      floor($"o_totalprice" * 100d + 0.5d).cast("long").as("cents"),
+      $"o_orderpriority".as("pri"))
+  }
+
+  /** LWW collapse + audit rollup over any (k, seq, op, cents, pri)
+    * log — IDEMPOTENT: collapsing a partially-collapsed log (e.g. the
+    * streaming gate's per-batch state-update emissions) yields the
+    * same final snapshot as collapsing the raw log, because max-by-seq
+    * is associative and the update stream always contains each key's
+    * final record. This idempotence is what lets stream_cdc_apply
+    * share this kernel AND this query's oracle verbatim. */
+  private[queries] def cdcCollapse(log: DataFrame): DataFrame = {
+    import log.sparkSession.implicits._
+    log.groupBy($"k")
+      .agg(max_by(struct($"op", $"cents", $"pri"), $"seq").as("f"))
+      .select(when($"f.op" === "U", $"f.pri")
+        .otherwise(lit("__DELETED__")).as("grp"), $"f.cents")
+      .groupBy($"grp")
+      .agg(count(lit(1)).as("n_keys"), sum($"cents").as("cents"))
+      .orderBy($"grp")
+  }
+
   val cdc_apply = GQuery(
     "cdc_apply",
-    (s, d) => {
-      import s.implicits._
-      val log = T.orders(s, d).select(
-        $"o_custkey".as("k"),
-        (expr("unix_micros(cast(o_orderdate as timestamp))" +
-          " DIV 86400000000") * 4294967296L + $"o_orderkey").as("seq"),
-        when($"o_orderkey" % 7 === 0L, lit("D")).otherwise(lit("U"))
-          .as("op"),
-        floor($"o_totalprice" * 100d + 0.5d).cast("long").as("cents"),
-        $"o_orderpriority".as("pri"))
-      log.groupBy($"k")
-        .agg(max_by(struct($"op", $"cents", $"pri"), $"seq").as("f"))
-        .select(when($"f.op" === "U", $"f.pri")
-          .otherwise(lit("__DELETED__")).as("grp"), $"f.cents")
-        .groupBy($"grp")
-        .agg(count(lit(1)).as("n_keys"), sum($"cents").as("cents"))
-        .orderBy($"grp")
-    },
+    (s, d) => cdcCollapse(cdcLog(s, d)),
     Some("""
       WITH log AS (
         SELECT o_custkey AS k,

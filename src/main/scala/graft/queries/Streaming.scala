@@ -428,7 +428,75 @@ object Streaming {
       FROM events JOIN customer ON user_id = c_custkey
       GROUP BY 1, 2, 3 ORDER BY w_start_us, segment"""))
 
+  /** Streaming CDC apply under real IncrementalExecution — the sixth
+    * streaming gate: the cdc_apply change log replays date-time-sliced
+    * (one file per micro-batch, AvailableNow) through the
+    * [[StreamOps.cdcApplyStream]] flatMapGroupsWithState LWW machine
+    * (state = ONE record per key, key-cardinality-bounded), whose
+    * append-mode state-update emissions are then log-compacted by the
+    * SAME [[Pipeline.cdcCollapse]] kernel the batch query uses —
+    * collapse is idempotent on a partially-collapsed log, which is
+    * precisely why the streaming path can share the batch ORACLE
+    * verbatim. Multi-batch state continuity is gated IN-BAND (the
+    * stream_dedup eviction-evidence discipline): the update log must
+    * strictly exceed the key count — some key updated its state
+    * winner across ≥ 2 micro-batches — and the oracle pins that
+    * evidence row to literal 1 (keys have orders spread across the
+    * 6-year date range, and slicing is BY date with ≥ 2 slices, so a
+    * single-batch replay that vacuously passes the snapshot hash
+    * fails this row). */
+  val stream_cdc_apply = GQuery(
+    "stream_cdc_apply",
+    (s, d) => graft.GQuery.withTempTable(s, "graft-stream-cdc") { t =>
+      import s.implicits._
+      val log = Pipeline.cdcLog(s, d)
+      val inDir = s"$t/in"
+      writeTimeSliced(
+        log.withColumn("ets",
+          timestamp_seconds(expr("seq DIV 4294967296") * 86400L)),
+        "ets", inDir, sliceCount(log.count()))
+      val updates = replay(s, t, inDir) { in =>
+        StreamOps.cdcApplyStream(in.drop("ets"))
+      }
+      val groups = Pipeline.cdcCollapse(updates)
+      val ev = updates.agg(count(lit(1)).as("n_up"),
+          countDistinct($"k").as("n_k"))
+        .select(lit("__MULTI_BATCH_EVIDENCE__").as("grp"),
+          ($"n_up" > $"n_k").cast("long").as("n_keys"),
+          lit(0L).as("cents"))
+      groups.unionByName(ev).orderBy($"grp")
+    },
+    Some("""
+      WITH log AS (
+        SELECT o_custkey AS k,
+               epoch_us(o_orderdate) // 86400000000
+                 * 4294967296 + o_orderkey AS seq,
+               CASE WHEN o_orderkey % 7 = 0 THEN 'D' ELSE 'U' END
+                 AS op,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                 AS cents,
+               o_orderpriority AS pri
+        FROM orders),
+      last AS (
+        SELECT k, op, cents, pri,
+               ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC)
+                 AS rn
+        FROM log),
+      groups AS (
+        SELECT CASE WHEN op = 'U' THEN pri ELSE '__DELETED__' END
+                 AS grp,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(cents) AS BIGINT) AS cents
+        FROM last WHERE rn = 1
+        GROUP BY 1)
+      SELECT grp, n_keys, cents FROM (
+        SELECT grp, n_keys, cents FROM groups
+        UNION ALL
+        SELECT '__MULTI_BATCH_EVIDENCE__' AS grp,
+               CAST(1 AS BIGINT) AS n_keys, CAST(0 AS BIGINT) AS cents)
+      ORDER BY grp"""))
+
   val all: Seq[GQuery] = Seq(
     stream_window_agg, stream_sessions, stream_interval_join,
-    stream_dedup, stream_static_join)
+    stream_dedup, stream_static_join, stream_cdc_apply)
 }

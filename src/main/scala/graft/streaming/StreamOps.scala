@@ -134,4 +134,38 @@ object StreamOps {
     def install(spark: org.apache.spark.sql.SparkSession)
         : EvictionEvidence = new EvictionEvidence(spark)
   }
+
+  /** One LWW CDC record — the state AND emission type of
+    * [[cdcApplyStream]]. */
+  case class CdcRec(k: Long, seq: Long, op: String, cents: Long,
+      pri: String)
+
+  /** Streaming CDC apply — per-key last-writer-wins as an explicit
+    * flatMapGroupsWithState machine. State is ONE record per key (the
+    * current winner by `seq`), so the state store is key-cardinality-
+    * bounded regardless of log length; arrival order is irrelevant
+    * because max-by-seq is commutative and associative (a late
+    * replayed batch can never regress a key). Each batch a key
+    * appears in emits that key's UPDATED winner — an append-mode
+    * state-update change log, the shape a downstream consumer
+    * log-compacts (and [[graft.queries.Pipeline.cdcCollapse]] is
+    * exactly that compaction, so the batch and streaming paths share
+    * one kernel and one oracle). */
+  def cdcApplyStream(log: DataFrame): DataFrame = {
+    import log.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+      OutputMode}
+    def handle(k: Long, it: Iterator[CdcRec],
+        state: GroupState[CdcRec]): Iterator[CdcRec] = {
+      val best = it.foldLeft(state.getOption.orNull) { (b, r) =>
+        if (b == null || r.seq > b.seq) r else b
+      }
+      if (best == null) Iterator.empty
+      else { state.update(best); Iterator.single(best) }
+    }
+    log.as[CdcRec].groupByKey(_.k)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(handle)
+      .toDF()
+  }
 }

@@ -140,4 +140,55 @@ class StreamGateSpec extends SparkSpec {
       "watermark-after-join silently never finalizes — the ordering " +
         "the gate encodes is load-bearing")
   }
+
+  test("cdc LWW state machine: REVERSE-chronological arrival yields " +
+      "the identical snapshot, and a key's winner never regresses") {
+    // stream_cdc_apply replays oldest-first (date-sliced); the LWW
+    // claim the gate's scaladoc makes — arrival order is irrelevant
+    // because max-by-seq is commutative — is only a claim until a
+    // backwards replay proves it. Three micro-batches arrive NEWEST
+    // first; the final snapshot must match the batch collapse of the
+    // raw log, and every emission for a key must carry a seq >= all
+    // its earlier emissions (state can only move forward).
+    val dir = java.nio.file.Files.createTempDirectory("cdcrev").toString
+    try {
+      val slices = Seq(
+        Seq((1L, 300L, "U", 30L, "A"), (2L, 250L, "U", 25L, "B")),
+        Seq((1L, 200L, "D", 20L, "A")),
+        Seq((1L, 100L, "U", 10L, "A"), (2L, 150L, "D", 99L, "B")))
+      slices.zipWithIndex.foreach { case (rows, i) =>
+        rows.toDF("k", "seq", "op", "cents", "pri")
+          .coalesce(1).write.parquet(s"$dir/in/slice$i")
+        // distinct mtimes pin the file-source processing order
+        Thread.sleep(30)
+        val d = new java.io.File(s"$dir/in/slice$i")
+        d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .foreach(f => java.nio.file.Files.move(f.toPath,
+            java.nio.file.Paths.get(s"$dir/in/b$i.parquet")))
+      }
+      val q = StreamOps.cdcApplyStream(
+        spark.readStream
+          .schema(spark.read.parquet(s"$dir/in/b0.parquet").schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$dir/in"))
+        .writeStream.format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val updates = spark.read.parquet(s"$dir/out")
+      val snap = Pipeline.cdcCollapse(updates).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(snap == Set(("A", 1L, 30L), ("B", 1L, 25L)),
+        s"reverse replay diverged: $snap")
+      // no regression: key 1 emits seq 300 in EVERY batch it appears
+      val k1 = updates.filter($"k" === 1L).select($"seq")
+        .as[Long].collect()
+      assert(k1.length >= 2 && k1.forall(_ == 300L),
+        s"winner regressed under late stale batches: ${k1.toSeq}")
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(dir))
+  }
 }
