@@ -504,4 +504,68 @@ object Multimodal {
       }.toDF("media_id", "modality", "mime", "payload", "width",
         "height", "duration_ms")
   }
+
+  /** 64-bit average hash (aHash) over the DECODED raster — the
+    * classic perceptual fingerprint: nearest-neighbor sample to an
+    * 8×8 grid (the [[resize]] sampling arithmetic, sy = y·H/8,
+    * sx = x·W/8, integer), per-cell brightness g = r+g+b (0..765,
+    * exact integer), threshold each cell against the grid mean as
+    * `64·g ≥ Σg` (cross-multiplied — no division anywhere), and pack
+    * the 64 bits as four 16-bit BAND values plus the two 32-bit
+    * halves. The threshold is brightness-shift invariant by algebra
+    * (g+δ on every cell shifts Σg by 64δ — the inequality is
+    * unchanged), which is why aHash survives exposure edits.
+    *
+    * The 4×16 band split exists for the Hamming join downstream: any
+    * pair within Hamming distance ≤ 3 shares at least one EXACT band
+    * (4 bands, ≤3 differing bits — pigeonhole), so banded blocking at
+    * that radius has recall 1.0 as a THEOREM, not a measurement. At
+    * larger corpora the band count/width grows with log₂ n to keep
+    * bucket collisions bounded — same knob as the minhash families.
+    *
+    * mapPartitions is the house-legitimate codec path (per-task codec
+    * init), identical to [[extractFeatures]]/[[resize]]. */
+  def perceptualHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val grid = 8
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val codec = PpmCodec.init()
+        rows.flatMap { case (id, payload) =>
+          codec.decode(payload).iterator.map { img =>
+            val g = new Array[Long](grid * grid)
+            var t = 0L
+            var y = 0
+            while (y < grid) {
+              val sy = y * img.height / grid
+              var x = 0
+              while (x < grid) {
+                val sx = x * img.width / grid
+                val src = 3 * (sy * img.width + sx)
+                val s = (img.pixels(src) & 0xff) +
+                  (img.pixels(src + 1) & 0xff) +
+                  (img.pixels(src + 2) & 0xff)
+                g(y * grid + x) = s
+                t += s
+                x += 1
+              }
+              y += 1
+            }
+            val bands = new Array[Long](4)
+            var ones = 0L
+            var i = 0
+            while (i < grid * grid) {
+              if (g(i) * (grid * grid) >= t) {
+                bands(i / 16) |= 1L << (i % 16)
+                ones += 1
+              }
+              i += 1
+            }
+            (id, img.width, img.height,
+              bands(0), bands(1), bands(2), bands(3), ones)
+          }
+        }
+      }.toDF("media_id", "w", "h", "b0", "b1", "b2", "b3", "n_ones")
+  }
 }

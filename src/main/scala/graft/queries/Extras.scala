@@ -1590,6 +1590,149 @@ object Extras {
       FROM seg GROUP BY event_type, day
       ORDER BY event_type, day"""))
 
+  /** DuckDB spelling of the aHash pipeline over a parameterized image
+    * catalog CTE `c(id, w, h, seed)` — the full raster algebra
+    * rebuilt relationally: sampled byte index base = 7·(3·(sy·w+sx))
+    * + seed with sy = y·h//8, sx = x·w//8, g = Σ of three consecutive
+    * sawtooth bytes, bit = 64·g ≥ Σg, bands = 16-bit packs. */
+  private def phashSql(catalogCte: String): String = s"""
+      WITH c AS ($catalogCte),
+      cell AS (
+        SELECT id, w, h, seed,
+               j.range // 8 AS y, j.range % 8 AS x
+        FROM c, range(64) j),
+      gcell AS (
+        SELECT id, y * 8 + x AS idx,
+               (b % 256) + ((b + 7) % 256) + ((b + 14) % 256) AS g
+        FROM (
+          SELECT id, y, x,
+                 7 * (3 * ((y * h // 8) * w + (x * w // 8))) + seed
+                   AS b
+          FROM cell)),
+      tot AS (SELECT id, SUM(g) AS t FROM gcell GROUP BY id),
+      bits AS (
+        SELECT g.id, g.idx,
+               CASE WHEN g.g * 64 >= tot.t THEN 1 ELSE 0 END AS bit
+        FROM gcell g JOIN tot ON g.id = tot.id),
+      bandv AS (
+        SELECT id, idx // 16 AS bk,
+               CAST(SUM((CAST(1 AS BIGINT) << (idx % 16)) * bit)
+                 AS BIGINT) AS bv
+        FROM bits GROUP BY id, idx // 16)"""
+
+  /** Per-image perceptual hash — the decode→sample→threshold pipeline
+    * gated bit-for-bit against a pure-SQL rebuild of the raster
+    * algebra (the mm_feature_extract discipline applied to aHash):
+    * the real PPM codec path on the Spark side, integer sawtooth
+    * arithmetic on the oracle side, one 64-bit fingerprint per image
+    * that must agree exactly. Scan-bound: one decode per image, no
+    * shuffle before the per-image hash row. */
+  val mm_phash = GQuery(
+    "mm_phash",
+    (s, d) => {
+      import s.implicits._
+      Multimodal.perceptualHash(
+          Multimodal.toPpm(T.documents(s, d), "doc_id", "text"))
+        .select($"media_id", $"w", $"h",
+          ($"b1" * 65536L + $"b0").as("hash_lo"),
+          ($"b3" * 65536L + $"b2").as("hash_hi"), $"n_ones")
+        .orderBy($"media_id")
+    },
+    Some(phashSql("""
+        SELECT doc_id AS id,
+               CAST(8 + doc_id % 8 AS BIGINT) AS w,
+               CAST(8 + octet_length(encode(text)) % 5 AS BIGINT) AS h,
+               13 * doc_id AS seed
+        FROM documents""") + """
+      , hash AS (
+        SELECT id,
+               CAST(SUM(CASE WHEN bk < 2
+                 THEN bv * (CAST(1 AS BIGINT) << (bk * 16))
+                 ELSE 0 END) AS BIGINT) AS hash_lo,
+               CAST(SUM(CASE WHEN bk >= 2
+                 THEN bv * (CAST(1 AS BIGINT) << ((bk - 2) * 16))
+                 ELSE 0 END) AS BIGINT) AS hash_hi
+        FROM bandv GROUP BY id),
+      ones AS (
+        SELECT id, CAST(SUM(bit) AS BIGINT) AS n_ones
+        FROM bits GROUP BY id)
+      SELECT c.id AS media_id, CAST(c.w AS INT) AS w,
+             CAST(c.h AS INT) AS h, hash_lo, hash_hi, n_ones
+      FROM c JOIN hash ON c.id = hash.id
+             JOIN ones ON c.id = ones.id
+      ORDER BY media_id"""))
+
+  /** Perceptual near-dup image pairs at Hamming ≤ 3 — multimodal
+    * dedup through the banded aHash join: candidates share an EXACT
+    * 16-bit band (recall 1.0 at this radius BY PIGEONHOLE — 4 bands
+    * cannot all differ across ≤3 bit flips — so unlike the minhash
+    * families no recall gate is needed; the blocking is lossless, a
+    * theorem), then exact Hamming verification on the band columns.
+    * Every 10th image plants a BYTE-IDENTICAL twin under the
+    * sign-flipped id (the re-upload case: same payload, new identity
+    * — the ADVICE-r9 collision-free plant rule), whose detection at
+    * Hamming 0 is likewise guaranteed; organic collisions surface
+    * alongside and both engines must agree on the full pair table.
+    * Band width scales with log₂ n at larger corpora (the minhash
+    * banding knob) to keep bucket collisions bounded. */
+  val mm_dedup_phash = GQuery(
+    "mm_dedup_phash",
+    (s, d) => {
+      import s.implicits._
+      val media = Multimodal.toPpm(T.documents(s, d), "doc_id", "text")
+      val plants = media.filter($"media_id" % 10 === 0L)
+        .withColumn("media_id", -$"media_id" - 1L)
+      // hashed once; consumed by the band explode AND both verify
+      // joins (the collocations_pmi re-plan lesson)
+      val hashes = Multimodal.perceptualHash(media.unionByName(plants))
+        .localCheckpoint()
+      val bands = hashes.select($"media_id",
+        posexplode(array($"b0", $"b1", $"b2", $"b3")).as(Seq("bk", "bv")))
+      val cand = bands.alias("a").join(bands.alias("b"),
+          col("a.bk") === col("b.bk") && col("a.bv") === col("b.bv") &&
+            col("a.media_id") < col("b.media_id"))
+        .select(col("a.media_id").as("d1"), col("b.media_id").as("d2"))
+        .distinct()
+      val hx = hashes.select($"media_id", $"b0", $"b1", $"b2", $"b3")
+      cand
+        .join(hx.toDF("d1", "a0", "a1", "a2", "a3"), "d1")
+        .join(hx.toDF("d2", "c0", "c1", "c2", "c3"), "d2")
+        .select($"d1", $"d2",
+          (bit_count($"a0".bitwiseXOR($"c0")) +
+            bit_count($"a1".bitwiseXOR($"c1")) +
+            bit_count($"a2".bitwiseXOR($"c2")) +
+            bit_count($"a3".bitwiseXOR($"c3"))).cast("long")
+            .as("hamming"))
+        .filter($"hamming" <= 3L)
+        .orderBy($"d1", $"d2")
+    },
+    Some(phashSql("""
+        SELECT doc_id AS id,
+               CAST(8 + doc_id % 8 AS BIGINT) AS w,
+               CAST(8 + octet_length(encode(text)) % 5 AS BIGINT) AS h,
+               13 * doc_id AS seed
+        FROM documents
+        UNION ALL
+        SELECT -doc_id - 1 AS id,
+               CAST(8 + doc_id % 8 AS BIGINT) AS w,
+               CAST(8 + octet_length(encode(text)) % 5 AS BIGINT) AS h,
+               13 * doc_id AS seed
+        FROM documents WHERE doc_id % 10 = 0""") + """
+      , cand AS (
+        SELECT DISTINCT a.id AS d1, b.id AS d2
+        FROM bandv a JOIN bandv b
+          ON a.bk = b.bk AND a.bv = b.bv AND a.id < b.id),
+      scored AS (
+        SELECT d1, d2,
+               CAST(SUM(bit_count(xor(x.bv, y.bv))) AS BIGINT)
+                 AS hamming
+        FROM cand
+        JOIN bandv x ON x.id = d1
+        JOIN bandv y ON y.id = d2 AND y.bk = x.bk
+        GROUP BY d1, d2)
+      SELECT d1, d2, hamming FROM scored
+      WHERE hamming <= 3 ORDER BY d1, d2"""))
+
   val all: Seq[GQuery] = Seq(sessionize, scd2_islands, schema_evolution,
     table_diff, json_corrupt_routing, resample_ffill, resample_interp,
     twap,
@@ -1597,6 +1740,7 @@ object Extras {
     stream_ivm_refresh, agg_cube,
     mm_binary_meta,
     mm_feature_extract, mm_frame_sample, mm_resize,
+    mm_phash, mm_dedup_phash,
     mm_audio_meta, mm_audio_downsample,
     agg_approx_distinct, ml_kmeans_profiles, ml_kmeans_contract,
     ml_quadfit_contract, ml_pca_contract, set_ops, w2_rank_lag,

@@ -228,6 +228,41 @@ class Round10bSpec extends SparkSpec {
     }
   }
 
+  test("mm_dedup_phash: banded blocking is COMPLETE at Hamming <= 3 " +
+      "(pigeonhole, validated by an exhaustive recount) and every " +
+      "byte-identical plant is found at distance 0") {
+    import graft.operators.Multimodal
+    import spark.implicits._
+    val media = Multimodal.toPpm(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text")
+    val plants = media.filter($"media_id" % 10 === 0L)
+      .withColumn("media_id", -$"media_id" - 1L)
+    val hs = Multimodal.perceptualHash(media.unionByName(plants))
+      .select($"media_id", $"b0", $"b1", $"b2", $"b3")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    def ham(a: (Long, Long, Long, Long, Long),
+        b: (Long, Long, Long, Long, Long)): Int =
+      java.lang.Long.bitCount(a._2 ^ b._2) +
+        java.lang.Long.bitCount(a._3 ^ b._3) +
+        java.lang.Long.bitCount(a._4 ^ b._4) +
+        java.lang.Long.bitCount(a._5 ^ b._5)
+    val brute = (for {
+      i <- hs.indices; j <- hs.indices if hs(i)._1 < hs(j)._1
+      h = ham(hs(i), hs(j)) if h <= 3
+    } yield (hs(i)._1, hs(j)._1, h.toLong)).toSet
+    val got = Registry.queryMap("mm_dedup_phash")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute,
+      s"banded join != exhaustive scan: missing ${brute -- got}, " +
+        s"extra ${got -- brute}")
+    // every plant pairs with its original at distance 0
+    val ids = hs.map(_._1).toSet
+    ids.filter(_ < 0).foreach { pid =>
+      assert(got.contains((pid, -pid - 1L, 0L)),
+        s"plant $pid not recovered at Hamming 0")
+    }
+  }
+
   test("dedup_containment: finds a small-inside-big plant that the " +
       "symmetric Jaccard path provably cannot; invariants hold on " +
       "the organic corpus") {
