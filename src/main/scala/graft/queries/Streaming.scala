@@ -381,7 +381,7 @@ object Streaming {
   /** Stream-static enrichment join under real streaming execution —
     * the MOST common production streaming topology (a fact stream
     * enriched against a broadcast dimension, then a watermarked
-    * window aggregate), and the one §2.7 shape the other five gates
+    * window aggregate), and the one §2.7 shape the other gates
     * don't cover. The static side (customer segments) is a plain
     * batch DataFrame joined into the stream per micro-batch — the
     * join itself is STATELESS (only the downstream window aggregate
