@@ -114,8 +114,9 @@ object ScaleSweep {
     "cdc_apply", "quantile_bins", "sample_reservoir",
     "dedup_containment", "dedup_containment_recall",
     // round-10 third wave: the sixth streaming gate (orders-backed
-    // CDC replay through the FMGWS LWW machine)
-    "stream_cdc_apply")
+    // CDC replay through the FMGWS LWW machine); block-delta varint
+    // posting layout (documents)
+    "stream_cdc_apply", "postings_delta")
   // fk_violations is EXCLUDED: it joins customer/part, which MkScale
   // does not scale - a sweep would measure a mixed-scale plan.
   // pareto_frontier is excluded for the same reason (part-backed);

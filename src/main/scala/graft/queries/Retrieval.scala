@@ -563,7 +563,81 @@ object Retrieval {
       WHERE contains(text, 'ash jo')
       ORDER BY doc_id"""))
 
+  /** Block-delta varint posting-list layout (the Lucene-style segment
+    * shape index_postings' scaladoc points at): postings split into
+    * 65536-doc BLOCKS, in-block doc offsets delta-encoded (first gap
+    * is offset+1, a delta from −1), each gap priced at its exact
+    * varint byte size (1 + [g ≥ 2⁷] + [g ≥ 2¹⁴]; in-block gaps never
+    * reach 2²¹) plus a 10-byte per-block header. The gate leans on a
+    * TELESCOPING IDENTITY: within a block Σgaps = last offset + 1,
+    * always — `roundtrip_ok` is computed (not a literal), so a
+    * first-gap or lag-ordering divergence in either engine breaks the
+    * hash, and the byte totals are exact integers.
+    *
+    * Scale shape: the window partition is (term, block) — capped at
+    * 65536 rows REGARDLESS of corpus size, unlike a naive per-term
+    * window whose hottest term grows with the corpus; block-local
+    * deltas are also what lets a real index seek without decoding the
+    * whole list. Top-50 terms by df via TakeOrderedAndProject (no
+    * global sort, no unpartitioned window). */
+  val postings_delta = GQuery(
+    "postings_delta",
+    (s, d) => {
+      import s.implicits._
+      val B = 65536L
+      val posts = T.documents(s, d)
+        .select($"doc_id", explode(toks($"text")).as("term"))
+        .distinct()
+        .withColumn("block", expr(s"doc_id DIV ${B}L"))
+        .withColumn("off", $"doc_id" % B)
+      val w = Window.partitionBy($"term", $"block").orderBy($"off")
+      val gaps = posts.withColumn("gap",
+        $"off" - coalesce(lag($"off", 1).over(w), lit(-1L)))
+      val vb = lit(1L) + ($"gap" >= 128L).cast("long") +
+        ($"gap" >= 16384L).cast("long")
+      val perBlock = gaps.groupBy($"term", $"block")
+        .agg(count(lit(1)).as("n"), sum($"gap").as("gsum"),
+          max($"off").as("lastoff"), sum(vb).as("vbytes"))
+        .withColumn("ok", $"gsum" === $"lastoff" + 1L)
+      perBlock.groupBy($"term")
+        .agg(sum($"n").as("df"), count(lit(1)).as("n_blocks"),
+          (sum($"vbytes") + count(lit(1)) * 10L).as("bytes_blocked"),
+          min($"ok").as("roundtrip_ok"))
+        .orderBy($"df".desc, $"term")
+        .limit(50)
+    },
+    Some("""
+      WITH posts AS (
+        SELECT DISTINCT term, doc_id FROM (
+          SELECT doc_id,
+                 unnest(list_filter(string_split(lower(text), ' '),
+                                    t -> t <> '')) AS term
+          FROM documents)),
+      g AS (
+        SELECT term, doc_id // 65536 AS block,
+               doc_id % 65536 AS off
+        FROM posts),
+      gaps AS (
+        SELECT term, block, off,
+               off - COALESCE(LAG(off) OVER (
+                 PARTITION BY term, block ORDER BY off), -1) AS gap
+        FROM g),
+      pb AS (
+        SELECT term, block, COUNT(*) AS n, SUM(gap) AS gsum,
+               MAX(off) AS lastoff,
+               SUM(1 + CASE WHEN gap >= 128 THEN 1 ELSE 0 END
+                     + CASE WHEN gap >= 16384 THEN 1 ELSE 0 END)
+                 AS vbytes
+        FROM gaps GROUP BY term, block)
+      SELECT term, CAST(SUM(n) AS BIGINT) AS df,
+             CAST(COUNT(*) AS BIGINT) AS n_blocks,
+             CAST(SUM(vbytes) + COUNT(*) * 10 AS BIGINT)
+               AS bytes_blocked,
+             MIN(gsum = lastoff + 1) AS roundtrip_ok
+      FROM pb GROUP BY term
+      ORDER BY df DESC, term LIMIT 50"""))
+
   val all: Seq[GQuery] =
     Seq(index_postings, bm25_topk, bm25_join_topk, phrase_query,
-      conjunctive_query, rrf_fusion, substr_search_trgm)
+      conjunctive_query, rrf_fusion, substr_search_trgm, postings_delta)
 }
