@@ -735,6 +735,25 @@ class PlanAuditSpec extends SparkSpec {
       "HOF lambda entered the hot path (CodegenFallback):\n" + p)
   }
 
+  test("r10b: postings_delta takes its top-50 via " +
+      "TakeOrderedAndProject — no global sort, no unpartitioned " +
+      "window anywhere in the plan") {
+    val p = plan("postings_delta", "simple")
+    assert(p.contains("TakeOrderedAndProject"),
+      "limit+order lost the top-k plan:\n" + p)
+    assert(!p.contains("Window [") ||
+      !p.contains("windowspecdefinition()"),
+      "an unpartitioned window appeared:\n" + p)
+  }
+
+  test("r10b: mm_dedup_phash joins candidates through broadcast " +
+      "band buckets — no cartesian pair enumeration") {
+    val p = plan("mm_dedup_phash", "simple")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "pairing degenerated to a nested-loop join:\n" + p)
+  }
+
   test("r10b: dedup_containment verifies on CANDIDATES only — the " +
       "corpus-sized shingle kernel feeds the bounded probe/posting " +
       "joins, never a pairwise cross product") {
