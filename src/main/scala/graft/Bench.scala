@@ -3,7 +3,15 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // cpus is a BENCH-PROTOCOL variable (round-10 adjudication: a
+    // streaming micro-batch commits one state-store instance per
+    // shuffle partition, so cpus=32 multiplies stateful per-batch cost
+    // ~2.1x) — emit it, and whether it came from the env or the
+    // default, in the output JSON so a series mismatch is visible in
+    // the artifact itself (VERDICT-r10 item 3).
+    val cpusEnv = sys.env.get("SPARK_GRAFT_CPUS")
+    val cpus = cpusEnv.getOrElse("4")
+    val cpusSource = if (cpusEnv.isDefined) "env" else "default"
     // one source of truth for session tuning: the library recipe
     val spark = GraftSession.tuned(SparkSession.builder()
       .master(s"local[$cpus]")
@@ -52,7 +60,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = all.values.filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"cpus_source":"$cpusSource"}"""
     // Persist the FULL per-query map to a stable path: BENCH_r06–r08
     // recorded "parsed": null because the driver's captured log tail
     // truncated the ~6 KB JSON line — the file survives any stdout
@@ -81,7 +89,7 @@ object Bench {
     // ahead of the JSON so it stays the last line of output.
     spark.stop()
     println(s"""{"metric":"total","value":$total,"unit":"sec","n":${
-      all.size},"n_ok":$nOk,"sf":"$sfDir","detail":"$outPath"}""")
+      all.size},"n_ok":$nOk,"sf":"$sfDir","cpus":$cpus,"cpus_source":"$cpusSource","detail":"$outPath"}""")
     System.out.flush()
   }
 
@@ -134,7 +142,9 @@ object Bench {
       name -> (if (best.exists(_ < 0)) -1.0 else best.min)
     }
     // NOTE the deliberate BENCH-vs-CORRECTNESS entry-count asymmetry
-    // (162 vs 160): stream_fmgws / stream_tws are the only two bench
+    // (bench = correctness + 2, whatever the current registry size —
+    // VERDICT-r10: don't hard-code counts here, they staled twice):
+    // stream_fmgws / stream_tws are the only two bench
     // entries with no CORRECTNESS row — they are throughput legs over
     // the same stateful kernel that the oracle-gated stream_fold query
     // bit-exactly verifies (FMGWS ≡ TWS ≡ batch is additionally pinned

@@ -116,7 +116,15 @@ object ScaleSweep {
     // round-10 third wave: the sixth streaming gate (orders-backed
     // CDC replay through the FMGWS LWW machine); block-delta varint
     // posting layout (documents)
-    "stream_cdc_apply", "postings_delta")
+    "stream_cdc_apply", "postings_delta",
+    // round-11 wave: persisted-index lifecycle (documents) — the
+    // build query prices the segment derivation (reset like
+    // graph_edges), the probes price the warm-index steady state;
+    // approx decile binning (lineitem); the mm family's first sweep
+    // rows (documents → PPM codec + banded phash self-join — the
+    // bucket-collision fanout VERDICT-r10 flagged as never measured)
+    "index_persist_build", "bm25_probe_persisted", "trgm_probe_persisted",
+    "quantile_bins_approx", "mm_phash", "mm_dedup_phash")
   // fk_violations is EXCLUDED: it joins customer/part, which MkScale
   // does not scale - a sweep would measure a mixed-scale plan.
   // pareto_frontier is excluded for the same reason (part-backed);
@@ -149,8 +157,14 @@ object ScaleSweep {
       // warm parquet re-read. The other graph queries deliberately
       // keep the warm cache — they price their algorithm over the
       // materialized lifecycle table, which is the production split.
-      def reset(): Unit =
+      def reset(): Unit = {
         if (name == "graph_edges") operators.GraphOps.resetEdgeCache()
+        // same discipline for the text-index lifecycle: the build
+        // query prices the derivation; the probe queries keep the
+        // warm segments (the deployment steady state they model)
+        if (name == "index_persist_build")
+          operators.IndexOps.resetIndexCache()
+      }
       reset()
       Registry.force(fn(spark, dir)) // warm-up: listing, footers, codegen
       (1 to rounds).map { _ =>

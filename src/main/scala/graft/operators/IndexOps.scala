@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted retrieval-index lifecycle (VERDICT-r10 "what's missing"
+  * #1): the warm-index deployment shape for the retrieval family.
+  *
+  * The in-plan retrieval queries (`substr_search_trgm`,
+  * `postings_delta`) deliberately price the WORST case — index built
+  * AND probed in one plan. A real 100 TB search deployment builds its
+  * segments once and serves every query off the warm index; this
+  * object is that lifecycle, the [[GraphOps.coPurchaseEdges]]
+  * discipline applied to the text index: derived ONCE per (JVM,
+  * sf dir), parked as parquet, re-read by every probe — and
+  * oracle-certified-never-trusted, because the probe queries' DuckDB
+  * oracles re-derive their answers from `documents` from scratch, so
+  * a wrong or stale index breaks the bm25/substring hash gates
+  * immediately.
+  *
+  * Segment layout (one dir per sf dir, four tables):
+  *  - `postings(term, doc_id, tf, dl)` — the inverted lists,
+  *    repartitioned BY TERM and sorted (term, doc_id) within files, so
+  *    a term-equality probe prunes row groups via parquet min/max
+  *    stats and the pushed filter, exactly how a posting list seek
+  *    skips segments. `dl` is DENORMALIZED into the posting (the
+  *    impact-format trade: Lucene's block-max metadata precomputes
+  *    norm-dependent bounds per block) — one extra column per posting
+  *    buys the probe freedom from any doc-keyed norms join, so the
+  *    only corpus-scale structure a BM25 probe touches is the pruned
+  *    posting sliver itself.
+  *  - `dict(term, df, total_tf)` — the term dictionary, aggregated
+  *    from the postings before they are written (same derivation
+  *    plan, no second corpus pass).
+  *  - `stats(n_docs, sum_dl)` — the 1-row corpus statistics segment
+  *    header BM25's idf/avgdl needs.
+  *  - `trigrams(g, doc_id)` — distinct trigram postings for substring
+  *    search (the pg_trgm layout `substr_search_trgm` builds in-plan),
+  *    repartitioned by trigram with the same sort-for-stats layout.
+  *
+  * Tokenization is the corpus-wide convention (lowercase, split on
+  * single spaces, drop empties) shared with `queries/Retrieval` and
+  * the TF-IDF family.
+  */
+object IndexOps {
+
+  /** Per-JVM root for the materialized index segments, removed once
+    * at JVM exit (the [[GraphOps]] edgeRoot discipline). */
+  private lazy val indexRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft-text-index")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+    }))
+    p
+  }
+
+  private val postingsCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val trgmCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Pricing hook (ScaleSweep): forget the memoized segment paths so
+    * the next probe re-derives — a sweep that wants to price the
+    * BUILD resets first; a sweep pricing the warm PROBE (the
+    * deployment steady state, and what min-of-N measures anyway since
+    * only iteration 1 pays the build) does not. */
+  def resetIndexCache(): Unit = { postingsCache.clear(); trgmCache.clear() }
+
+  private def toks(c: org.apache.spark.sql.Column) =
+    filter(split(lower(c), " "), t => t =!= "")
+
+  /** Derive-once: postings + dict + stats under one segment dir.
+    * Derivation is the classic index build — ONE tokenize/explode
+    * pass over the corpus into a (term, doc_id) keyed aggregate
+    * (term-partitioned write), the dictionary folded from the
+    * postings, the stats header from a scan-only aggregate. */
+  private def segmentDir(s: SparkSession, d: String): String =
+    postingsCache.getOrElseUpdate(d, {
+      val out = indexRoot
+        .resolve(java.util.UUID.randomUUID().toString).toString
+      val docs = graft.Tables.documents(s, d)
+      val tokenized = docs.select(col("doc_id"),
+        size(toks(col("text"))).cast("long").as("dl"),
+        explode(toks(col("text"))).as("term"))
+      val posts = tokenized
+        .groupBy(col("term"), col("doc_id"), col("dl"))
+        .agg(count(lit(1)).as("tf"))
+        .select("term", "doc_id", "tf", "dl")
+      posts.repartition(col("term"))
+        .sortWithinPartitions("term", "doc_id")
+        .write.parquet(s"$out/postings")
+      s.read.parquet(s"$out/postings")
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"))
+        .repartition(1).sortWithinPartitions("term")
+        .write.parquet(s"$out/dict")
+      docs.agg(count(lit(1)).as("n_docs"),
+          sum(size(toks(col("text"))).cast("long")).as("sum_dl"))
+        .write.parquet(s"$out/stats")
+      out
+    })
+
+  def postings(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${segmentDir(s, d)}/postings")
+
+  def dict(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${segmentDir(s, d)}/dict")
+
+  def stats(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${segmentDir(s, d)}/stats")
+
+  /** Derive-once distinct trigram postings (separate cache so BM25
+    * probes never pay the trigram build). The generator is the same
+    * scan-local codegen'd Generate `substr_search_trgm` uses — the
+    * build is the one corpus-scale (g, doc_id) shuffle a trigram
+    * index costs, paid once per segment. */
+  def trigrams(s: SparkSession, d: String): DataFrame = {
+    val path = trgmCache.getOrElseUpdate(d, {
+      val out = indexRoot
+        .resolve(java.util.UUID.randomUUID().toString).toString
+      graft.Tables.documents(s, d)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, greatest(length(text) - 2, 1))," +
+            " i -> substring(text, i, 3))")).as("g"))
+        .distinct()
+        .repartition(col("g"))
+        .sortWithinPartitions("g", "doc_id")
+        .write.parquet(out)
+      out
+    })
+    s.read.parquet(path)
+  }
+}

@@ -1171,9 +1171,13 @@ object Analytics {
     * engines, range ≤ 2.6e6 within the generated month), y = value in
     * micro-units, and the five moment sums (n, Σx, Σy, Σxy, Σx²)
     * cross the aggregate boundary as BIGINT/DECIMAL(38,0) per the
-    * drift_chi2 widening rule — per-row products stay under 2^63
-    * (xy ≤ 8.6e14) but their 100 TB sums do not, so the products are
-    * widened BEFORE the SUM. Slope and r² are then ONE double
+    * drift_chi2 widening rule — and the OPERANDS are widened to
+    * DECIMAL(38,0) before the per-row multiply (not just the product
+    * before the SUM), matching the oracle's HUGEINT-before-multiply
+    * spelling: a long*long product wraps silently under non-ANSI
+    * semantics once |y| ≥ ~3.04e9 (value ≥ ~3040), and because both
+    * engines would wrap IDENTICALLY nothing would gate it (ADVICE-r10).
+    * Slope and r² are then ONE double
     * division each over identically-spelled wide operands (num/den ~
     * 1e28 at sf10 fits DECIMAL(38,0)/HUGEINT; num² does NOT, so r²
     * multiplies the two double RATIOS instead of squaring the wide
@@ -1195,9 +1199,12 @@ object Analytics {
         count(lit(1)).as("n"),
         sum($"x").as("sx"),
         sum($"y").as("sy"),
-        sum(($"x" * $"y").cast("decimal(38,0)")).as("sxy"),
-        sum(($"x" * $"x").cast("decimal(38,0)")).as("sxx"),
-        sum(($"y" * $"y").cast("decimal(38,0)")).as("syy"))
+        sum($"x".cast("decimal(38,0)") * $"y".cast("decimal(38,0)"))
+          .as("sxy"),
+        sum($"x".cast("decimal(38,0)") * $"x".cast("decimal(38,0)"))
+          .as("sxx"),
+        sum($"y".cast("decimal(38,0)") * $"y".cast("decimal(38,0)"))
+          .as("syy"))
       val nD = $"n".cast("decimal(38,0)")
       val num = nD * $"sxy" - $"sx".cast("decimal(38,0)") *
         $"sy".cast("decimal(38,0)")
@@ -1246,8 +1253,11 @@ object Analytics {
 
   /** Welch two-sample t-test per event_type (A/B = user_id parity) —
     * the experiment-readout query. The moment sums are exact
-    * (micro-unit BIGINT counts/sums, Σy² widened to DECIMAL(38,0) /
-    * HUGEINT before the aggregate per the drift_chi2 rule); the t
+    * (micro-unit BIGINT counts/sums; for Σy² the OPERANDS are widened
+    * to DECIMAL(38,0)/HUGEINT before the per-row multiply so y²
+    * cannot silently wrap at |y| ≥ ~3.04e9 — same ADVICE-r10 fix as
+    * grouped_ols — and the wide product crosses the aggregate
+    * boundary per the drift_chi2 rule); the t
     * statistic and Welch–Satterthwaite df are then computed in ONE
     * identically-spelled IEEE double tree on both engines (the house
     * float rule: doubles are gateable iff the operation tree is
@@ -1269,9 +1279,11 @@ object Analytics {
         sum(when(!$"arm_a", 1L).otherwise(0L)).as("nb"),
         sum(when($"arm_a", $"y").otherwise(0L)).as("sa"),
         sum(when(!$"arm_a", $"y").otherwise(0L)).as("sb"),
-        sum(when($"arm_a", ($"y" * $"y").cast("decimal(38,0)"))
+        sum(when($"arm_a",
+            $"y".cast("decimal(38,0)") * $"y".cast("decimal(38,0)"))
           .otherwise(lit(0).cast("decimal(38,0)"))).as("qa"),
-        sum(when(!$"arm_a", ($"y" * $"y").cast("decimal(38,0)"))
+        sum(when(!$"arm_a",
+            $"y".cast("decimal(38,0)") * $"y".cast("decimal(38,0)"))
           .otherwise(lit(0).cast("decimal(38,0)"))).as("qb"))
       val naD = $"na".cast("double"); val nbD = $"nb".cast("double")
       val saD = $"sa".cast("double"); val sbD = $"sb".cast("double")

@@ -2933,6 +2933,14 @@ object Pipeline {
       val scoped = Map(
         "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+        // ADVICE-r10: the CREATION side has thresholds too — at larger
+        // fixtures the filtered-orders side exceeds the 10 MB /
+        // 10 M-row defaults, InjectRuntimeFilter silently declines,
+        // and bloom_injected flips false against the oracle's pinned
+        // TRUE. Raise both, scoped + restored like the rest.
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "1t",
+        "spark.sql.optimizer.runtime.bloomFilter.expectedNumItems" -> "4000000",
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> "400000000",
         "spark.sql.autoBroadcastJoinThreshold" -> "-1",
         "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
       val saved = scoped.keys.map(k =>
@@ -2991,7 +2999,19 @@ object Pipeline {
     * (mapper, key) instead of the whole log. */
   /** The CDC change log derived from orders (shared by the batch
     * apply and the streaming gate): key, packed LWW sequence, op,
-    * value cents, priority. */
+    * value cents, priority.
+    *
+    * PRECONDITION (ADVICE-r10): the packing `day * 2^32 + o_orderkey`
+    * is injective only while `o_orderkey < 2^32` — beyond that
+    * (TPC-H sf ≳ 700, i.e. within the 100 TB posture) the key bleeds
+    * into the day bits and corrupts the LWW total order IDENTICALLY
+    * on both engines, so the oracle gate cannot catch it. This is a
+    * property of the FIXTURE's synthetic sequence, not of cdcCollapse
+    * (which orders by any comparable seq): a production deployment
+    * supplies a real change-log LSN/commit-timestamp. A 100 TB run of
+    * THIS fixture must widen the packing (e.g. DECIMAL(38,0)
+    * `day*1e12 + orderkey`) in the Scala, the oracle SQL, and the
+    * streaming gate's day-recovery (`seq DIV 2^32`) together. */
   private[queries] def cdcLog(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame = {
     import s.implicits._

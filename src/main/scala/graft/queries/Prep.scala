@@ -828,8 +828,11 @@ object Prep {
     * stream shuffles once on event_type, percentile state is
     * per-group, the final frame is type-cardinality-sized. At 100 TB
     * the drop-in scale path swaps the exact sort-based percentile for
-    * percentile_approx (the winsorize_clip/winsorize_approx fence
-    * pair prices exactly this swap). */
+    * percentile_approx (the winsorize_clip/winsorize_approx and
+    * quantile_bins/quantile_bins_approx fence pairs price exactly
+    * this swap; here the per-group buffers are bounded by the 5-type
+    * cardinality today but group-cardinality-sensitive in general —
+    * VERDICT-r10). */
   val impute_median = GQuery(
     "impute_median",
     (s, d) => {
@@ -926,9 +929,13 @@ object Prep {
     * deciles); bin(v) = #{cutpoints ≤ v} on the ×10 integer scale —
     * pure integer compares both engines.
     *
-    * Scale posture: the exact percentile is the gate; the 100 TB
-    * drop-in is approx_percentile cutpoints (same CASE assignment),
-    * the swap winsorize_clip/winsorize_approx already prices. */
+    * Scale posture: the exact percentile is the GATE-SIDE FENCE only —
+    * its TypedImperative buffer materializes every value on one
+    * reducer (keyless percentile = one buffer), a genuine 100 TB
+    * scale-killer. The production path is [[quantile_bins_approx]]
+    * (same CASE assignment over percentile_approx cutpoints), which
+    * since r11 is its own gated row — the swap is PRICED, not
+    * asserted (VERDICT-r10 item 2). */
   val quantile_bins = GQuery(
     "quantile_bins",
     (s, d) => {
@@ -988,10 +995,92 @@ object Prep {
              CAST(SUM(cents) AS BIGINT) AS cents_sum
       FROM binned GROUP BY bin ORDER BY bin"""))
 
+  /** The quantile_bins PRODUCTION path at 100 TB — decile cutpoints
+    * from ONE `percentile_approx` sketch aggregate (Greenwald–Khanna,
+    * accuracy 100: bounded buffer, map-side-mergeable partials)
+    * instead of [[quantile_bins]]'s exact keyless percentile, whose
+    * TypedImperative buffer materializes EVERY value on one reducer —
+    * the genuine scale-killer VERDICT-r10 flagged as asserted-but-not-
+    * priced. This row prices it: same discipline as
+    * winsorize_clip/winsorize_approx, extended from one bound to the
+    * full decile vector.
+    *
+    * The sketch's VALUES cannot cross engines, so the gate hashes
+    * what IS invariant — GK's worst-case guarantee, as THEOREMS over
+    * exact counts (ε = 1/accuracy):
+    *   - `cut_in_contract(k)`: the returned cutpoint c_k has rank
+    *     interval [count(< c_k)+1, count(≤ c_k)] intersecting
+    *     [n(k/10 − ε), n(k/10 + ε)];
+    *   - `occ_bounded(k)`: the OPEN-interval occupancy between
+    *     consecutive cutpoints, count(c_k < v < c_{k+1}) =
+    *     lt_{k+1} − le_k ≤ n(0.1 + 2ε) (each endpoint contributes ε;
+    *     the open interval dodges tie mass, which no sketch bounds),
+    *     and for k = 9 the tail fence n − le_9 ≤ n(0.1 + ε);
+    *   - `cut_monotone(k)`: c_k ≤ c_{k+1} (a GK query for increasing
+    *     ranks walks the same summary forward).
+    * At verify SF the sketch genuinely approximates (n ≈ 60k ≫
+    * accuracy = 100), so the contract is load-bearing, not vacuous.
+    *
+    * Shape: one sketch aggregate + one counting pass against the
+    * broadcast 1-row cutpoint frame — no window, no per-reducer
+    * value materialization; scan-floor at any SF. */
+  val quantile_bins_approx = GQuery(
+    "quantile_bins_approx",
+    (s, d) => {
+      import s.implicits._
+      val acc = 100
+      val eps = 1.0 / acc
+      val li = T.lineitem(s, d)
+        .select(floor($"l_extendedprice" * 100d + 0.5d).cast("long")
+          .as("cents"))
+      val cuts = li.agg(
+        count(lit(1)).as("n"),
+        percentile_approx($"cents",
+          array((1 to 9).map(i => lit(i / 10.0)): _*), lit(acc))
+          .as("q"))
+      val sums = Seq(first($"n").as("n"), first($"q").as("q")) ++
+        (1 to 9).flatMap(i => Seq(
+          sum(when($"cents" < element_at($"q", i), 1L).otherwise(0L))
+            .as(s"lt$i"),
+          sum(when($"cents" <= element_at($"q", i), 1L).otherwise(0L))
+            .as(s"le$i")))
+      val counts = li.crossJoin(broadcast(cuts))
+        .agg(sums.head, sums.tail: _*)
+      val nD = $"n".cast("double")
+      val rows = (1 to 9).map { i =>
+        val q = i / 10.0
+        val inC = col(s"lt$i").cast("double") <= nD * (q + eps) &&
+          col(s"le$i").cast("double") >= nD * (q - eps)
+        val occ =
+          if (i < 9)
+            (col(s"lt${i + 1}") - col(s"le$i")).cast("double") <=
+              nD * (0.1 + 2 * eps)
+          else ($"n" - col("le9")).cast("double") <= nD * (0.1 + eps)
+        val mono =
+          if (i < 9) element_at($"q", i) <= element_at($"q", i + 1)
+          else lit(true)
+        struct(lit(i.toLong).as("k"), inC.as("cut_in_contract"),
+          occ.as("occ_bounded"), mono.as("cut_monotone"))
+      }
+      counts
+        .select($"n", explode(array(rows: _*)).as("s"))
+        .select($"s.k".as("k"), $"n", $"s.cut_in_contract",
+          $"s.occ_bounded", $"s.cut_monotone")
+        .orderBy($"k")
+    },
+    Some("""
+      SELECT CAST(r.range AS BIGINT) AS k,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n,
+             TRUE AS cut_in_contract,
+             TRUE AS occ_bounded,
+             TRUE AS cut_monotone
+      FROM range(1, 10) r ORDER BY k"""))
+
   val all: Seq[GQuery] =
     Seq(chunk_windows, embed_quant_int8, embed_truncate,
       anonymize_ids, kanon_suppress,
       drift_chi2, fk_violations, source_cap, source_cap_agg, chunk_dedup,
       znorm_features, winsorize_clip, winsorize_approx,
-      split_time_embargo, impute_median, sample_reservoir, quantile_bins)
+      split_time_embargo, impute_median, sample_reservoir, quantile_bins,
+      quantile_bins_approx)
 }

@@ -344,19 +344,26 @@ object Streaming {
       // replays, and the length<retention tripwire that fenced that
       // had a false-positive at exactly length == retention.
       val ev = StreamOps.EvictionEvidence.install(s)
-      val q = StreamOps.dedupStream(
-          s.readStream.schema(s.read.parquet(inDir).schema)
-            .option("maxFilesPerTrigger", "1").parquet(inDir),
-          "ets", watermark = "2 hours",
-          keyCols = Seq("user_id", "event_type", "h"))
-        .writeStream.format("parquet")
-        .option("path", s"$t/out")
-        .option("checkpointLocation", s"$t/ckpt")
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      val (removed, peak) = ev.await(q.id)
+      // ADVICE-r10: the whole query run sits in try/finally over
+      // ev.close() so a throw from start()/awaitTermination() (before
+      // await() can deregister) cannot leak the listener on the
+      // shared session; close() is idempotent, so the success path's
+      // await-internal removal makes the finally a no-op.
+      val (removed, peak) = try {
+        val q = StreamOps.dedupStream(
+            s.readStream.schema(s.read.parquet(inDir).schema)
+              .option("maxFilesPerTrigger", "1").parquet(inDir),
+            "ets", watermark = "2 hours",
+            keyCols = Seq("user_id", "event_type", "h"))
+          .writeStream.format("parquet")
+          .option("path", s"$t/out")
+          .option("checkpointLocation", s"$t/ckpt")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        ev.await(q.id)
+      } finally ev.close()
       val out = s.read.parquet(s"$t/out")
       val nKeys = out.count()
       out.groupBy($"user_id")

@@ -128,7 +128,20 @@ object StreamOps {
             "bus stalled; eviction evidence would be incomplete")
         (Option(removedById.get(id)).fold(0L)(_.longValue),
           Option(peakById.get(id)).fold(0L)(_.longValue))
-      } finally spark.streams.removeListener(listener)
+      } finally close()
+
+    /** Idempotent deregistration (ADVICE-r10): if the query's
+      * start()/awaitTermination() throws BEFORE await() is reached,
+      * the listener would otherwise leak on the shared SparkSession
+      * for the rest of the process. Call sites wrap the query run in
+      * try/finally over this; a double remove (finally + await's own)
+      * is a no-op because the CopyOnWriteArrayList remove of an
+      * already-removed listener does nothing. */
+    def close(): Unit =
+      if (closed.compareAndSet(false, true))
+        spark.streams.removeListener(listener)
+    private val closed =
+      new java.util.concurrent.atomic.AtomicBoolean(false)
   }
   object EvictionEvidence {
     def install(spark: org.apache.spark.sql.SparkSession)

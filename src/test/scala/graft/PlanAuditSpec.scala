@@ -741,9 +741,20 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("postings_delta", "simple")
     assert(p.contains("TakeOrderedAndProject"),
       "limit+order lost the top-k plan:\n" + p)
-    assert(!p.contains("Window [") ||
-      !p.contains("windowspecdefinition()"),
-      "an unpartitioned window appeared:\n" + p)
+    // ADVICE-r10: the old pin (`!contains("windowspecdefinition()")`)
+    // was vacuous — that spelling never prints. An UNpartitioned
+    // windowspecdefinition prints with the ORDER column first:
+    // `windowspecdefinition(off#3L ASC ...`; a partitioned one leads
+    // with its partition columns. So: every windowspecdefinition in
+    // this plan must carry term# and block# BEFORE its order spec.
+    val specs = p.split(raw"windowspecdefinition\(").drop(1)
+    assert(specs.nonEmpty, "the lag window vanished entirely:\n" + p)
+    for (s <- specs) {
+      val head = s.split(" ASC | DESC ", 2)(0)
+      assert(head.contains("term#") && head.contains("block#"),
+        s"a window not partitioned by (term, block): " +
+          s"windowspecdefinition($head ...\n" + p)
+    }
   }
 
   test("r10b: mm_dedup_phash joins candidates through broadcast " +
@@ -761,5 +772,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.split("WindowGroupLimit").length - 1 == 2,
       "probe selection lost the two-phase group-limit:\n" + p)
+  }
+
+  test("r11: bm25_probe_persisted is corpus-free and generation-free " +
+      "— only the index segments are scanned, query terms pushed " +
+      "into the postings scan, top-10 via TakeOrderedAndProject") {
+    val p = plan("bm25_probe_persisted")
+    assert(!p.contains("Generate"),
+      "a probe should never tokenize/explode anything:\n" + p)
+    assert(!p.contains("documents"),
+      "the warm probe must not touch the corpus:\n" + p)
+    assert(p.contains("PushedFilters: [In(term, ["),
+      "query-term pushdown into the postings segment lost:\n" + p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "the dict/stats joins must broadcast:\n" + p)
+  }
+
+  test("r11: trgm_probe_persisted scans the corpus exactly once (the " +
+      "verify fetch) — the trigram Generate is gone from the query " +
+      "path, pattern trigrams pushed into the trigram-segment scan") {
+    val p = plan("trgm_probe_persisted")
+    assert(!p.contains("Generate"),
+      "the corpus-wide trigram generator must be build-time only:\n" + p)
+    assert(p.split("documents").length - 1 >= 1 &&
+      p.linesIterator.count(l =>
+        l.contains("parquet") && l.contains("documents")) <= 2,
+      "expected exactly one corpus scan (Scan + its detail block):\n" + p)
+    assert(p.contains("PushedFilters: [In(g, ["),
+      "pattern-trigram pushdown into the segment scan lost:\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "candidates must broadcast onto the corpus scan:\n" + p)
   }
 }
