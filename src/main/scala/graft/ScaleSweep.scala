@@ -124,7 +124,8 @@ object ScaleSweep {
     // rows (documents → PPM codec + banded phash self-join — the
     // bucket-collision fanout VERDICT-r10 flagged as never measured)
     "index_persist_build", "bm25_probe_persisted", "trgm_probe_persisted",
-    "quantile_bins_approx", "mm_phash", "mm_dedup_phash")
+    "index_ivm_merge", "quantile_bins_approx", "mm_phash", "mm_dedup_phash",
+    "mm_dedup_phash_canonical")
   // fk_violations is EXCLUDED: it joins customer/part, which MkScale
   // does not scale - a sweep would measure a mixed-scale plan.
   // pareto_frontier is excluded for the same reason (part-backed);

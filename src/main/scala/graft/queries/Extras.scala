@@ -1673,8 +1673,16 @@ object Extras {
     * — the ADVICE-r9 collision-free plant rule), whose detection at
     * Hamming 0 is likewise guaranteed; organic collisions surface
     * alongside and both engines must agree on the full pair table.
-    * Band width scales with log₂ n at larger corpora (the minhash
-    * banding knob) to keep bucket collisions bounded. */
+    *
+    * SCALE FENCE (priced in the r11 sweep: 11.93×/decade-1): under
+    * content saturation — a corpus whose distinct-image space stops
+    * growing while uploads keep coming, exactly what MkScale's
+    * replication models — duplicate classes fatten linearly, so the
+    * PAIR SET this query materializes grows QUADRATICALLY; no banding
+    * knob fixes an output that is itself quadratic. This query is the
+    * exact enumeration fence; [[mm_dedup_phash_canonical]] is the
+    * production path (collapse exact-hash classes first, pair only
+    * canonicals), carrying the same information linearly. */
   val mm_dedup_phash = GQuery(
     "mm_dedup_phash",
     (s, d) => {
@@ -1733,6 +1741,100 @@ object Extras {
       SELECT d1, d2, hamming FROM scored
       WHERE hamming <= 3 ORDER BY d1, d2"""))
 
+  /** The mm_dedup_phash PRODUCTION path under content saturation —
+    * exact-hash classes collapse FIRST (one map-side-combinable
+    * aggregate over the linear hash stream: canonical = min id, n =
+    * class size), then the Hamming ≤ 3 banded join runs over the
+    * CLASS table, whose cardinality is bounded by content diversity
+    * (distinct images), not corpus size. The output carries the SAME
+    * information as the exact pair enumeration, linearly: a self row
+    * per fat class (hamming 0, pair_mass = n·(n−1) DIV 2) and a cross
+    * row per close class pair (pair_mass = n1·n2) — Σ pair_mass
+    * equals mm_dedup_phash's row count exactly (reconciliation pinned
+    * in Round11Spec), because every near-dup pair is either within a
+    * class (hash-identical ⇒ Hamming 0) or between two classes whose
+    * canonical Hamming is the pair's Hamming (all class members share
+    * one hash). The oracle brute-forces ALL class pairs (no banding
+    * anywhere in the SQL — two algorithms, one answer); the Spark
+    * side keeps the pigeonhole-banded candidate join. Overflow:
+    * pair_mass = n1·n2 ≤ (corpus)² requires BIGINT, exact to 2⁶³. */
+  val mm_dedup_phash_canonical = GQuery(
+    "mm_dedup_phash_canonical",
+    (s, d) => {
+      import s.implicits._
+      val media = Multimodal.toPpm(T.documents(s, d), "doc_id", "text")
+      val plants = media.filter($"media_id" % 10 === 0L)
+        .withColumn("media_id", -$"media_id" - 1L)
+      val classes = Multimodal.perceptualHash(media.unionByName(plants))
+        .groupBy($"b0", $"b1", $"b2", $"b3")
+        .agg(min($"media_id").as("canon"), count(lit(1)).as("n"))
+        .localCheckpoint()
+      val bands = classes.select($"canon",
+        posexplode(array($"b0", $"b1", $"b2", $"b3")).as(Seq("bk", "bv")))
+      val cand = bands.alias("a").join(bands.alias("b"),
+          col("a.bk") === col("b.bk") && col("a.bv") === col("b.bv") &&
+            col("a.canon") < col("b.canon"))
+        .select(col("a.canon").as("c1"), col("b.canon").as("c2"))
+        .distinct()
+      val hx = classes.select($"canon", $"b0", $"b1", $"b2", $"b3", $"n")
+      val cross = cand
+        .join(hx.toDF("c1", "a0", "a1", "a2", "a3", "n1"), "c1")
+        .join(hx.toDF("c2", "x0", "x1", "x2", "x3", "n2"), "c2")
+        .select($"c1", $"c2",
+          (bit_count($"a0".bitwiseXOR($"x0")) +
+            bit_count($"a1".bitwiseXOR($"x1")) +
+            bit_count($"a2".bitwiseXOR($"x2")) +
+            bit_count($"a3".bitwiseXOR($"x3"))).cast("long")
+            .as("hamming"),
+          ($"n1" * $"n2").as("pair_mass"))
+        .filter($"hamming" <= 3L)
+      val self = classes.filter($"n" > 1L)
+        .select($"canon".as("c1"), $"canon".as("c2"),
+          lit(0L).as("hamming"),
+          expr("(n * (n - 1)) DIV 2").as("pair_mass"))
+      cross.unionByName(self).orderBy($"c1", $"c2")
+    },
+    Some(phashSql("""
+        SELECT doc_id AS id,
+               CAST(8 + doc_id % 8 AS BIGINT) AS w,
+               CAST(8 + octet_length(encode(text)) % 5 AS BIGINT) AS h,
+               13 * doc_id AS seed
+        FROM documents
+        UNION ALL
+        SELECT -doc_id - 1 AS id,
+               CAST(8 + doc_id % 8 AS BIGINT) AS w,
+               CAST(8 + octet_length(encode(text)) % 5 AS BIGINT) AS h,
+               13 * doc_id AS seed
+        FROM documents WHERE doc_id % 10 = 0""") + """
+      , hash AS (
+        SELECT id,
+               MAX(CASE WHEN bk = 0 THEN bv END) AS b0,
+               MAX(CASE WHEN bk = 1 THEN bv END) AS b1,
+               MAX(CASE WHEN bk = 2 THEN bv END) AS b2,
+               MAX(CASE WHEN bk = 3 THEN bv END) AS b3
+        FROM bandv GROUP BY id),
+      classes AS (
+        SELECT b0, b1, b2, b3, MIN(id) AS canon,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM hash GROUP BY b0, b1, b2, b3),
+      crossed AS (
+        SELECT a.canon AS c1, b.canon AS c2,
+               CAST(bit_count(xor(a.b0, b.b0))
+                  + bit_count(xor(a.b1, b.b1))
+                  + bit_count(xor(a.b2, b.b2))
+                  + bit_count(xor(a.b3, b.b3)) AS BIGINT) AS hamming,
+               CAST(a.n * b.n AS BIGINT) AS pair_mass
+        FROM classes a JOIN classes b ON a.canon < b.canon),
+      selfrows AS (
+        SELECT canon AS c1, canon AS c2,
+               CAST(0 AS BIGINT) AS hamming,
+               CAST((n * (n - 1)) // 2 AS BIGINT) AS pair_mass
+        FROM classes WHERE n > 1)
+      SELECT c1, c2, hamming, pair_mass FROM crossed WHERE hamming <= 3
+      UNION ALL
+      SELECT c1, c2, hamming, pair_mass FROM selfrows
+      ORDER BY c1, c2"""))
+
   val all: Seq[GQuery] = Seq(sessionize, scd2_islands, schema_evolution,
     table_diff, json_corrupt_routing, resample_ffill, resample_interp,
     twap,
@@ -1740,7 +1842,7 @@ object Extras {
     stream_ivm_refresh, agg_cube,
     mm_binary_meta,
     mm_feature_extract, mm_frame_sample, mm_resize,
-    mm_phash, mm_dedup_phash,
+    mm_phash, mm_dedup_phash, mm_dedup_phash_canonical,
     mm_audio_meta, mm_audio_downsample,
     agg_approx_distinct, ml_kmeans_profiles, ml_kmeans_contract,
     ml_quadfit_contract, ml_pca_contract, set_ops, w2_rank_lag,
