@@ -125,7 +125,11 @@ object ScaleSweep {
     // bucket-collision fanout VERDICT-r10 flagged as never measured)
     "index_persist_build", "bm25_probe_persisted", "trgm_probe_persisted",
     "index_ivm_merge", "quantile_bins_approx", "mm_phash", "mm_dedup_phash",
-    "mm_dedup_phash_canonical")
+    "mm_dedup_phash_canonical",
+    // round-11 second wave: the seventh streaming gate (documents-
+    // backed dictionary maintenance — vocabulary-bounded state over a
+    // corpus-sized token stream)
+    "stream_index_dict")
   // fk_violations is EXCLUDED: it joins customer/part, which MkScale
   // does not scale - a sweep would measure a mixed-scale plan.
   // pareto_frontier is excluded for the same reason (part-backed);

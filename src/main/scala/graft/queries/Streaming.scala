@@ -503,7 +503,75 @@ object Streaming {
                CAST(1 AS BIGINT) AS n_keys, CAST(0 AS BIGINT) AS cents)
       ORDER BY grp"""))
 
+  /** Streaming term-dictionary maintenance — the SEVENTH gate, and
+    * the index lifecycle's streaming leg: documents replay through
+    * [[StreamOps.indexDictStream]] (real IncrementalExecution,
+    * RocksDB state, multi-batch AvailableNow), the per-batch running
+    * (df, total_tf) emissions log-compact to the final dictionary by
+    * ONE max aggregate per term (both counters are monotone — the
+    * cdcApplyStream compaction discipline with an even simpler
+    * compactor), and the gate is the BATCH dictionary oracle: top-50
+    * terms by df, the same profile index_persist_build gates, derived
+    * in SQL from documents with no stream anywhere in it.
+    *
+    * df additivity requires every doc's tokens in one micro-batch
+    * (the index_ivm_merge segment invariant in streaming form): the
+    * replay slices on ets = f(doc_id), so a doc's token rows share a
+    * slice BY CONSTRUCTION — and StreamGateSpec proves the invariant
+    * is load-bearing by splitting one doc across two batches and
+    * watching df double-count. Multi-batch evidence rides in-band
+    * (more emissions than distinct terms ⇔ some term updated across
+    * ≥2 batches), pinned TRUE by the oracle with df = −1 so it sorts
+    * after every real term under the df-desc presentation order. */
+  val stream_index_dict = GQuery(
+    "stream_index_dict",
+    (s, d) => graft.GQuery.withTempTable(s, "graft-stream-dict") { t =>
+      import s.implicits._
+      val toks = T.documents(s, d)
+        .select($"doc_id",
+          explode(filter(split(lower($"text"), " "), x => x =!= ""))
+            .as("term"))
+        .withColumn("ets", timestamp_seconds($"doc_id"))
+      val inDir = s"$t/in"
+      writeTimeSliced(toks, "ets", inDir, sliceCount(toks.count()))
+      val updates = replay(s, t, inDir) { in =>
+        StreamOps.indexDictStream(in.drop("ets"))
+      }
+      val dict = updates.groupBy($"term")
+        .agg(max($"df").as("df"), max($"total_tf").as("total_tf"))
+        .orderBy($"df".desc, $"term")
+        .limit(50)
+      val ev = updates.agg(count(lit(1)).as("n_up"),
+          countDistinct($"term").as("n_t"))
+        .select(lit("__MULTI_BATCH_EVIDENCE__").as("term"),
+          lit(-1L).as("df"),
+          ($"n_up" > $"n_t").cast("long").as("total_tf"))
+      dict.unionByName(ev).orderBy($"df".desc, $"term")
+    },
+    Some("""
+      WITH pairs AS (
+        SELECT term, doc_id, COUNT(*) AS tf FROM (
+          SELECT doc_id,
+                 unnest(list_filter(string_split(lower(text), ' '),
+                                    t -> t <> '')) AS term
+          FROM documents)
+        GROUP BY term, doc_id),
+      dict AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+               CAST(SUM(tf) AS BIGINT) AS total_tf
+        FROM pairs GROUP BY term),
+      top AS (
+        SELECT term, df, total_tf FROM dict
+        ORDER BY df DESC, term LIMIT 50)
+      SELECT term, df, total_tf FROM (
+        SELECT term, df, total_tf FROM top
+        UNION ALL
+        SELECT '__MULTI_BATCH_EVIDENCE__' AS term,
+               CAST(-1 AS BIGINT) AS df, CAST(1 AS BIGINT) AS total_tf)
+      ORDER BY df DESC, term"""))
+
   val all: Seq[GQuery] = Seq(
     stream_window_agg, stream_sessions, stream_interval_join,
-    stream_dedup, stream_static_join, stream_cdc_apply)
+    stream_dedup, stream_static_join, stream_cdc_apply,
+    stream_index_dict)
 }

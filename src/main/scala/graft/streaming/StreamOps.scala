@@ -181,4 +181,56 @@ object StreamOps {
         GroupStateTimeout.NoTimeout)(handle)
       .toDF()
   }
+
+  /** One term-dictionary update — the emission type of
+    * [[indexDictStream]]: the RUNNING (df, total_tf) after the batch. */
+  case class DictRec(term: String, df: Long, total_tf: Long)
+
+  /** Streaming term-dictionary maintenance — the index lifecycle's
+    * streaming leg (batch legs: IndexOps build, index_ivm_merge):
+    * per-term (df, total_tf) accumulated across micro-batches by an
+    * explicit flatMapGroupsWithState machine. State is ONE (df, tf)
+    * pair per term, so the state store is VOCABULARY-bounded — the
+    * right 100 TB shape, since vocabulary grows sublinearly in the
+    * corpus while the token stream is corpus-sized and passes through
+    * statelessly.
+    *
+    * PRECONDITION (df additivity — the index_ivm_merge segment
+    * invariant in streaming form): every document's token rows must
+    * arrive in ONE micro-batch. The gate's replay guarantees it by
+    * slicing on a function of doc_id; a doc split across batches
+    * would double-count df (proven load-bearing by the negative test
+    * in StreamGateSpec). total_tf needs no such care — occurrence
+    * counting is additive under any batching.
+    *
+    * Each batch a term appears in emits the UPDATED running totals —
+    * an append-mode change log whose compaction is `max` per term
+    * (both counters are monotone), the cdcApplyStream discipline with
+    * an even simpler compactor. The per-batch distinct-doc set lives
+    * in the handler (bounded by the term's docs per batch; a
+    * production deployment pre-aggregates (term, doc) map-side before
+    * the state operator). */
+  def indexDictStream(tokens: DataFrame): DataFrame = {
+    import tokens.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+      OutputMode}
+    def handle(term: String, it: Iterator[(Long, String)],
+        state: GroupState[(Long, Long)]): Iterator[DictRec] = {
+      val docs = scala.collection.mutable.HashSet.empty[Long]
+      var occ = 0L
+      it.foreach { r => docs += r._1; occ += 1 }
+      if (occ == 0L) Iterator.empty
+      else {
+        val (df0, tf0) = state.getOption.getOrElse((0L, 0L))
+        val next = (df0 + docs.size, tf0 + occ)
+        state.update(next)
+        Iterator.single(DictRec(term, next._1, next._2))
+      }
+    }
+    tokens.select(col("doc_id"), col("term")).as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(handle)
+      .toDF()
+  }
 }

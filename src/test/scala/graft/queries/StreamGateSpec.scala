@@ -191,4 +191,58 @@ class StreamGateSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(
         new java.io.File(dir))
   }
+
+  test("dict state machine: doc-disjoint batches accumulate the exact " +
+      "dictionary; a doc SPLIT across batches double-counts df — the " +
+      "slicing invariant stream_index_dict relies on is load-bearing") {
+    import spark.implicits._
+    def run(slices: Seq[Seq[(Long, String)]]): Map[String, (Long, Long)] = {
+      val dir = java.nio.file.Files.createTempDirectory("dictgate").toString
+      try {
+        slices.zipWithIndex.foreach { case (rows, i) =>
+          rows.toDF("doc_id", "term")
+            .coalesce(1).write.parquet(s"$dir/in/slice$i")
+          Thread.sleep(30)
+          val d = new java.io.File(s"$dir/in/slice$i")
+          d.listFiles().filter(_.getName.endsWith(".parquet"))
+            .foreach(f => java.nio.file.Files.move(f.toPath,
+              java.nio.file.Paths.get(s"$dir/in/b$i.parquet")))
+        }
+        val q = StreamOps.indexDictStream(
+          spark.readStream
+            .schema(spark.read.parquet(s"$dir/in/b0.parquet").schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$dir/in"))
+          .writeStream.format("parquet")
+          .option("path", s"$dir/out")
+          .option("checkpointLocation", s"$dir/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        spark.read.parquet(s"$dir/out")
+          .groupBy($"term")
+          .agg(max($"df").as("df"), max($"total_tf").as("tf"))
+          .collect()
+          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      } finally
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(dir))
+    }
+    // doc 1 = "a a b", doc 2 = "a c" — intact docs, one per batch
+    val good = run(Seq(
+      Seq((1L, "a"), (1L, "a"), (1L, "b")),
+      Seq((2L, "a"), (2L, "c"))))
+    assert(good == Map("a" -> (2L, 3L), "b" -> (1L, 1L),
+      "c" -> (1L, 1L)), s"exact dictionary lost: $good")
+    // same token multiset, but doc 1's 'a' rows straddle two batches:
+    // df('a') double-counts doc 1 — tf stays exact (additive under
+    // ANY batching), which is precisely why only df needs the
+    // doc-disjoint slicing invariant
+    val split = run(Seq(
+      Seq((1L, "a"), (1L, "b")),
+      Seq((1L, "a"), (2L, "a"), (2L, "c"))))
+    assert(split("a") == (3L, 3L),
+      s"expected df('a') to double-count the split doc: $split")
+    assert(split("b") == (1L, 1L) && split("c") == (1L, 1L))
+  }
 }
