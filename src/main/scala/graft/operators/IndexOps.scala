@@ -20,10 +20,12 @@ import org.apache.spark.sql.functions._
   *
   * Segment layout (one dir per sf dir, four tables):
   *  - `postings(term, doc_id, tf, dl)` — the inverted lists,
-  *    repartitioned BY TERM and sorted (term, doc_id) within files, so
+  *    RANGE-partitioned on (term, doc_id) and sorted within files, so
   *    a term-equality probe prunes row groups via parquet min/max
   *    stats and the pushed filter, exactly how a posting list seek
-  *    skips segments. `dl` is DENORMALIZED into the posting (the
+  *    skips segments — while a stopword's corpus-sized list can span
+  *    partitions instead of pinning one straggler (hash-by-term's
+  *    skew hazard). `dl` is DENORMALIZED into the posting (the
   *    impact-format trade: Lucene's block-max metadata precomputes
   *    norm-dependent bounds per block) — one extra column per posting
   *    buys the probe freedom from any doc-keyed norms join, so the
@@ -90,13 +92,24 @@ object IndexOps {
         .groupBy(col("term"), col("doc_id"), col("dl"))
         .agg(count(lit(1)).as("tf"))
         .select("term", "doc_id", "tf", "dl")
-      posts.repartition(col("term"))
+      // RANGE-partition on (term, doc_id), not hash-partition on term:
+      // a hash layout pins ALL of a term's postings to one partition,
+      // so a stopword's list (df ~ corpus) becomes a straggler/OOM
+      // partition at 100 TB — the exact skew hazard index_postings'
+      // bounded prefix dodges. Range partitioning lets a hot term SPAN
+      // partitions while keeping files sorted on (term, doc_id), so
+      // parquet min/max row-group stats still prune a term-equality
+      // probe (a seek now touches the few consecutive partitions
+      // holding the term's range — how a real segmented index splits
+      // an oversized posting list across blocks).
+      posts.repartitionByRange(col("term"), col("doc_id"))
         .sortWithinPartitions("term", "doc_id")
         .write.parquet(s"$out/postings")
       s.read.parquet(s"$out/postings")
         .groupBy(col("term"))
         .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"))
-        .repartition(1).sortWithinPartitions("term")
+        .repartitionByRange(col("term"))
+        .sortWithinPartitions("term")
         .write.parquet(s"$out/dict")
       docs.agg(count(lit(1)).as("n_docs"),
           sum(size(toks(col("text"))).cast("long")).as("sum_dl"))
@@ -127,7 +140,9 @@ object IndexOps {
           "transform(sequence(1, greatest(length(text) - 2, 1))," +
             " i -> substring(text, i, 3))")).as("g"))
         .distinct()
-        .repartition(col("g"))
+        // range, not hash, partitioning — common trigrams are Zipfian
+        // exactly like stopword terms (see the postings write above)
+        .repartitionByRange(col("g"), col("doc_id"))
         .sortWithinPartitions("g", "doc_id")
         .write.parquet(out)
       out
