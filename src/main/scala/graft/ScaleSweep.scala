@@ -129,7 +129,10 @@ object ScaleSweep {
     // round-11 second wave: the seventh streaming gate (documents-
     // backed dictionary maintenance — vocabulary-bounded state over a
     // corpus-sized token stream)
-    "stream_index_dict")
+    "stream_index_dict",
+    // round-11 third wave: audio fingerprint + canonical audio dedup
+    // (documents → chirp WAVs through the real codec)
+    "mm_audio_hash", "mm_dedup_audio_canonical")
   // fk_violations is EXCLUDED: it joins customer/part, which MkScale
   // does not scale - a sweep would measure a mixed-scale plan.
   // pareto_frontier is excluded for the same reason (part-backed);

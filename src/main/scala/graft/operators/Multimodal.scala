@@ -463,6 +463,51 @@ object Multimodal {
         "height", "duration_ms")
   }
 
+  /** Synthesize REAL (decodable) PCM WAV CHIRPS — same envelope
+    * parameters as [[toWav]] (channels 1 + id%2, rate 8000·(1+id%3),
+    * 16-bit, frames 64 + len%32) but sample j =
+    * ((31·j² + 13·id) mod 65536) − 32768: quadratic phase, so the
+    * waveform sweeps instead of ramping. Exists because [[toWav]]'s
+    * linear ramp is DEGENERATE for amplitude fingerprints — over ≤95
+    * frames the ramp moves only ~9% of the sample range, every clip's
+    * loudness profile is monotone, and all 500 sf0.01 clips collapse
+    * to ONE energy-profile hash (measured). The chirp's |sample|
+    * profile wraps several times per clip at a seed-dependent phase,
+    * restoring per-clip structure while staying exactly reproducible
+    * in SQL (j ≤ 190 ⇒ 31·j² ≤ 1.12·10⁶, BIGINT-exact). */
+  def toWavChirp(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id"),
+        col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val codec = WavCodec.init()
+        rows.map { case (id, text) =>
+          val len = text.getBytes("UTF-8").length
+          val channels = (1 + id % 2).toInt
+          val rate = (8000 * (1 + id % 3)).toInt
+          val frames = 64 + len % 32
+          val n = frames * channels
+          val data = new Array[Byte](2 * n)
+          val seed = 13L * id
+          var j = 0
+          while (j < n) {
+            val v = (((31L * j * j + seed) % 65536) - 32768).toInt
+            data(2 * j) = (v & 0xff).toByte
+            data(2 * j + 1) = ((v >> 8) & 0xff).toByte
+            j += 1
+          }
+          (id, "audio", "audio/wav",
+            codec.encode(WavCodec.Audio(channels, rate, 16, data)),
+            Option.empty[Int], Option.empty[Int],
+            Some((frames.toLong * 1000 / rate).toInt))
+        }
+      }.toDF("media_id", "modality", "mime", "payload", "width",
+        "height", "duration_ms")
+  }
+
   /** Synthesize a media table from any text column: the payload is the
     * raw utf-8 bytes (an OPAQUE blob — exercises the undecodable path
     * and envelope stats). */
@@ -567,5 +612,61 @@ object Multimodal {
           }
         }
       }.toDF("media_id", "w", "h", "b0", "b1", "b2", "b3", "n_ones")
+  }
+
+  /** 64-bit energy-profile hash over the DECODED PCM — the audio
+    * analog of [[perceptualHash]] (an aHash over the loudness curve,
+    * the shape a chromaprint-style fingerprint reduces to for
+    * amplitude features): channel-0 frames map onto 64 time windows
+    * (window k of frame f = f·64 DIV nFrames — integer, exact), each
+    * window accumulates Σ|sample| and its frame count, and the bit is
+    * the MEAN comparison cross-multiplied to stay divisionless —
+    * `e_k·n ≥ Σe·cnt_k` (windows hold unequal frame counts when
+    * nFrames isn't a multiple of 64, so comparing sums would bias
+    * long windows; comparing means via cross-multiplication keeps the
+    * exact-integer discipline). Bits pack as 4×16-bit bands for the
+    * same pigeonhole-lossless Hamming ≤ 3 banded join the image
+    * family uses. Gain-invariance note: scaling every |sample| by c
+    * scales both sides by c — the profile survives volume changes,
+    * the same algebra as aHash's brightness-shift invariance.
+    * Overflow: e_k·n ≤ 32768·nFrames² — BIGINT-exact to ~10⁷ frames
+    * per clip. mapPartitions is the house-legitimate codec path. */
+  def audioHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val codec = WavCodec.init()
+        rows.flatMap { case (id, payload) =>
+          codec.decode(payload).iterator.map { a =>
+            val n = a.nFrames.toInt
+            val e = new Array[Long](64)
+            val cnt = new Array[Long](64)
+            var tot = 0L
+            var f = 0
+            while (f < n) {
+              val k = (f.toLong * 64 / n).toInt
+              val v = WavCodec.sample(a, f, 0)
+              val av =
+                math.abs(if (a.bitsPerSample == 8) v - 128 else v).toLong
+              e(k) += av
+              cnt(k) += 1
+              tot += av
+              f += 1
+            }
+            val bands = new Array[Long](4)
+            var ones = 0L
+            var k = 0
+            while (k < 64) {
+              if (e(k) * n >= tot * cnt(k)) {
+                bands(k / 16) |= 1L << (k % 16)
+                ones += 1
+              }
+              k += 1
+            }
+            (id, a.nFrames, bands(0), bands(1), bands(2), bands(3), ones)
+          }
+        }
+      }.toDF("media_id", "n_frames", "b0", "b1", "b2", "b3", "n_ones")
   }
 }

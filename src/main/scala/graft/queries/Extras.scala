@@ -693,6 +693,172 @@ object Extras {
       WHERE f.range < c.frames AND f.range % 4 = 0
       GROUP BY c.media_id ORDER BY media_id"""))
 
+  /** DuckDB spelling of the audio energy-profile hash over a
+    * parameterized clip catalog CTE `c(id, ch, frames, seed)` — the
+    * PCM synthesis arithmetic rebuilt relationally (the phashSql
+    * discipline on the audio axis): channel-0 CHIRP sample of frame
+    * f = ((31·(f·ch)² + seed) mod 65536) − 32768 (toWavChirp — the
+    * toWav ramp is degenerate for fingerprints), window k = f·64 DIV
+    * frames, bit = mean comparison cross-multiplied
+    * (e·frames ≥ Σe·cnt), bands = 16-bit packs. range(95) covers the
+    * max frame count (64 + len%32 ≤ 95, the mm_audio_downsample
+    * bound). */
+  private def audioHashSql(catalogCte: String): String = s"""
+      WITH c AS ($catalogCte),
+      fr AS (
+        SELECT id, frames, (f.range * 64) // frames AS k,
+               ABS(((31 * (f.range * ch) * (f.range * ch) + seed)
+                     % 65536) - 32768) AS av
+        FROM c, range(95) f WHERE f.range < frames),
+      win AS (
+        SELECT id, frames, k, CAST(SUM(av) AS BIGINT) AS e,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM fr GROUP BY id, frames, k),
+      tot AS (SELECT id, CAST(SUM(e) AS BIGINT) AS t
+              FROM win GROUP BY id),
+      bits AS (
+        SELECT w.id, w.k,
+               CASE WHEN w.e * w.frames >= tot.t * w.cnt
+                    THEN 1 ELSE 0 END AS bit
+        FROM win w JOIN tot ON w.id = tot.id),
+      bandv AS (
+        SELECT id, k // 16 AS bk,
+               CAST(SUM((CAST(1 AS BIGINT) << (k % 16)) * bit)
+                 AS BIGINT) AS bv
+        FROM bits GROUP BY id, k // 16)"""
+
+  private val audioCatalog = """
+        SELECT doc_id AS id,
+               CAST(1 + doc_id % 2 AS BIGINT) AS ch,
+               CAST(64 + octet_length(encode(text)) % 32 AS BIGINT)
+                 AS frames,
+               13 * doc_id AS seed
+        FROM documents"""
+
+  /** Per-clip 64-bit energy-profile hash through the REAL WAVE decode
+    * path ([[Multimodal.audioHash]]) — the mm_phash discipline on the
+    * audio axis: real codec on the Spark side, pure-SQL PCM rebuild
+    * on the oracle side, one fingerprint per clip that must agree
+    * bit-for-bit. The bit is a cross-multiplied MEAN comparison
+    * (windows hold unequal frame counts when nFrames isn't a multiple
+    * of 64), gain-invariant by the same algebra as aHash's
+    * brightness-shift invariance. Scan-bound: one decode per clip, no
+    * shuffle before the per-clip hash row. */
+  val mm_audio_hash = GQuery(
+    "mm_audio_hash",
+    (s, d) => {
+      import s.implicits._
+      Multimodal.audioHash(
+          Multimodal.toWavChirp(T.documents(s, d), "doc_id", "text"))
+        .select($"media_id", $"n_frames",
+          ($"b1" * 65536L + $"b0").as("hash_lo"),
+          ($"b3" * 65536L + $"b2").as("hash_hi"), $"n_ones")
+        .orderBy($"media_id")
+    },
+    Some(audioHashSql(audioCatalog) + """
+      , hash AS (
+        SELECT id,
+               CAST(SUM(CASE WHEN bk < 2
+                 THEN bv * (CAST(1 AS BIGINT) << (bk * 16))
+                 ELSE 0 END) AS BIGINT) AS hash_lo,
+               CAST(SUM(CASE WHEN bk >= 2
+                 THEN bv * (CAST(1 AS BIGINT) << ((bk - 2) * 16))
+                 ELSE 0 END) AS BIGINT) AS hash_hi
+        FROM bandv GROUP BY id),
+      ones AS (
+        SELECT id, CAST(SUM(bit) AS BIGINT) AS n_ones
+        FROM bits GROUP BY id)
+      SELECT c.id AS media_id, c.frames AS n_frames, hash_lo, hash_hi,
+             n_ones
+      FROM c JOIN hash ON c.id = hash.id
+             JOIN ones ON c.id = ones.id
+      ORDER BY media_id"""))
+
+  /** Audio near-dup classes at Hamming ≤ 3 — the
+    * [[mm_dedup_phash_canonical]] production shape applied DIRECTLY
+    * to the audio fingerprint (the image family's saturation fence
+    * already priced why exact pair enumeration dies: this family goes
+    * straight to the linear representation). Exact-hash classes
+    * collapse first (canonical = min id, n = class size; every 10th
+    * clip plants a byte-identical twin under −id−1 — the re-upload
+    * case — guaranteeing fat classes), the pigeonhole-lossless banded
+    * join runs over the class table, and self/cross pair_mass rows
+    * carry the full pair information linearly. Oracle brute-forces
+    * all class pairs — two algorithms, one answer. */
+  val mm_dedup_audio_canonical = GQuery(
+    "mm_dedup_audio_canonical",
+    (s, d) => {
+      import s.implicits._
+      val media =
+        Multimodal.toWavChirp(T.documents(s, d), "doc_id", "text")
+      val plants = media.filter($"media_id" % 10 === 0L)
+        .withColumn("media_id", -$"media_id" - 1L)
+      val classes = Multimodal.audioHash(media.unionByName(plants))
+        .groupBy($"b0", $"b1", $"b2", $"b3")
+        .agg(min($"media_id").as("canon"), count(lit(1)).as("n"))
+        .localCheckpoint()
+      val bands = classes.select($"canon",
+        posexplode(array($"b0", $"b1", $"b2", $"b3")).as(Seq("bk", "bv")))
+      val cand = bands.alias("a").join(bands.alias("b"),
+          col("a.bk") === col("b.bk") && col("a.bv") === col("b.bv") &&
+            col("a.canon") < col("b.canon"))
+        .select(col("a.canon").as("c1"), col("b.canon").as("c2"))
+        .distinct()
+      val hx = classes.select($"canon", $"b0", $"b1", $"b2", $"b3", $"n")
+      val cross = cand
+        .join(hx.toDF("c1", "a0", "a1", "a2", "a3", "n1"), "c1")
+        .join(hx.toDF("c2", "x0", "x1", "x2", "x3", "n2"), "c2")
+        .select($"c1", $"c2",
+          (bit_count($"a0".bitwiseXOR($"x0")) +
+            bit_count($"a1".bitwiseXOR($"x1")) +
+            bit_count($"a2".bitwiseXOR($"x2")) +
+            bit_count($"a3".bitwiseXOR($"x3"))).cast("long")
+            .as("hamming"),
+          ($"n1" * $"n2").as("pair_mass"))
+        .filter($"hamming" <= 3L)
+      val self = classes.filter($"n" > 1L)
+        .select($"canon".as("c1"), $"canon".as("c2"),
+          lit(0L).as("hamming"),
+          expr("(n * (n - 1)) DIV 2").as("pair_mass"))
+      cross.unionByName(self).orderBy($"c1", $"c2")
+    },
+    Some(audioHashSql(audioCatalog + """
+        UNION ALL
+        SELECT -doc_id - 1 AS id,
+               CAST(1 + doc_id % 2 AS BIGINT) AS ch,
+               CAST(64 + octet_length(encode(text)) % 32 AS BIGINT)
+                 AS frames,
+               13 * doc_id AS seed
+        FROM documents WHERE doc_id % 10 = 0""") + """
+      , hash AS (
+        SELECT id,
+               MAX(CASE WHEN bk = 0 THEN bv END) AS b0,
+               MAX(CASE WHEN bk = 1 THEN bv END) AS b1,
+               MAX(CASE WHEN bk = 2 THEN bv END) AS b2,
+               MAX(CASE WHEN bk = 3 THEN bv END) AS b3
+        FROM bandv GROUP BY id),
+      classes AS (
+        SELECT b0, b1, b2, b3, MIN(id) AS canon,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM hash GROUP BY b0, b1, b2, b3),
+      crossed AS (
+        SELECT a.canon AS c1, b.canon AS c2,
+               CAST(bit_count(xor(a.b0, b.b0))
+                  + bit_count(xor(a.b1, b.b1))
+                  + bit_count(xor(a.b2, b.b2))
+                  + bit_count(xor(a.b3, b.b3)) AS BIGINT) AS hamming,
+               CAST(a.n * b.n AS BIGINT) AS pair_mass
+        FROM classes a JOIN classes b ON a.canon < b.canon),
+      selfrows AS (
+        SELECT canon AS c1, canon AS c2,
+               CAST(0 AS BIGINT) AS hamming,
+               CAST((n * (n - 1)) // 2 AS BIGINT) AS pair_mass
+        FROM classes WHERE n > 1)
+      SELECT c1, c2, hamming, pair_mass FROM crossed WHERE hamming <= 3
+      UNION ALL
+      SELECT c1, c2, hamming, pair_mass FROM selfrows
+      ORDER BY c1, c2"""))
+
   /** HLL approx-distinct with its accuracy contract hash-checked: the
     * oracle pins the exact count, and the boolean asserts the ±2%-rsd
     * sketch landed within 5% of it — so the sketch path is verified
@@ -1844,6 +2010,7 @@ object Extras {
     mm_feature_extract, mm_frame_sample, mm_resize,
     mm_phash, mm_dedup_phash, mm_dedup_phash_canonical,
     mm_audio_meta, mm_audio_downsample,
+    mm_audio_hash, mm_dedup_audio_canonical,
     agg_approx_distinct, ml_kmeans_profiles, ml_kmeans_contract,
     ml_quadfit_contract, ml_pca_contract, set_ops, w2_rank_lag,
     j6_outer_join, asof_attribution, asof_forward, asof_nearest,

@@ -142,6 +142,44 @@ class Round11Spec extends SparkSpec {
       p._3 == r.getLong(2))), "a cross hamming matches no exact pair")
   }
 
+  test("mm_dedup_audio_canonical reconciles against an exhaustive " +
+      "O(n^2) driver recount of Hamming<=3 pairs over the chirp " +
+      "fingerprints, and the planted twins land in fat classes") {
+    import spark.implicits._
+    val media = graft.operators.Multimodal.toWavChirp(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text")
+    val plants = media.filter($"media_id" % 10 === 0L)
+      .withColumn("media_id", -$"media_id" - 1L)
+    val hashes = graft.operators.Multimodal
+      .audioHash(media.unionByName(plants))
+      .select($"media_id", $"b0", $"b1", $"b2", $"b3")
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))))
+    def ham(a: (Long, Long, Long, Long), b: (Long, Long, Long, Long)) =
+      java.lang.Long.bitCount(a._1 ^ b._1) +
+        java.lang.Long.bitCount(a._2 ^ b._2) +
+        java.lang.Long.bitCount(a._3 ^ b._3) +
+        java.lang.Long.bitCount(a._4 ^ b._4)
+    var exactPairs = 0L
+    for (i <- hashes.indices; j <- (i + 1) until hashes.length)
+      if (ham(hashes(i)._2, hashes(j)._2) <= 3) exactPairs += 1
+    val out = Registry.queryMap("mm_dedup_audio_canonical")(spark, sf)
+      .collect()
+    val mass = out.map(_.getLong(3)).sum
+    assert(mass == exactPairs,
+      s"pair mass $mass != exhaustive recount $exactPairs")
+    // every planted twin is byte-identical to its original, so its
+    // class has n >= 2 and (being negative) owns the canonical id
+    val selfCanons = out.filter(r => r.getLong(0) == r.getLong(1))
+      .map(_.getLong(0)).toSet
+    assert(selfCanons.exists(_ < 0L),
+      "no fat class carries a planted (negative) canonical")
+    assert(out.exists(r => r.getLong(0) != r.getLong(1) &&
+      r.getLong(2) >= 1L && r.getLong(2) <= 3L),
+      "no organic cross-class near-dup surfaced")
+  }
+
   test("EvictionEvidence.close() is idempotent and safe when await " +
       "is never reached (the listener-leak fix)") {
     val ev = graft.streaming.StreamOps.EvictionEvidence.install(spark)
