@@ -774,6 +774,17 @@ class PlanAuditSpec extends SparkSpec {
       "probe selection lost the two-phase group-limit:\n" + p)
   }
 
+  test("r11b: the canonical dedup twins pair through banded band " +
+      "buckets over the CLASS table — no cartesian or nested-loop " +
+      "pair enumeration in either modality") {
+    for (q <- Seq("mm_dedup_phash_canonical", "mm_dedup_audio_canonical")) {
+      val p = plan(q, "simple")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q: pairing degenerated to a nested-loop join:\n$p")
+    }
+  }
+
   test("r11: bm25_probe_persisted is corpus-free and generation-free " +
       "— only the index segments are scanned, query terms pushed " +
       "into the postings scan, top-10 via TakeOrderedAndProject") {
