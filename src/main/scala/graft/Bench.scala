@@ -10,6 +10,14 @@ object Bench {
     // default, in the output JSON so a series mismatch is visible in
     // the artifact itself (VERDICT-r10 item 3).
     val cpusEnv = sys.env.get("SPARK_GRAFT_CPUS")
+    // ADVICE-r11: cpus is emitted UNQUOTED into the output JSON, and
+    // local[*] is otherwise a legal master string — a non-integer value
+    // ('*', 'auto') would produce invalid JSON on both the stdout line
+    // and the persisted map, silently breaking every downstream parser
+    // (tools/minof). Fail fast at startup instead.
+    cpusEnv.foreach(v => require(v.forall(_.isDigit) && v.nonEmpty,
+      s"SPARK_GRAFT_CPUS must be a positive integer (got '$v'): the " +
+        "bench emits it as a bare JSON number"))
     val cpus = cpusEnv.getOrElse("4")
     val cpusSource = if (cpusEnv.isDefined) "env" else "default"
     // one source of truth for session tuning: the library recipe

@@ -183,11 +183,16 @@ object ScaleSweep {
       }.min
     }
 
+    // VERDICT-r11 item 6: raw artifacts must self-describe their
+    // fixture pair — the old generic t_sf01/t_sf1 keys mislabeled
+    // sf1→sf10 runs. A header line pins the fixtures once; every row
+    // carries fixture-neutral t_lo/t_hi keys.
+    println(s"""{"sweep_fixtures":{"lo":"$base","hi":"$big"},"rounds":$rounds}""")
     val rows = names.flatMap { name =>
       try {
         val tb = minOf3(name, base)
         val ts = minOf3(name, big)
-        println(f"""{"query":"$name","t_sf01":$tb%.3f,"t_sf1":$ts%.3f,"ratio":${ts / tb}%.2f}""")
+        println(f"""{"query":"$name","t_lo":$tb%.3f,"t_hi":$ts%.3f,"ratio":${ts / tb}%.2f}""")
         Some((name, tb, ts, ts / tb))
       } catch {
         case e: Throwable =>
@@ -195,7 +200,7 @@ object ScaleSweep {
           None
       }
     }
-    println("\n| query | sf0.1 s | sf1 s | ratio (10x data) |")
+    println(s"\n| query | lo=$base s | hi=$big s | ratio (10x data) |")
     println("|---|---|---|---|")
     rows.sortBy(-_._4).foreach { case (n, tb, ts, r) =>
       println(f"| $n | $tb%.2f | $ts%.2f | $r%.2f |")

@@ -69,8 +69,27 @@ object IndexOps {
     * the next probe re-derives — a sweep that wants to price the
     * BUILD resets first; a sweep pricing the warm PROBE (the
     * deployment steady state, and what min-of-N measures anyway since
-    * only iteration 1 pays the build) does not. */
-  def resetIndexCache(): Unit = { postingsCache.clear(); trgmCache.clear() }
+    * only iteration 1 pays the build) does not.
+    *
+    * The forgotten segment DIRECTORIES are deleted here too
+    * (ADVICE-r11): a rounds=N sweep resets per timed round, so
+    * forget-without-delete accumulated N+1 full index copies per sf
+    * dir under the temp root until JVM exit — real disk pressure at
+    * large SFs. */
+  def resetIndexCache(): Unit = {
+    (postingsCache.values ++ trgmCache.values).foreach { dir =>
+      deleteTree(java.nio.file.Paths.get(dir))
+    }
+    postingsCache.clear(); trgmCache.clear()
+  }
+
+  private def deleteTree(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+  }
 
   private def toks(c: org.apache.spark.sql.Column) =
     filter(split(lower(c), " "), t => t =!= "")

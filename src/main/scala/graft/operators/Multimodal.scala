@@ -630,7 +630,15 @@ object Multimodal {
     * scales both sides by c — the profile survives volume changes,
     * the same algebra as aHash's brightness-shift invariance.
     * Overflow: e_k·n ≤ 32768·nFrames² — BIGINT-exact to ~10⁷ frames
-    * per clip. mapPartitions is the house-legitimate codec path. */
+    * per clip. mapPartitions is the house-legitimate codec path.
+    *
+    * PRECONDITION (ADVICE-r11): nFrames ≥ 64, enforced loudly. A clip
+    * shorter than the window count leaves windows EMPTY, and the
+    * Scala side's empty-window bit (0·n ≥ tot·0 ⇒ 1) silently
+    * diverges from the SQL rebuild (no row ⇒ bit 0). Every in-repo
+    * synthesizer guarantees frames ≥ 64; other media sources must
+    * pad or be filtered before hashing, and this require makes that
+    * contract fail-fast instead of hash-mismatch-later. */
   def audioHash(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -640,6 +648,9 @@ object Multimodal {
         rows.flatMap { case (id, payload) =>
           codec.decode(payload).iterator.map { a =>
             val n = a.nFrames.toInt
+            require(n >= 64, s"audioHash: clip $id has $n frames < 64 " +
+              "windows — empty windows would diverge from the SQL " +
+              "rebuild (see scaladoc); pad or filter short clips first")
             val e = new Array[Long](64)
             val cnt = new Array[Long](64)
             var tot = 0L

@@ -206,29 +206,50 @@ object StreamOps {
     * Each batch a term appears in emits the UPDATED running totals —
     * an append-mode change log whose compaction is `max` per term
     * (both counters are monotone), the cdcApplyStream discipline with
-    * an even simpler compactor. The per-batch distinct-doc set lives
-    * in the handler (bounded by the term's docs per batch; a
-    * production deployment pre-aggregates (term, doc) map-side before
-    * the state operator). */
+    * an even simpler compactor.
+    *
+    * The token stream is pre-aggregated to (term, doc_id, tf) rows
+    * BEFORE the state operator (VERDICT-r11 item 4): the raw stream
+    * repartitions on (term, doc_id) — a stateless batch-local
+    * exchange, so each pair lands whole in one task of the CURRENT
+    * micro-batch — and a per-partition hash combine collapses it to
+    * one row per pair. The handler then just counts rows streaming
+    * through its iterator (df += 1, tf += count) in O(1) memory per
+    * key. Without this, the handler built a per-(term, batch) HashSet
+    * of doc ids — batch-df-sized executor memory pinned on a single
+    * stopword key; now a stopword term costs one counter, and the
+    * memory lives in the combine's partition-spread hash maps (each
+    * holding only its partition's share of the batch's distinct
+    * pairs — the map-side-combine shape). The (term, doc_id) hash
+    * spread is also why a stopword cannot pin the combine itself:
+    * doc_id scatters its rows across every partition. */
   def indexDictStream(tokens: DataFrame): DataFrame = {
     import tokens.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
       OutputMode}
-    def handle(term: String, it: Iterator[(Long, String)],
+    def handle(term: String, it: Iterator[(String, Long, Long)],
         state: GroupState[(Long, Long)]): Iterator[DictRec] = {
-      val docs = scala.collection.mutable.HashSet.empty[Long]
+      var df = 0L
       var occ = 0L
-      it.foreach { r => docs += r._1; occ += 1 }
-      if (occ == 0L) Iterator.empty
+      it.foreach { r => df += 1; occ += r._3 }
+      if (df == 0L) Iterator.empty
       else {
         val (df0, tf0) = state.getOption.getOrElse((0L, 0L))
-        val next = (df0 + docs.size, tf0 + occ)
+        val next = (df0 + df, tf0 + occ)
         state.update(next)
         Iterator.single(DictRec(term, next._1, next._2))
       }
     }
     tokens.select(col("doc_id"), col("term")).as[(Long, String)]
-      .groupByKey(_._2)
+      .repartition(col("doc_id"), col("term"))
+      .mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap.empty[(Long, String), Long]
+        it.foreach { r =>
+          m.updateWith(r)(c => Some(c.getOrElse(0L) + 1L))
+        }
+        m.iterator.map { case ((doc, term), tf) => (term, doc, tf) }
+      }
+      .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(handle)
       .toDF()

@@ -750,7 +750,20 @@ class PlanAuditSpec extends SparkSpec {
     val specs = p.split(raw"windowspecdefinition\(").drop(1)
     assert(specs.nonEmpty, "the lag window vanished entirely:\n" + p)
     for (s <- specs) {
-      val head = s.split(" ASC | DESC ", 2)(0)
+      // ADVICE-r11: bound the inspected text to the spec's OWN
+      // argument list first — a spec printing without ASC/DESC would
+      // otherwise make `head` the remainder of the whole plan string,
+      // where term#/block# almost certainly appear, passing the
+      // assertion vacuously (the failure mode the old pin had). Every
+      // windowspecdefinition prints a specifiedwindowframe argument,
+      // so the split below always terminates inside the spec; a
+      // missing order token then fails LOUDLY via the length check.
+      val args = s.split("specifiedwindowframe", 2)(0)
+      val parts = args.split(" ASC | DESC ", 2)
+      assert(parts.length == 2,
+        s"a windowspecdefinition without an order spec: " +
+          s"windowspecdefinition($args ...\n" + p)
+      val head = parts(0)
       assert(head.contains("term#") && head.contains("block#"),
         s"a window not partitioned by (term, block): " +
           s"windowspecdefinition($head ...\n" + p)
