@@ -731,25 +731,51 @@ object Retrieval {
     "bm25_probe_persisted",
     (s, d) => {
       import s.implicits._
-      val sliver = graft.operators.IndexOps.postings(s, d)
-        .filter($"term".isin(QueryTerms: _*))
-      val dictQ = graft.operators.IndexOps.dict(s, d)
-        .filter($"term".isin(QueryTerms: _*))
-        .select($"term", $"df")
-      val st = graft.operators.IndexOps.stats(s, d)
-      val avgdl = $"sum_dl".cast("double") / $"n_docs".cast("double")
-      sliver.join(broadcast(dictQ), Seq("term"))
-        .crossJoin(broadcast(st))
-        .withColumn("wd",
-          bm25w($"tf", $"df", $"dl", $"n_docs", avgdl)
-            .cast(org.apache.spark.sql.types.DecimalType(38, 12)))
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_terms"),
-          round(sum($"wd").cast("double"), 6).as("score"))
-        .orderBy($"score".desc, $"doc_id")
-        .limit(10)
+      bm25ProbePersistedFor(s, d, QueryTerms.toDF("term"))
     },
     Some(bm25JoinOracle))
+
+  /** The warm-probe plan builder behind [[bm25_probe_persisted]], with
+    * the query as DATA (VERDICT-r11 item 5): terms arrive as a `term`
+    * column of any DataFrame — the bm25_join_topk production shape —
+    * instead of a compile-time constant, so new queries never mean new
+    * plans-as-code. The query table is collected DRIVER-SIDE to build
+    * the pushed In filter: bounded and legitimate (a retrieval query
+    * is human-sized — this is exactly where a Lucene/ES coordinator
+    * parses the query into term objects before seeking segments), and
+    * the only way the filter lands IN the parquet scan — a runtime
+    * join filter cannot statically prune the term-range-partitioned
+    * segment's row groups the way a literal In does. Capped loudly:
+    * a corpus-sized "query" table would belong in the join-shaped
+    * bm25_join_topk plan, not a probe. */
+  private[graft] def bm25ProbePersistedFor(s: org.apache.spark.sql
+      .SparkSession, d: String, queryDf: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val terms = queryDf.select(col("term"))
+      .limit(1025).collect().map(_.getString(0)).toSeq
+    require(terms.nonEmpty && terms.size <= 1024,
+      s"bm25ProbePersistedFor: ${terms.size} query terms — a probe " +
+        "query is human-sized (<= 1024 terms); corpus-scale term sets " +
+        "take the bm25_join_topk join plan instead")
+    val sliver = graft.operators.IndexOps.postings(s, d)
+      .filter($"term".isin(terms: _*))
+    val dictQ = graft.operators.IndexOps.dict(s, d)
+      .filter($"term".isin(terms: _*))
+      .select($"term", $"df")
+    val st = graft.operators.IndexOps.stats(s, d)
+    val avgdl = $"sum_dl".cast("double") / $"n_docs".cast("double")
+    sliver.join(broadcast(dictQ), Seq("term"))
+      .crossJoin(broadcast(st))
+      .withColumn("wd",
+        bm25w($"tf", $"df", $"dl", $"n_docs", avgdl)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        round(sum($"wd").cast("double"), 6).as("score"))
+      .orderBy($"score".desc, $"doc_id")
+      .limit(10)
+  }
 
   /** Substring search served off the warm persisted trigram index:
     * the pattern's 4 trigrams prune the trigram-postings scan (pushed

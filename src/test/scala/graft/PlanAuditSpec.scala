@@ -813,6 +813,21 @@ class PlanAuditSpec extends SparkSpec {
       "the dict/stats joins must broadcast:\n" + p)
   }
 
+  test("r12: bm25ProbePersistedFor is query-AS-DATA — a term table " +
+      "the registry never saw yields the same corpus-free plan with " +
+      "ITS terms in the pushed In filter") {
+    import spark.implicits._
+    val p = queries.Retrieval.bm25ProbePersistedFor(spark, sf,
+        Seq("table", "hash").toDF("term"))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Generate") && !p.contains("documents"),
+      "the warm probe must stay corpus-free for ANY query table:\n" + p)
+    assert(p.contains("PushedFilters: [In(term, [hash,table])") ||
+      p.contains("PushedFilters: [In(term, [table,hash])"),
+      "the query table's OWN terms must reach the segment scan:\n" + p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("r11: trgm_probe_persisted scans the corpus exactly once (the " +
       "verify fetch) — the trigram Generate is gone from the query " +
       "path, pattern trigrams pushed into the trigram-segment scan") {
