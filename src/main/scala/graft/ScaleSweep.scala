@@ -132,7 +132,11 @@ object ScaleSweep {
     "stream_index_dict",
     // round-11 third wave: audio fingerprint + canonical audio dedup
     // (documents → chirp WAVs through the real codec)
-    "mm_audio_hash", "mm_dedup_audio_canonical")
+    "mm_audio_hash", "mm_dedup_audio_canonical",
+    // round-12 wave: postings-segment merge + probe (documents — the
+    // expensive leg of a real segment merge, init+refresh+probe priced
+    // per round via withTempTable like index_ivm_merge)
+    "bm25_probe_merged")
   // fk_violations is EXCLUDED: it joins customer/part, which MkScale
   // does not scale - a sweep would measure a mixed-scale plan.
   // pareto_frontier is excluded for the same reason (part-backed);

@@ -861,9 +861,83 @@ object Retrieval {
       FROM pairs GROUP BY term
       ORDER BY df DESC, term LIMIT 50"""))
 
+  /** Postings-SEGMENT merge + probe — the leg [[index_ivm_merge]]
+    * deliberately left ungated (VERDICT-r11 item 3): the dictionary
+    * merge proved the term-keyed algebra, but the postings are the
+    * tables probes actually scan, and at 100 TB the postings merge is
+    * the expensive leg of a real Lucene segment merge. The lifecycle
+    * here is the full Lucene shape: the base corpus (90%, doc_id % 10
+    * ≠ 0) tokenizes ONCE into a range-partitioned base postings
+    * segment + 1-row stats header (init, never rescanned); the delta
+    * batch (10%) tokenizes into its own delta segment (the refresh
+    * cost — tokenize(delta), not tokenize(corpus)); and because every
+    * doc lives in exactly ONE segment, the merged postings table is a
+    * pure doc-disjoint UNION — no re-aggregation, (term, doc_id) is
+    * unique across segments BY the partitioning invariant, exactly
+    * why Lucene can concatenate posting lists at merge time.
+    *
+    * The gate is a BM25 top-10 PROBE over the two-segment union with
+    * [[bm25_join_topk]]'s full-rebuild oracle VERBATIM (the oracle
+    * never sees a segment): query terms prune BOTH segment scans (a
+    * pushed In filter each), per-term df is a window over the matched
+    * sliver — global df, since the sliver holds every posting of the
+    * query terms across both segments — and idf/avgdl come from
+    * adding the two 1-row stats headers (additive under the same
+    * doc-disjoint invariant the dictionary merge gated). A doc split
+    * across segments would surface as a duplicate (term, doc_id)
+    * posting and a wrong df/score — the hash gate breaks. */
+  val bm25_probe_merged = GQuery(
+    "bm25_probe_merged",
+    (s, d) => graft.GQuery.withTempTable(s, "graft-seg-merge") { dir =>
+      import s.implicits._
+      def postingsOf(dd: org.apache.spark.sql.DataFrame) =
+        dd.select($"doc_id", size(toks($"text")).cast("long").as("dl"),
+            explode(toks($"text")).as("term"))
+          .groupBy($"term", $"doc_id", $"dl")
+          .agg(count(lit(1)).as("tf"))
+          .select("term", "doc_id", "tf", "dl")
+      def statsOf(dd: org.apache.spark.sql.DataFrame) =
+        dd.agg(count(lit(1)).as("n_docs"),
+          sum(size(toks($"text")).cast("long")).as("sum_dl"))
+      val docs = T.documents(s, d)
+      // init: the base segment, written once (the IndexOps layout —
+      // range-partitioned so a hot term spans partitions)
+      postingsOf(docs.filter($"doc_id" % 10L =!= 0L))
+        .repartitionByRange($"term", $"doc_id")
+        .sortWithinPartitions("term", "doc_id")
+        .write.parquet(s"$dir/base_postings")
+      statsOf(docs.filter($"doc_id" % 10L =!= 0L))
+        .write.parquet(s"$dir/base_stats")
+      // refresh: the delta segment — tokenize(delta) only
+      postingsOf(docs.filter($"doc_id" % 10L === 0L))
+        .write.parquet(s"$dir/delta_postings")
+      statsOf(docs.filter($"doc_id" % 10L === 0L))
+        .write.parquet(s"$dir/delta_stats")
+      // probe: pushed In prunes each segment; union is the merge
+      val merged = s.read.parquet(s"$dir/base_postings")
+        .unionByName(s.read.parquet(s"$dir/delta_postings"))
+      val sliver = merged.filter($"term".isin(QueryTerms: _*))
+      val st = s.read.parquet(s"$dir/base_stats")
+        .unionByName(s.read.parquet(s"$dir/delta_stats"))
+        .agg(sum($"n_docs").as("n_docs"), sum($"sum_dl").as("sum_dl"))
+      val withDf = sliver.withColumn("df",
+        count(lit(1)).over(Window.partitionBy($"term")))
+      val avgdl = $"sum_dl".cast("double") / $"n_docs".cast("double")
+      withDf.crossJoin(broadcast(st))
+        .withColumn("wd",
+          bm25w($"tf", $"df", $"dl", $"n_docs", avgdl)
+            .cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_terms"),
+          round(sum($"wd").cast("double"), 6).as("score"))
+        .orderBy($"score".desc, $"doc_id")
+        .limit(10)
+    },
+    Some(bm25JoinOracle))
+
   val all: Seq[GQuery] =
     Seq(index_postings, bm25_topk, bm25_join_topk, phrase_query,
       conjunctive_query, rrf_fusion, substr_search_trgm, postings_delta,
       index_persist_build, bm25_probe_persisted, trgm_probe_persisted,
-      index_ivm_merge)
+      index_ivm_merge, bm25_probe_merged)
 }
