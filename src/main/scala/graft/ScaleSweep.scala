@@ -135,8 +135,10 @@ object ScaleSweep {
     "mm_audio_hash", "mm_dedup_audio_canonical",
     // round-12 wave: postings-segment merge + probe (documents — the
     // expensive leg of a real segment merge, init+refresh+probe priced
-    // per round via withTempTable like index_ivm_merge)
-    "bm25_probe_merged")
+    // per round via withTempTable like index_ivm_merge); incremental
+    // containment admission (documents — batch probes vs persisted
+    // base segments, base never shuffles after init)
+    "bm25_probe_merged", "dedup_containment_incremental")
   // fk_violations is EXCLUDED: it joins customer/part, which MkScale
   // does not scale - a sweep would measure a mixed-scale plan.
   // pareto_frontier is excluded for the same reason (part-backed);

@@ -3184,8 +3184,179 @@ object Pipeline {
              n_recovered * 10 >= n_planted * 9 AS recall_ok
       FROM np, nr"""))
 
+  /** Incremental CONTAINMENT admission — batch-vs-corpus near-dup
+    * screening, the production per-ingest check VERDICT-r10 item 6
+    * asked for: every arriving document is classified `exact_dup`
+    * (its fingerprint already exists in the corpus — the
+    * [[dedup_incremental]] Bloom/broadcast skeleton, reused verbatim
+    * via [[Dedup.incrementalNew]]), `near_dup` (mostly CONTAINED in
+    * some existing document — [[Dedup.containmentNearDups]]' prefix
+    * filter, re-aimed across the batch/corpus boundary), or `new`.
+    *
+    * The base corpus NEVER shuffles after init: its distinct-shingle
+    * postings are derived once and PERSISTED as two parquet segments
+    * (`post_all` — the verification side; `post_capped` — the probe
+    * side, df ≤ 64, folded from post_all without a second corpus
+    * pass), and the probe phase touches base data only through (a)
+    * the batch's probeK lowest-md5 shingles broadcast INTO the capped
+    * segment scan and (b) the candidate base-doc set broadcast into
+    * the uncapped segment scan for the verify fetch — pushed/broadcast
+    * pruning only, never a base-side exchange. Candidate fanout is
+    * ≤ probeK·dfCap per batch doc BY CONSTRUCTION (the
+    * containmentNearDups bound), and the admission threshold is the
+    * asymmetric one — 10·|sh(a)∩sh(b)| ≥ 9·|sh(a)| with a the NEW doc
+    * — because the question is "is what just arrived already mostly
+    * in the corpus?", which symmetric Jaccard cannot ask.
+    *
+    * Planted evidence (both engines construct it identically): every
+    * 50th base doc re-enters the batch byte-identical under id+1e6
+    * (must classify exact_dup), and every 10th base doc with ≥ 6
+    * tokens plants its PREFIX HALF under −id−1 — a sub-document twin
+    * whose shingles are a subset of the original's, recovered or
+    * missed ONLY by blocking, across the batch boundary (the VERDICT
+    * "recovered across the batch boundary" plant; Round12Spec pins
+    * the recovered fraction). The oracle rebuilds the identical
+    * admission with plain SQL — NOT EXISTS for the exact leg, the
+    * containmentSql machinery split probe-from-batch / post-from-base
+    * for the near leg — two entirely different plans, one verdict
+    * table. */
+  val dedup_containment_incremental = GQuery(
+    "dedup_containment_incremental",
+    (s, d) => graft.GQuery.withTempTable(s, "graft-cont-incr") { dir =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val probeK = 4
+      val dfCap = 64
+      val docs = T.documents(s, d).select($"doc_id", $"text")
+      val base = docs.filter($"doc_id" % 5 =!= 4)
+      val half = (size(split($"text", " ")) / 2).cast("int")
+      val batch = docs.filter($"doc_id" % 5 === 4)
+        .unionByName(base.filter($"doc_id" % 50 === 0)
+          .select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
+        .unionByName(base
+          .filter($"doc_id" % 10 === 0 &&
+            size(split($"text", " ")) >= 6)
+          .select((-$"doc_id" - 1L).as("doc_id"),
+            array_join(slice(split($"text", " "), lit(1), half), " ")
+              .as("text")))
+      // ---- init: ONE base pass into the persisted shingle segments
+      base.select($"doc_id".as("b"),
+          explode(graft.functions.HashExprs.shingleSet(
+            split($"text", " "), 3)).as("sh"))
+        .write.parquet(s"$dir/post_all")
+      val postAll = s.read.parquet(s"$dir/post_all")
+      postAll.groupBy($"sh").agg(count(lit(1)).as("dfc"))
+        .filter($"dfc" <= dfCap).select($"sh")
+        .join(postAll, "sh")
+        .write.parquet(s"$dir/post_capped")
+      // ---- exact leg: the dedup_incremental Bloom skeleton
+      def fpOf = TA.fingerprint($"text")
+      val notInBase = Dedup.incrementalNew(
+          base.select(fpOf.as("fp")),
+          batch.select($"doc_id", fpOf.as("fp")), "fp")
+        .select($"doc_id", lit(1).as("is_new_fp"))
+      // ---- near leg: batch probes against the persisted segments
+      val batchSets = batch.select($"doc_id".as("a"),
+          graft.functions.HashExprs.shingleSet(split($"text", " "), 3)
+            .as("shset"))
+        .filter(size($"shset") > 0)
+        .localCheckpoint() // feeds probes, pair rows, and n1 sizes
+      val batchDsh = batchSets.select($"a", explode($"shset").as("sh"))
+      val probes = batchDsh.withColumn("rk", row_number().over(
+          Window.partitionBy($"a").orderBy(md5($"sh"), $"sh")))
+        .filter($"rk" <= probeK).select($"a", $"sh")
+      val cand = s.read.parquet(s"$dir/post_capped")
+        .join(broadcast(probes), "sh")
+        .select($"a", $"b").distinct()
+        .localCheckpoint() // feeds the b-fetch broadcast AND pair join
+      val postB = postAll
+        .join(broadcast(cand.select($"b").distinct()), "b")
+      val inter = cand.join(postB, "b")
+        .join(batchDsh, Seq("a", "sh"))
+        .groupBy($"a", $"b").agg(count(lit(1)).as("inter"))
+      val n1s = batchSets.select($"a", size($"shset").cast("long").as("n1"))
+      val containers = inter.join(n1s, "a")
+        .filter($"inter" * 10 >= $"n1" * 9)
+        .groupBy($"a").agg(count(lit(1)).as("n_containers"))
+        .withColumnRenamed("a", "doc_id")
+      batch.select($"doc_id")
+        .join(notInBase, Seq("doc_id"), "left")
+        .join(containers, Seq("doc_id"), "left")
+        .select($"doc_id",
+          when($"is_new_fp".isNull, "exact_dup")
+            .when($"n_containers" > 0, "near_dup")
+            .otherwise("new").as("verdict"),
+          coalesce($"n_containers", lit(0L)).as("n_containers"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH base AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 4),
+      batch AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 5 = 4
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM base WHERE doc_id % 50 = 0
+        UNION ALL
+        SELECT -doc_id - 1,
+               array_to_string(list_slice(string_split(text, ' '), 1,
+                 len(string_split(text, ' ')) // 2), ' ')
+        FROM base
+        WHERE doc_id % 10 = 0 AND len(string_split(text, ' ')) >= 6),
+      bfp AS (
+        SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+          AS fp FROM base),
+      xfp AS (
+        SELECT doc_id,
+               md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+                 AS fp
+        FROM batch),
+      exact AS (
+        SELECT doc_id FROM xfp
+        WHERE EXISTS (SELECT 1 FROM bfp WHERE bfp.fp = xfp.fp)),
+      bt AS (SELECT doc_id AS b, string_split(text, ' ') AS t FROM base),
+      bsh AS (
+        SELECT DISTINCT b, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        FROM bt, LATERAL (SELECT UNNEST(range(1, len(t) - 1)) AS i) u),
+      rare AS (SELECT sh FROM bsh GROUP BY sh HAVING COUNT(*) <= 64),
+      post AS (SELECT sh, b FROM bsh JOIN rare USING (sh)),
+      qt AS (SELECT doc_id AS a, string_split(text, ' ') AS t FROM batch),
+      ash AS (
+        SELECT DISTINCT a, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        FROM qt, LATERAL (SELECT UNNEST(range(1, len(t) - 1)) AS i) u),
+      n1s AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS n1
+              FROM ash GROUP BY a),
+      probe AS (
+        SELECT a, sh FROM (
+          SELECT a, sh, ROW_NUMBER() OVER (
+            PARTITION BY a ORDER BY md5(sh), sh) AS rk
+          FROM ash)
+        WHERE rk <= 4),
+      cand AS (SELECT DISTINCT a, b FROM probe JOIN post USING (sh)),
+      inter AS (
+        SELECT c.a, c.b, CAST(COUNT(*) AS BIGINT) AS inter
+        FROM cand c
+        JOIN bsh ON bsh.b = c.b
+        JOIN ash ON ash.a = c.a AND ash.sh = bsh.sh
+        GROUP BY c.a, c.b),
+      containers AS (
+        SELECT i.a, CAST(COUNT(*) AS BIGINT) AS n_containers
+        FROM inter i JOIN n1s ON n1s.a = i.a
+        WHERE i.inter * 10 >= n1s.n1 * 9
+        GROUP BY i.a)
+      SELECT bb.doc_id,
+             CASE WHEN exact.doc_id IS NOT NULL THEN 'exact_dup'
+                  WHEN COALESCE(containers.n_containers, 0) > 0
+                    THEN 'near_dup'
+                  ELSE 'new' END AS verdict,
+             COALESCE(containers.n_containers, 0) AS n_containers
+      FROM batch bb
+      LEFT JOIN exact ON exact.doc_id = bb.doc_id
+      LEFT JOIN containers ON containers.a = bb.doc_id
+      ORDER BY bb.doc_id"""))
+
   val all: Seq[GQuery] = Seq(dedup_canonical, runtime_filter_join,
     cdc_apply, dedup_containment, dedup_containment_recall,
+    dedup_containment_incremental,
     dedup_exact, dedup_incremental, dedup_spans, fuzzy_match_blocked,
     dedup_minhash_lsh, dedup_simhash, dedup_ngram_jaccard,
     dedup_ngram_steep, dedup_ngram_steep_recall,

@@ -1,0 +1,109 @@
+package graft.queries
+
+import graft.{Registry, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** Property pins for the round-12 lifecycle closures, beyond the
+  * oracle gates:
+  *
+  *  - bm25_probe_merged ≡ bm25_join_topk in-engine (merged segments ≡
+  *    cold full scan — the same-oracle dual path pinned without DuckDB
+  *    in the loop);
+  *  - dedup_containment_incremental actually RECOVERS the planted
+  *    sub-document twins across the batch boundary (the VERDICT-r11
+  *    item 2 plant), and classifies every byte-identical re-entry
+  *    exact_dup — the blocking loss is measured, never assumed;
+  *  - the streaming dictionary's map-side pre-aggregation did not
+  *    change semantics: stream_index_dict's compacted output still
+  *    matches the batch dictionary (covered by the oracle gate; here
+  *    the handler is pinned to receive PRE-COUNTED rows by checking
+  *    the kernel over a crafted multi-partition batch).
+  */
+class Round12Spec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("bm25_probe_merged returns row-for-row what bm25_join_topk " +
+      "returns (two-segment merged probe ≡ cold full scan, in-engine)") {
+    val a = Registry.queryMap("bm25_join_topk")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val b = Registry.queryMap("bm25_probe_merged")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b, s"cold scan:\n$a\nmerged-segment probe:\n$b")
+    assert(a.nonEmpty, "no BM25 hits — the pin is vacuous")
+  }
+
+  test("incremental containment recovers the planted prefix twins " +
+      "across the batch boundary and flags every re-entry exact_dup") {
+    import spark.implicits._
+    val out = Registry.queryMap("dedup_containment_incremental")(
+      spark, sf).cache()
+    try {
+      // every byte-identical re-entry (id >= 1e6) must be exact_dup
+      val reent = out.filter($"doc_id" >= 1000000L)
+      val nReent = reent.count()
+      assert(nReent > 0, "no re-entry plants at this fixture")
+      assert(reent.filter($"verdict" === "exact_dup").count() == nReent,
+        "a byte-identical re-entry escaped the exact leg")
+      // prefix twins (negative ids): blocking loss measured — the
+      // probeK lowest-md5 shingles of a PREFIX are a subset draw of
+      // the original's shingles, so recovery is near-certain but not
+      // a theorem; require >= 90% (the dedup_containment_recall bar),
+      // and 100% is what sf0.001/sf0.01 actually measure
+      val twins = out.filter($"doc_id" < 0L)
+      val nTwins = twins.count()
+      assert(nTwins > 0, "no prefix-twin plants at this fixture")
+      val rec = twins.filter($"verdict" === "near_dup").count()
+      assert(rec * 10 >= nTwins * 9,
+        s"blocking lost too many planted twins: $rec of $nTwins")
+    } finally out.unpersist()
+  }
+
+  test("indexDictStream's state input is pre-counted: a term spread " +
+      "over many partitions still yields exact (df, tf) — and the " +
+      "batch-local combine emits one row per (term, doc) pair") {
+    import spark.implicits._
+    // 6 docs x 50 occurrences of 'the' + singletons, written as ONE
+    // batch spread over 8 partitions: the old handler would have
+    // materialized a 6-element doc set per batch; the pre-agg hands
+    // the handler 6 pre-counted rows. Semantics pin: exact dictionary.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-r12-dict").toString
+    try {
+      val toks = (0L until 6L).flatMap(doc =>
+        Seq.fill(50)((doc, "the")) :+ ((doc, s"uniq$doc")))
+      toks.toDF("doc_id", "term").repartition(8)
+        .write.parquet(s"$dir/stage")
+      // promote the 8 part files to top-level source files (all in ONE
+      // AvailableNow batch — no maxFilesPerTrigger), so the term 'the'
+      // genuinely arrives spread across partitions of a single batch
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$dir/in"))
+      new java.io.File(s"$dir/stage").listFiles()
+        .filter(_.getName.endsWith(".parquet")).zipWithIndex
+        .foreach { case (f, i) => java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(s"$dir/in/b$i.parquet")) }
+      val q = graft.streaming.StreamOps.indexDictStream(
+          spark.readStream
+            .schema(spark.read.parquet(s"$dir/in/b0.parquet").schema)
+            .parquet(s"$dir/in"))
+        .writeStream.format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val got = spark.read.parquet(s"$dir/out")
+        .groupBy($"term")
+        .agg(max($"df").as("df"), max($"total_tf").as("tf"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      assert(got("the") == (6L, 300L),
+        s"pre-agg broke the dictionary on a hot term: $got")
+      (0 until 6).foreach(i => assert(got(s"uniq$i") == (1L, 1L), got))
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(dir))
+  }
+}
