@@ -138,7 +138,15 @@ object ScaleSweep {
     // per round via withTempTable like index_ivm_merge); incremental
     // containment admission (documents — batch probes vs persisted
     // base segments, base never shuffles after init)
-    "bm25_probe_merged", "dedup_containment_incremental")
+    "bm25_probe_merged", "dedup_containment_incremental",
+    // round-12 second wave: the persisted ANN lifecycle (embeddings) —
+    // build priced with a reset per round (the index_persist_build
+    // discipline), probes priced warm (the deployment steady state);
+    // sim_ivf_probe_persisted pairs with the already-swept
+    // sim_ivf_fullprobe to measure what persisting the quantizer is
+    // worth on the vector side
+    "ann_index_build", "sim_ivf_probe_persisted", "sim_ivf_probe_recall",
+    "sim_ivfpq_probe_recall")
   // fk_violations is EXCLUDED: it joins customer/part, which MkScale
   // does not scale - a sweep would measure a mixed-scale plan.
   // pareto_frontier is excluded for the same reason (part-backed);
@@ -178,6 +186,8 @@ object ScaleSweep {
         // warm segments (the deployment steady state they model)
         if (name == "index_persist_build")
           operators.IndexOps.resetIndexCache()
+        if (name == "ann_index_build")
+          operators.AnnIndex.resetIndexCache()
       }
       reset()
       Registry.force(fn(spark, dir)) // warm-up: listing, footers, codegen

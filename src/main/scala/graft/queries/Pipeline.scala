@@ -1206,19 +1206,14 @@ object Pipeline {
              TRUE AS topk_wellformed, TRUE AS recall_ok
       FROM embeddings WHERE vec_id < 50"""))
 
-  /** IVF with nprobe = nlist (full probe): every cell is scored, so the
-    * candidate set is all vectors and the result must equal brute force
-    * exactly — an oracle-checked proof that IVF cell assignment is a
-    * lossless partition of the corpus. */
-  val sim_ivf_fullprobe = GQuery(
-    "sim_ivf_fullprobe",
-    (s, d) => {
-      val vecs = T.embeddings(s, d)
-      Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") < 10),
-          "vec_id", "embedding", 5, nlist = 16, nprobe = 16)
-        .orderBy(col("query_id"), col("rank"))
-    },
-    Some("""
+  /** The exact brute-force top-5 oracle for the 10 fixed query
+    * vectors — shared VERBATIM by [[sim_ivf_fullprobe]] (in-plan IVF,
+    * full probe), [[sim_pq_fullrerank]] (in-plan PQ, full rerank),
+    * and the r12 warm-index probes [[sim_ivf_probe_persisted]] /
+    * [[sim_ivfpq_probe_persisted]]: four structurally different plans
+    * that must all reproduce the exhaustive scan row-for-row, and the
+    * SQL never sees a quantizer, a code, or a segment. */
+  private val bruteTop5Vec10Oracle = """
       WITH q AS (SELECT vec_id AS query_id, embedding AS qv
                  FROM embeddings WHERE vec_id < 10),
       c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
@@ -1238,7 +1233,21 @@ object Pipeline {
                           neighbor_id) AS rank
         FROM dots)
       SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos
-      FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
+      FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  /** IVF with nprobe = nlist (full probe): every cell is scored, so the
+    * candidate set is all vectors and the result must equal brute force
+    * exactly — an oracle-checked proof that IVF cell assignment is a
+    * lossless partition of the corpus. */
+  val sim_ivf_fullprobe = GQuery(
+    "sim_ivf_fullprobe",
+    (s, d) => {
+      val vecs = T.embeddings(s, d)
+      Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") < 10),
+          "vec_id", "embedding", 5, nlist = 16, nprobe = 16)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(bruteTop5Vec10Oracle))
 
   /** IVF recall contract: partial probe (nprobe=4 of 16 cells) must
     * retain ≥60% of the brute-force top-5 across 50 queries. The
@@ -1302,27 +1311,7 @@ object Pipeline {
           "vec_id", "embedding", 5, rerank = Int.MaxValue)
         .orderBy(col("query_id"), col("rank"))
     },
-    Some("""
-      WITH q AS (SELECT vec_id AS query_id, embedding AS qv
-                 FROM embeddings WHERE vec_id < 10),
-      c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
-      dots AS (
-        SELECT query_id, neighbor_id,
-               SUM(CAST(qv[i.i+1] AS DOUBLE) * CAST(cv[i.i+1] AS DOUBLE)) AS dot,
-               SUM(CAST(qv[i.i+1] AS DOUBLE) * CAST(qv[i.i+1] AS DOUBLE)) AS nq,
-               SUM(CAST(cv[i.i+1] AS DOUBLE) * CAST(cv[i.i+1] AS DOUBLE)) AS nc
-        FROM q JOIN c ON query_id <> neighbor_id,
-             (SELECT CAST(range AS INT) AS i FROM range(64)) i
-        GROUP BY query_id, neighbor_id),
-      ranked AS (
-        SELECT query_id, neighbor_id,
-               ROUND(dot / (SQRT(nq) * SQRT(nc)), 6) AS cos,
-               ROW_NUMBER() OVER (PARTITION BY query_id
-                 ORDER BY ROUND(dot / (SQRT(nq) * SQRT(nc)), 6) DESC,
-                          neighbor_id) AS rank
-        FROM dots)
-      SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos
-      FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
+    Some(bruteTop5Vec10Oracle))
 
   /** PQ recall contract at a bounded rerank budget (k=5, 50 queries):
     * recall vs brute force must clear 50% (measured 67.6% at
@@ -1373,6 +1362,141 @@ object Pipeline {
           vecs.where(col("embedding").isNotNull).count()))
       val bf = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", 5)
       val hits = r.join(broadcast(bf), Seq("query_id", "neighbor_id"),
+          "inner")
+        .agg(count(lit(1)).as("n_hits"))
+      bf.agg(countDistinct(col("query_id")).as("n_queries"))
+        .crossJoin(hits)
+        .select(col("n_queries"),
+          (col("n_hits") >= col("n_queries") * lit(5) * lit(0.4))
+            .as("recall_ok"))
+    },
+    Some("""
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
+      FROM embeddings WHERE vec_id < 50"""))
+
+  // ------------------------------------ persisted ANN-index lifecycle
+  // VERDICT-r11 item 1: the IndexOps/graph_edges build-once/probe-many
+  // discipline applied to the vector family — the last family still
+  // training quantizers inside every query plan. operators/AnnIndex is
+  // the lifecycle; the five gates below certify it, and every oracle
+  // re-derives from raw `embeddings` (never reads a segment), so stale
+  // or wrong segments break the gates immediately.
+
+  /** Segment-content contract for the persisted ANN index: the
+    * cell-partitioned corpus table must hold EVERY non-null vector
+    * exactly once (totality — the lossless-partition invariant
+    * sim_ivf_fullprobe proves behaviorally, here audited structurally),
+    * every PQ code row must be m codes each in [0, ksub), and the
+    * metadata segments must carry exactly nlist centroids and m·ksub
+    * codebook entries. The derivation is memoized per (JVM, sf dir)
+    * and paid by whichever lifecycle query runs first; sweeps pricing
+    * the BUILD call AnnIndex.resetIndexCache() (the
+    * index_persist_build discipline). */
+  val ann_index_build = GQuery(
+    "ann_index_build",
+    (s, d) => {
+      import s.implicits._
+      val A = graft.operators.AnnIndex
+      val corpus = T.embeddings(s, d).where($"embedding".isNotNull)
+        .agg(count(lit(1)).as("n_corpus"))
+      val cellAgg = A.cells(s, d).agg(
+        count(lit(1)).as("n_vectors"),
+        bool_and($"cell" >= 0 && $"cell" < A.NList).as("cells_ok"),
+        bool_and(size($"pq_codes") === A.M).as("len_ok"),
+        bool_and(forall($"pq_codes", c => c >= 0 && c < A.KSub))
+          .as("range_ok"),
+        countDistinct($"vec_id").as("n_distinct"))
+      val centAgg = A.centroids(s, d).agg(count(lit(1)).as("n_centroids"))
+      val bookAgg = A.codebooks(s, d)
+        .agg(count(lit(1)).as("n_codebook_entries"))
+      cellAgg.crossJoin(broadcast(corpus))
+        .crossJoin(broadcast(centAgg))
+        .crossJoin(broadcast(bookAgg))
+        .select($"n_vectors",
+          ($"n_vectors" === $"n_corpus" && $"n_distinct" === $"n_corpus")
+            .as("totality_ok"),
+          ($"cells_ok" && $"len_ok" && $"range_ok").as("codes_ok"),
+          $"n_centroids", $"n_codebook_entries")
+    },
+    Some("""
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors, TRUE AS totality_ok,
+             TRUE AS codes_ok, CAST(16 AS BIGINT) AS n_centroids,
+             CAST(128 AS BIGINT) AS n_codebook_entries
+      FROM embeddings WHERE embedding IS NOT NULL"""))
+
+  /** Warm-index IVF probe at FULL probe (nprobe = nlist): the probe
+    * plan reads only the persisted segments plus its own 10-row query
+    * sliver — no quantizer training, no corpus-embedding scan — and
+    * must reproduce the exhaustive brute-force scan row-for-row
+    * ([[bruteTop5Vec10Oracle]] verbatim, the same-oracle dual-path
+    * discipline of bm25_probe_persisted). The bench delta against
+    * sim_ivf_fullprobe (in-plan train+assign every execution) is the
+    * measured price of NOT persisting on the vector side. */
+  val sim_ivf_probe_persisted = GQuery(
+    "sim_ivf_probe_persisted",
+    (s, d) => {
+      val vecs = T.embeddings(s, d)
+      graft.operators.AnnIndex.ivfProbePersisted(s, d,
+          vecs.filter(col("vec_id") < 10), "vec_id", "embedding", 5,
+          nprobe = graft.operators.AnnIndex.NList)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(bruteTop5Vec10Oracle))
+
+  /** Warm-index IVF-PQ probe at full probe + full rerank: ADC
+    * selection covers every code and the rerank is exact, so the
+    * composed warm path must also equal brute force exactly — PQ
+    * encoding, the persisted codes, LUT scoring, and the pruned
+    * rerank fetch all certified by one hash gate
+    * ([[bruteTop5Vec10Oracle]] verbatim). */
+  val sim_ivfpq_probe_persisted = GQuery(
+    "sim_ivfpq_probe_persisted",
+    (s, d) => {
+      val vecs = T.embeddings(s, d)
+      graft.operators.AnnIndex.ivfPqProbePersisted(s, d,
+          vecs.filter(col("vec_id") < 10), "vec_id", "embedding", 5,
+          nprobe = graft.operators.AnnIndex.NList, rerank = Int.MaxValue)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(bruteTop5Vec10Oracle))
+
+  /** Warm-index IVF probe at the PRODUCTION knob (nprobe = 4 of 16 —
+    * the probe reads ≤ 4/16 of the cell partitions via a static
+    * partition filter): recall vs brute force must clear the 60% bar
+    * sim_ivf_recall measured for the identical quantizer (training is
+    * seed-and-sample-identical, so the tier transfers). */
+  val sim_ivf_probe_recall = GQuery(
+    "sim_ivf_probe_recall",
+    (s, d) => {
+      val vecs = T.embeddings(s, d)
+      val q = vecs.filter(col("vec_id") < 50)
+      val probe = graft.operators.AnnIndex.ivfProbePersisted(s, d, q,
+        "vec_id", "embedding", 5, nprobe = 4)
+      val bf = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", 5)
+      probe.join(bf, Seq("query_id", "neighbor_id"), "inner")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(50).as("n_queries"),
+          (col("n_hits") >= lit((0.6 * 50 * 5).toLong)).as("recall_ok"))
+    },
+    Some("SELECT 50 AS n_queries, TRUE AS recall_ok"))
+
+  /** Warm-index IVF-PQ probe at the production knobs (nprobe = 4,
+    * autoRerank budget): end-to-end recall vs brute force must clear
+    * the 40% sim_ivfpq_recall bar — the warm path inherits the
+    * in-plan twin's measured tiers because segments hold the SAME
+    * assignments and codes the in-plan plan computes. */
+  val sim_ivfpq_probe_recall = GQuery(
+    "sim_ivfpq_probe_recall",
+    (s, d) => {
+      import s.implicits._
+      val vecs = T.embeddings(s, d)
+      val q = vecs.filter(col("vec_id") < 50)
+      val probe = graft.operators.AnnIndex.ivfPqProbePersisted(s, d, q,
+        "vec_id", "embedding", 5, nprobe = 4,
+        rerank = Similarity.autoRerank(
+          vecs.where(col("embedding").isNotNull).count()))
+      val bf = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", 5)
+      val hits = probe.join(broadcast(bf), Seq("query_id", "neighbor_id"),
           "inner")
         .agg(count(lit(1)).as("n_hits"))
       bf.agg(countDistinct(col("query_id")).as("n_queries"))
@@ -3366,6 +3490,8 @@ object Pipeline {
     sim_topk_bruteforce,
     sim_lsh_bucketed, sim_ivf_topk, sim_ivf_fullprobe, sim_ivf_recall,
     sim_rplsh_recall, sim_pq_fullrerank, sim_pq_recall, sim_ivfpq_recall,
+    ann_index_build, sim_ivf_probe_persisted, sim_ivfpq_probe_persisted,
+    sim_ivf_probe_recall, sim_ivfpq_probe_recall,
     text_tokens, text_quality, text_langid,
     text_fingerprint, text_pii_scrub, text_clean, text_repetition, decontaminate,
     decontaminate_bloom,

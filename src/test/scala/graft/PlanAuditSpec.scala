@@ -828,6 +828,43 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("r12: the warm ANN probes are corpus-free — no quantizer " +
+      "training and no embeddings scan beyond the query sliver; the " +
+      "cell-partitioned segment is pruned by a STATIC partition " +
+      "filter") {
+    import org.apache.spark.sql.functions.col
+    val vecs = Tables.embeddings(spark, sf)
+    val q = vecs.filter(col("vec_id") < 10)
+    val ivf = operators.AnnIndex.ivfProbePersisted(spark, sf, q,
+        "vec_id", "embedding", 5, nprobe = 4)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val pq = operators.AnnIndex.ivfPqProbePersisted(spark, sf, q,
+        "vec_id", "embedding", 5, nprobe = 4, rerank = 32)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    for ((p, n) <- Seq((ivf, "ivf"), (pq, "ivfpq"))) {
+      assert(p.contains("graft-ann-index"),
+        s"$n: the probe never read the persisted segment:\n" + p)
+      assert(p.contains("PartitionFilters: [cell") && p.contains("INSET"),
+        s"$n: static cell pruning lost on the segment scan:\n" + p)
+      // every embeddings scan in the plan (main plan AND the DPP
+      // subquery section) must be the QUERY SLIVER — its pushed
+      // filters carry the vec_id bound; a corpus-wide embeddings scan
+      // (no bound) means training or scoring leaked into the probe
+      val embBlocks = p.split(raw"\(\d+\) Scan parquet").drop(1)
+        .filter(_.contains("embeddings.parquet"))
+      assert(embBlocks.nonEmpty, s"$n: no query sliver at all?\n" + p)
+      for (b <- embBlocks) {
+        val pf = b.linesIterator
+          .find(_.contains("PushedFilters")).getOrElse("")
+        assert(pf.contains("LessThan(vec_id,10)"),
+          s"$n: an embeddings scan without the query bound — the " +
+            s"corpus leaked into the warm probe plan: $pf\n" + p)
+      }
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$n:\n$p")
+    }
+  }
+
   test("r11: trgm_probe_persisted scans the corpus exactly once (the " +
       "verify fetch) — the trigram Generate is gone from the query " +
       "path, pattern trigrams pushed into the trigram-segment scan") {

@@ -59,6 +59,37 @@ class Round12Spec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("the warm ANN probes return row-for-row what their in-plan " +
+      "twins return (persisted segments ≡ per-query training, " +
+      "in-engine) — and resetIndexCache genuinely re-derives") {
+    import org.apache.spark.sql.functions.col
+    val vecs = graft.Tables.embeddings(spark, sf)
+    val q = vecs.filter(col("vec_id") < 50)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("query_id"), col("rank"))
+        .collect().map(_.toSeq).toSeq
+    val inPlanIvf = rows(graft.operators.Similarity.ivfTopK(
+      vecs, q, "vec_id", "embedding", 5, nlist = 16, nprobe = 4))
+    val warmIvf = rows(graft.operators.AnnIndex.ivfProbePersisted(
+      spark, sf, q, "vec_id", "embedding", 5, nprobe = 4))
+    assert(inPlanIvf == warmIvf,
+      "warm IVF probe diverged from the in-plan twin")
+    assert(warmIvf.nonEmpty, "no IVF rows — the pin is vacuous")
+    val inPlanPq = rows(graft.operators.Similarity.ivfPqTopK(
+      vecs, q, "vec_id", "embedding", 5, nlist = 16, nprobe = 4,
+      rerank = 64))
+    val warmPq = rows(graft.operators.AnnIndex.ivfPqProbePersisted(
+      spark, sf, q, "vec_id", "embedding", 5, nprobe = 4, rerank = 64))
+    assert(inPlanPq == warmPq,
+      "warm IVF-PQ probe diverged from the in-plan twin")
+    // the pricing hook re-derives: reset, probe again, same rows
+    graft.operators.AnnIndex.resetIndexCache()
+    val rederived = rows(graft.operators.AnnIndex.ivfProbePersisted(
+      spark, sf, q, "vec_id", "embedding", 5, nprobe = 4))
+    assert(rederived == warmIvf,
+      "re-derived segments changed the probe's answer")
+  }
+
   test("indexDictStream's state input is pre-counted: a term spread " +
       "over many partitions still yields exact (df, tf) — and the " +
       "batch-local combine emits one row per (term, doc) pair") {
