@@ -146,7 +146,11 @@ object ScaleSweep {
     // sim_ivf_fullprobe to measure what persisting the quantizer is
     // worth on the vector side
     "ann_index_build", "sim_ivf_probe_persisted", "sim_ivf_probe_recall",
-    "sim_ivfpq_probe_recall")
+    "sim_ivfpq_probe_recall",
+    // round-12 third wave: the perceptual-hash invariance plants
+    // (documents → real codec edits, scan-bound: two decode+hash
+    // passes over corpus/10 plants, one k-sized join)
+    "mm_phash_shift_recall", "mm_audio_gain_recall")
   // fk_violations is EXCLUDED: it joins customer/part, which MkScale
   // does not scale - a sweep would measure a mixed-scale plan.
   // pareto_frontier is excluded for the same reason (part-backed);

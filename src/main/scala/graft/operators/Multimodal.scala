@@ -550,6 +550,78 @@ object Multimodal {
         "height", "duration_ms")
   }
 
+  /** Brightness-shift edit through the REAL codec path (decode → add
+    * `delta` to every RGB byte, clamped at maxval — a genuine exposure
+    * edit, clipping included → re-encode). Exists for the r12
+    * planted-recall gates: aHash's threshold is EXACTLY invariant to
+    * an unclamped uniform shift (every cell g gains 3δ, Σg gains
+    * 64·3δ — the inequality 64·g ≥ Σg is unchanged) and only
+    * APPROXIMATELY invariant once clipping bites the bright tail;
+    * mm_phash_shift_recall measures that residual instead of trusting
+    * the algebra. Output is (media_id, payload) — the hash functions'
+    * input contract. */
+  def brightnessShift(media: DataFrame, delta: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val codec = PpmCodec.init()
+        rows.flatMap { case (id, payload) =>
+          codec.decode(payload).iterator.map { img =>
+            val out = new Array[Byte](img.pixels.length)
+            var j = 0
+            while (j < out.length) {
+              out(j) = math.min(img.maxval,
+                (img.pixels(j) & 0xff) + delta).toByte
+              j += 1
+            }
+            (id, codec.encode(
+              PpmCodec.Image(img.width, img.height, img.maxval, out)))
+          }
+        }
+      }.toDF("media_id", "payload")
+  }
+
+  /** Gain edit through the REAL WAVE path (decode → scale every
+    * 16-bit sample v → v·num DIV den, truncating toward zero, clamped
+    * to the sample range → re-encode). For num/den = 1/2 no clamp can
+    * fire and |v DIV 2| = |v| DIV 2 exactly (truncation toward zero
+    * is sign-symmetric), which is what lets the SQL rebuild mirror
+    * the edit with plain integer division — the audio leg of the r12
+    * recall plants: [[audioHash]]'s cross-multiplied mean bits are
+    * exactly gain-invariant under REAL scaling and only approximately
+    * under integer quantization; mm_audio_gain_recall measures the
+    * residual. 16-bit PCM only (the only depth the synthesizers
+    * emit); 8-bit clips would need the offset-128 convention. */
+  def audioGain(media: DataFrame, num: Int, den: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val codec = WavCodec.init()
+        rows.flatMap { case (id, payload) =>
+          codec.decode(payload).iterator.map { a =>
+            require(a.bitsPerSample == 16,
+              s"audioGain: clip $id is ${a.bitsPerSample}-bit; only " +
+                "16-bit PCM is supported")
+            val out = new Array[Byte](a.data.length)
+            var i = 0
+            while (i < a.data.length) {
+              val v = ((a.data(i) & 0xff) |
+                ((a.data(i + 1) & 0xff) << 8)).toShort.toInt
+              val g = math.max(-32768, math.min(32767,
+                v * num / den))
+              out(i) = (g & 0xff).toByte
+              out(i + 1) = ((g >> 8) & 0xff).toByte
+              i += 2
+            }
+            (id, codec.encode(
+              WavCodec.Audio(a.channels, a.sampleRate, 16, out)))
+          }
+        }
+      }.toDF("media_id", "payload")
+  }
+
   /** 64-bit average hash (aHash) over the DECODED raster — the
     * classic perceptual fingerprint: nearest-neighbor sample to an
     * 8×8 grid (the [[resize]] sampling arithmetic, sy = y·H/8,

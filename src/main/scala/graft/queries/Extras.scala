@@ -859,6 +859,170 @@ object Extras {
       SELECT c1, c2, hamming, pair_mass FROM selfrows
       ORDER BY c1, c2"""))
 
+  /** Planted-recall gate for the IMAGE perceptual hash (VERDICT-r11
+    * item 7 — the invariance claims were argued algebraically but
+    * never exercised by a plant): every 10th image gets a genuine
+    * brightness edit through the real codec path
+    * ([[Multimodal.brightnessShift]], +16 per byte clamped at 255 —
+    * clipping included, so invariance is NOT exact by construction),
+    * both versions hash through [[Multimodal.perceptualHash]], and
+    * the per-image Hamming distance between original and edited
+    * fingerprints must land within the banded join's radius.
+    * Detection at Hamming ≤ 3 IS banded recovery — 4 bands cannot all
+    * differ across ≤ 3 bit flips (the pigeonhole theorem the dedup
+    * queries rest on) — so the direct pair join gates exactly what
+    * the mm_dedup family would recover, without materializing a
+    * corpus-quadratic pair set at sweep scale. The oracle rebuilds
+    * BOTH hash variants from the raster algebra (sawtooth bytes,
+    * LEAST(byte+16, 255) for the edit) and must agree on n_planted /
+    * n_recovered / max_hamming / recall_ok exactly — the measured
+    * residual of clipping, pinned bit-for-bit. */
+  val mm_phash_shift_recall = GQuery(
+    "mm_phash_shift_recall",
+    (s, d) => {
+      import s.implicits._
+      val media = Multimodal.toPpm(T.documents(s, d), "doc_id", "text")
+        .filter($"media_id" % 10 === 0L)
+      val orig = Multimodal.perceptualHash(media)
+        .select($"media_id", $"b0".as("a0"), $"b1".as("a1"),
+          $"b2".as("a2"), $"b3".as("a3"))
+      val shifted = Multimodal.perceptualHash(
+          Multimodal.brightnessShift(media, 16))
+        .select($"media_id", $"b0".as("x0"), $"b1".as("x1"),
+          $"b2".as("x2"), $"b3".as("x3"))
+      orig.join(shifted, "media_id")
+        .select((bit_count($"a0".bitwiseXOR($"x0")) +
+          bit_count($"a1".bitwiseXOR($"x1")) +
+          bit_count($"a2".bitwiseXOR($"x2")) +
+          bit_count($"a3".bitwiseXOR($"x3"))).cast("long").as("hamming"))
+        .agg(count(lit(1)).as("n_planted"),
+          sum(when($"hamming" <= 3L, 1L).otherwise(0L))
+            .as("n_recovered"),
+          max($"hamming").as("max_hamming"))
+        .select($"n_planted", $"n_recovered", $"max_hamming",
+          ($"n_recovered" * 10 >= $"n_planted" * 9).as("recall_ok"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT doc_id AS id,
+               CAST(8 + doc_id % 8 AS BIGINT) AS w,
+               CAST(8 + octet_length(encode(text)) % 5 AS BIGINT) AS h,
+               13 * doc_id AS seed
+        FROM documents WHERE doc_id % 10 = 0),
+      bidx AS (
+        SELECT id, (j.range // 8) * 8 + (j.range % 8) AS idx,
+               7 * (3 * (((j.range // 8) * h // 8) * w
+                         + ((j.range % 8) * w // 8))) + seed AS b
+        FROM c, range(64) j),
+      g0 AS (SELECT id, idx,
+                    (b % 256) + ((b + 7) % 256) + ((b + 14) % 256) AS g
+             FROM bidx),
+      g1 AS (SELECT id, idx,
+                    LEAST((b % 256) + 16, 255)
+                    + LEAST(((b + 7) % 256) + 16, 255)
+                    + LEAST(((b + 14) % 256) + 16, 255) AS g
+             FROM bidx),
+      t0 AS (SELECT id, SUM(g) AS t FROM g0 GROUP BY id),
+      t1 AS (SELECT id, SUM(g) AS t FROM g1 GROUP BY id),
+      b0 AS (SELECT g0.id, g0.idx,
+                    CASE WHEN g0.g * 64 >= t0.t THEN 1 ELSE 0 END AS bit
+             FROM g0 JOIN t0 ON g0.id = t0.id),
+      b1 AS (SELECT g1.id, g1.idx,
+                    CASE WHEN g1.g * 64 >= t1.t THEN 1 ELSE 0 END AS bit
+             FROM g1 JOIN t1 ON g1.id = t1.id),
+      ham AS (
+        SELECT b0.id,
+               CAST(SUM(CASE WHEN b0.bit <> b1.bit THEN 1 ELSE 0 END)
+                 AS BIGINT) AS hamming
+        FROM b0 JOIN b1 ON b0.id = b1.id AND b0.idx = b1.idx
+        GROUP BY b0.id)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
+             CAST(SUM(CASE WHEN hamming <= 3 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_recovered,
+             CAST(MAX(hamming) AS BIGINT) AS max_hamming,
+             SUM(CASE WHEN hamming <= 3 THEN 1 ELSE 0 END) * 10
+               >= COUNT(*) * 9 AS recall_ok
+      FROM ham"""))
+
+  /** Planted-recall gate for the AUDIO energy-profile hash — the
+    * audio leg of the r12 invariance plants: every 10th chirp clip
+    * gets a genuine −6 dB gain edit through the real WAVE path
+    * ([[Multimodal.audioGain]] 1/2 — integer quantization, so the
+    * gain algebra holds only up to truncation), both versions hash
+    * through [[Multimodal.audioHash]], Hamming ≤ 3 must hold for
+    * ≥ 90% of plants (detection ⇔ banded recovery by the same
+    * pigeonhole theorem). The oracle rebuilds both hashes from the
+    * chirp PCM algebra with av DIV 2 as the edited amplitude —
+    * exactly the truncation the codec path performs (|v DIV 2| =
+    * |v| DIV 2, sign-symmetric) — and pins the measured residual. */
+  val mm_audio_gain_recall = GQuery(
+    "mm_audio_gain_recall",
+    (s, d) => {
+      import s.implicits._
+      val media =
+        Multimodal.toWavChirp(T.documents(s, d), "doc_id", "text")
+          .filter($"media_id" % 10 === 0L)
+      val orig = Multimodal.audioHash(media)
+        .select($"media_id", $"b0".as("a0"), $"b1".as("a1"),
+          $"b2".as("a2"), $"b3".as("a3"))
+      val gained = Multimodal.audioHash(Multimodal.audioGain(media, 1, 2))
+        .select($"media_id", $"b0".as("x0"), $"b1".as("x1"),
+          $"b2".as("x2"), $"b3".as("x3"))
+      orig.join(gained, "media_id")
+        .select((bit_count($"a0".bitwiseXOR($"x0")) +
+          bit_count($"a1".bitwiseXOR($"x1")) +
+          bit_count($"a2".bitwiseXOR($"x2")) +
+          bit_count($"a3".bitwiseXOR($"x3"))).cast("long").as("hamming"))
+        .agg(count(lit(1)).as("n_planted"),
+          sum(when($"hamming" <= 3L, 1L).otherwise(0L))
+            .as("n_recovered"),
+          max($"hamming").as("max_hamming"))
+        .select($"n_planted", $"n_recovered", $"max_hamming",
+          ($"n_recovered" * 10 >= $"n_planted" * 9).as("recall_ok"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT doc_id AS id,
+               CAST(1 + doc_id % 2 AS BIGINT) AS ch,
+               CAST(64 + octet_length(encode(text)) % 32 AS BIGINT)
+                 AS frames,
+               13 * doc_id AS seed
+        FROM documents WHERE doc_id % 10 = 0),
+      fr AS (
+        SELECT id, frames, (f.range * 64) // frames AS k,
+               ABS(((31 * (f.range * ch) * (f.range * ch) + seed)
+                     % 65536) - 32768) AS av
+        FROM c, range(95) f WHERE f.range < frames),
+      w0 AS (SELECT id, frames, k, CAST(SUM(av) AS BIGINT) AS e,
+                    CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM fr GROUP BY id, frames, k),
+      w1 AS (SELECT id, frames, k, CAST(SUM(av // 2) AS BIGINT) AS e,
+                    CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM fr GROUP BY id, frames, k),
+      t0 AS (SELECT id, CAST(SUM(e) AS BIGINT) AS t FROM w0 GROUP BY id),
+      t1 AS (SELECT id, CAST(SUM(e) AS BIGINT) AS t FROM w1 GROUP BY id),
+      b0 AS (SELECT w0.id, w0.k,
+                    CASE WHEN w0.e * w0.frames >= t0.t * w0.cnt
+                         THEN 1 ELSE 0 END AS bit
+             FROM w0 JOIN t0 ON w0.id = t0.id),
+      b1 AS (SELECT w1.id, w1.k,
+                    CASE WHEN w1.e * w1.frames >= t1.t * w1.cnt
+                         THEN 1 ELSE 0 END AS bit
+             FROM w1 JOIN t1 ON w1.id = t1.id),
+      ham AS (
+        SELECT b0.id,
+               CAST(SUM(CASE WHEN b0.bit <> b1.bit THEN 1 ELSE 0 END)
+                 AS BIGINT) AS hamming
+        FROM b0 JOIN b1 ON b0.id = b1.id AND b0.k = b1.k
+        GROUP BY b0.id)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
+             CAST(SUM(CASE WHEN hamming <= 3 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_recovered,
+             CAST(MAX(hamming) AS BIGINT) AS max_hamming,
+             SUM(CASE WHEN hamming <= 3 THEN 1 ELSE 0 END) * 10
+               >= COUNT(*) * 9 AS recall_ok
+      FROM ham"""))
+
   /** HLL approx-distinct with its accuracy contract hash-checked: the
     * oracle pins the exact count, and the boolean asserts the ±2%-rsd
     * sketch landed within 5% of it — so the sketch path is verified
@@ -2011,6 +2175,7 @@ object Extras {
     mm_phash, mm_dedup_phash, mm_dedup_phash_canonical,
     mm_audio_meta, mm_audio_downsample,
     mm_audio_hash, mm_dedup_audio_canonical,
+    mm_phash_shift_recall, mm_audio_gain_recall,
     agg_approx_distinct, ml_kmeans_profiles, ml_kmeans_contract,
     ml_quadfit_contract, ml_pca_contract, set_ops, w2_rank_lag,
     j6_outer_join, asof_attribution, asof_forward, asof_nearest,
