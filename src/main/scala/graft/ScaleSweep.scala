@@ -150,7 +150,19 @@ object ScaleSweep {
     // round-12 third wave: the perceptual-hash invariance plants
     // (documents → real codec edits, scan-bound: two decode+hash
     // passes over corpus/10 plants, one k-sized join)
-    "mm_phash_shift_recall", "mm_audio_gain_recall")
+    "mm_phash_shift_recall", "mm_audio_gain_recall",
+    // round-12 fourth wave: the ANN lifecycle's incremental-refresh
+    // leg (embeddings — init+refresh+probe priced per round via
+    // withTempTable, the bm25_probe_merged discipline) and the video
+    // family (documents → y4m through the real codec: decode-bound
+    // meta/hash scans, per-video windowed cut detection, canonical
+    // class dedup over keyframe hashes)
+    "ann_ivm_merge", "sim_ivf_probe_merged",
+    "mm_video_meta", "mm_video_frame_hash", "mm_video_scenecut",
+    "mm_dedup_video_canonical",
+    // round-12 fifth wave: the eighth streaming gate (embeddings —
+    // nlist-bounded FMGWS state under a corpus-sized vector stream)
+    "stream_ann_assign")
   // fk_violations is EXCLUDED: it joins customer/part, which MkScale
   // does not scale - a sweep would measure a mixed-scale plan.
   // pareto_frontier is excluded for the same reason (part-backed);

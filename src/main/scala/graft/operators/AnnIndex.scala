@@ -53,6 +53,80 @@ object AnnIndex {
   val KSub = 16
   val Seed = 42L
 
+  /** A trained (coarse, PQ) quantizer pair — the artifact a real ANN
+    * deployment trains ONCE per corpus epoch and then applies to every
+    * later ingest batch WITHOUT retraining (the FAISS `add()` path:
+    * centroids are frozen at train time; new vectors are assigned and
+    * encoded against the frozen codebooks). The merge gates train on
+    * the BASE segment only and encode the delta with the same
+    * instance — exactly that discipline, made falsifiable by the
+    * row-exact merged-probe oracle. */
+  case class Quantizer(coarse: Array[Array[Float]],
+      books: Array[Array[Array[Float]]]) {
+    def dim: Int = coarse.head.length
+    def centroidMeta: Seq[(Int, Array[Float], Double)] =
+      coarse.zipWithIndex.map { case (cv, i) => (i, cv, n2Of(cv)) }.toSeq
+  }
+
+  private[operators] def n2Of(v: Array[Float]): Double =
+    v.foldLeft(0.0)((a, x) => a + x.toDouble * x)
+
+  /** Train both quantizer tiers on one bounded hash-ordered driver
+    * sample — the ivfPqTopK training recipe verbatim (same sample
+    * bound, same seeded Lloyd, same per-subspace seed offsets), so a
+    * quantizer trained here is bit-identical to what the in-plan
+    * twins train on the same input. */
+  def trainQuantizer(vecs: DataFrame, vecCol: String): Quantizer = {
+    val sample = vecs.where(col(vecCol).isNotNull).select(col(vecCol))
+      .orderBy(xxhash64(col(vecCol)))
+      .limit(math.max(math.max(NList, KSub) * 256, 4096))
+      .collect().map(_.getSeq[Float](0).toArray)
+    val dim = sample(0).length
+    require(dim % M == 0, s"dim $dim not divisible into $M subspaces")
+    val dsub = dim / M
+    val coarse = Similarity.localLloyd(sample, NList, iters = 8,
+      seed = Seed)
+    val books = Array.tabulate(M)(j =>
+      Similarity.localLloyd(sample.map(_.slice(j * dsub, (j + 1) * dsub)),
+        KSub, iters = 8, seed = Seed + 1 + j))
+    Quantizer(coarse, books)
+  }
+
+  /** Map-side encode of any embedding batch against a FROZEN
+    * quantizer: cell assignment and PQ encoding are projections over
+    * broadcast literals — no shuffle, no training, which is what
+    * makes the incremental-refresh leg tokenize-the-delta cheap. The
+    * output schema is the `cells` segment layout. */
+  def encode(q: Quantizer, vecs: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val dsub = q.dim / M
+    val centArr = centLiteral(q.centroidMeta)
+    def codeOf(vec: Column, j: Int): Column = {
+      val entries = array(q.books(j).zipWithIndex.map { case (cv, i) =>
+        struct(lit(i).as("c"), typedlit(cv).as("cv"),
+          lit(n2Of(cv)).as("n2"))
+      }: _*)
+      array_max(transform(entries, e =>
+        struct((graft.functions.VectorExprs.fdot(
+          slice(vec, j * dsub + 1, dsub), e.getField("cv")) * lit(2.0) -
+          e.getField("n2")).as("score"), e.getField("c").as("c"))))
+        .getField("c")
+    }
+    val codes = array((0 until M).map(codeOf(col(vecCol), _)): _*)
+    val n2Lit = typedlit(q.books.map(_.map(n2Of).toSeq).toSeq)
+    vecs.where(col(vecCol).isNotNull).select(
+      col(idCol).as("vec_id"),
+      col(vecCol).as("v"),
+      graft.functions.VectorExprs.fnorm(col(vecCol)).as("nrm"),
+      array_max(cellScores(col(vecCol), centArr))
+        .getField("cell").as("cell"),
+      codes.as("pq_codes"),
+      aggregate(transform(codes, (c, j) =>
+        element_at(element_at(n2Lit, (j + lit(1)).cast("int")),
+          (c + lit(1)).cast("int"))),
+        lit(0.0), (acc, x) => acc + x).as("vn2"))
+  }
+
   private lazy val annRoot: java.nio.file.Path = {
     val p = java.nio.file.Files.createTempDirectory("graft-ann-index")
     Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(p)))
@@ -93,59 +167,16 @@ object AnnIndex {
         .resolve(java.util.UUID.randomUUID().toString).toString
       val vecs = graft.Tables.embeddings(s, d)
         .where(col("embedding").isNotNull)
-      // the ivfPqTopK training recipe verbatim: hash-ordered bounded
-      // sample (distribution-representative under any clustering),
-      // seeded Lloyd for the coarse tier, offset seeds per subspace
-      val sample = vecs.select(col("embedding"))
-        .orderBy(xxhash64(col("embedding")))
-        .limit(math.max(math.max(NList, KSub) * 256, 4096))
-        .collect().map(_.getSeq[Float](0).toArray)
-      val dim = sample(0).length
-      require(dim % M == 0, s"dim $dim not divisible into $M subspaces")
-      val dsub = dim / M
-      val coarse = Similarity.localLloyd(sample, NList, iters = 8,
-        seed = Seed)
-      val books = Array.tabulate(M)(j =>
-        Similarity.localLloyd(sample.map(_.slice(j * dsub, (j + 1) * dsub)),
-          KSub, iters = 8, seed = Seed + 1 + j))
-      def n2Of(v: Array[Float]): Double =
-        v.foldLeft(0.0)((a, x) => a + x.toDouble * x)
-      coarse.zipWithIndex
+      val q = trainQuantizer(vecs, "embedding")
+      q.coarse.zipWithIndex
         .map { case (cv, i) => (i, cv.toSeq, n2Of(cv)) }.toSeq
         .toDF("cell", "cv", "n2")
         .coalesce(1).write.parquet(s"$out/centroids")
-      books.zipWithIndex.flatMap { case (bk, j) =>
+      q.books.zipWithIndex.flatMap { case (bk, j) =>
         bk.zipWithIndex.map { case (cv, c) => (j, c, cv.toSeq, n2Of(cv)) }
       }.toSeq.toDF("j", "c", "cv", "n2")
         .coalesce(1).write.parquet(s"$out/codebooks")
-      // map-side encode: the ivfPqTopK assignment expressions against
-      // the just-trained literals
-      val centArr = centLiteral(coarse.zipWithIndex.toIndexedSeq
-        .map { case (cv, i) => (i, cv, n2Of(cv)) })
-      def codeOf(vec: Column, j: Int): Column = {
-        val entries = array(books(j).zipWithIndex.map { case (cv, i) =>
-          struct(lit(i).as("c"), typedlit(cv).as("cv"),
-            lit(n2Of(cv)).as("n2"))
-        }: _*)
-        array_max(transform(entries, e =>
-          struct((graft.functions.VectorExprs.fdot(
-            slice(vec, j * dsub + 1, dsub), e.getField("cv")) * lit(2.0) -
-            e.getField("n2")).as("score"), e.getField("c").as("c"))))
-          .getField("c")
-      }
-      val codes = array((0 until M).map(codeOf(col("embedding"), _)): _*)
-      val n2Lit = typedlit(books.map(_.map(n2Of).toSeq).toSeq)
-      vecs.select(
-          col("vec_id"),
-          col("embedding").as("v"),
-          graft.functions.VectorExprs.fnorm(col("embedding")).as("nrm"),
-          array_max(cellScores(col("embedding"), centArr))
-            .getField("cell").as("cell"),
-          codes.as("pq_codes"),
-          aggregate(transform(codes, (c, j) =>
-            element_at(element_at(n2Lit, (j + lit(1)).cast("int")),
-              (c + lit(1)).cast("int"))),
-            lit(0.0), (acc, x) => acc + x).as("vn2"))
+      encode(q, vecs, "vec_id", "embedding")
         .write.partitionBy("cell").parquet(s"$out/cells")
       out
     })
@@ -164,9 +195,18 @@ object AnnIndex {
         lit(2.0) - c.getField("n2")).as("score"),
         c.getField("cell").as("cell")))
 
-  /** Load the persisted centroids as driver metadata (nlist rows — the
+  /** Map-side cell assignment of any vector column against driver
+    * centroid metadata — the argmax(2·v·c − |c|²) algebra as one
+    * broadcast-literal projection (what the streaming leg applies per
+    * micro-batch: assignment is STATELESS; only the per-cell stats
+    * downstream keep state). */
+  def assignCell(vec: Column,
+      cents: Seq[(Int, Array[Float], Double)]): Column =
+    array_max(cellScores(vec, centLiteral(cents))).getField("cell")
+
+  /** The persisted centroids as driver metadata (nlist rows — the
     * ANN-server open() step; bounded by construction). */
-  private def loadCentroids(s: SparkSession, dir: String)
+  def loadCentroids(s: SparkSession, dir: String)
       : Seq[(Int, Array[Float], Double)] =
     s.read.parquet(s"$dir/centroids").collect()
       .map(r => (r.getAs[Int]("cell"),
@@ -182,6 +222,13 @@ object AnnIndex {
     Array.tabulate(M)(j => rows.filter(_._1 == j).sortBy(_._2)
       .map(t => (t._3, t._4)))
   }
+
+  /** The warm index's centroid metadata for an sf dir (derives the
+    * segments first if needed) — what a streaming assigner loads at
+    * open() before the first micro-batch. */
+  def centroidMetaOf(s: SparkSession, d: String)
+      : Seq[(Int, Array[Float], Double)] =
+    loadCentroids(s, segmentDir(s, d))
 
   /** The cell-partitioned corpus segment (for gates that audit it). */
   def cells(s: SparkSession, d: String): DataFrame =
@@ -227,10 +274,24 @@ object AnnIndex {
   def ivfProbePersisted(s: SparkSession, d: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
     val dir = segmentDir(s, d)
-    val centArr = centLiteral(loadCentroids(s, dir))
+    ivfProbe(queries, idCol, vecCol, k, nprobe, loadCentroids(s, dir),
+      cellSet => s.read.parquet(s"$dir/cells")
+        .where(col("cell").isin(cellSet: _*)))
+  }
+
+  /** The IVF probe kernel over ANY cells segment source: `loadCells`
+    * receives the collected probed-cell set (≤ nlist values) and must
+    * return the candidate rows — a single warm segment for the
+    * steady-state probe, or a base ∪ delta union for the merged probe
+    * (the `isin` pushes through a union to BOTH parquet children, so
+    * segment pruning survives the merge). Centroid metadata arrives
+    * as driver values (the ANN-server open() step). */
+  def ivfProbe(queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nprobe: Int, cents: Seq[(Int, Array[Float], Double)],
+      loadCells: Seq[Int] => DataFrame): DataFrame = {
+    val centArr = centLiteral(cents)
     val (q, cellSet) = probedCells(queries, vecCol, idCol, centArr, nprobe)
-    val cand = s.read.parquet(s"$dir/cells")
-      .where(col("cell").isin(cellSet: _*))
+    val cand = loadCells(cellSet)
       .select(col("cell"), col("vec_id").as("neighbor_id"),
         col("v").as("cv"), col("nrm").as("cn"))
     val scored = broadcast(q).join(cand, Seq("cell"))

@@ -1023,6 +1023,270 @@ object Extras {
                >= COUNT(*) * 9 AS recall_ok
       FROM ham"""))
 
+  /** DuckDB spelling of the per-frame video hash over a parameterized
+    * video catalog CTE `c(id, shots, pershot, seed)` — the y4m luma
+    * synthesis rebuilt relationally (the audioHashSql discipline on
+    * the video axis): pixel j of a frame in shot s = (7·j·(s+1) +
+    * seed + 97·s) mod 256 with seed = 13·doc_id, frame f's shot =
+    * f DIV pershot, per-frame bit = 64·g ≥ Σg (the plane IS the 8×8
+    * grid at the fixture geometry), 16-bit band packs. range(24)
+    * covers the max frame count ((2+2)·(4+2)). */
+  private def videoHashSql(catalogCte: String): String = s"""
+      WITH c AS ($catalogCte),
+      fr AS (
+        SELECT id, seed, shots * pershot AS nf, f.range AS f,
+               f.range // pershot AS s
+        FROM c, range(24) f WHERE f.range < shots * pershot),
+      px AS (
+        SELECT id, nf, f, j.range AS j,
+               (7 * j.range * (s + 1) + seed + 97 * s) % 256 AS g
+        FROM fr, range(64) j),
+      tot AS (SELECT id, f, CAST(SUM(g) AS BIGINT) AS t
+              FROM px GROUP BY id, f),
+      bits AS (
+        SELECT px.id, px.nf, px.f, px.j,
+               CASE WHEN 64 * px.g >= tot.t THEN 1 ELSE 0 END AS bit
+        FROM px JOIN tot ON px.id = tot.id AND px.f = tot.f),
+      bandv AS (
+        SELECT id, nf, f, j // 16 AS bk,
+               CAST(SUM((CAST(1 AS BIGINT) << (j % 16)) * bit)
+                 AS BIGINT) AS bv
+        FROM bits GROUP BY id, nf, f, j // 16),
+      fh AS (
+        SELECT id, nf, f,
+               MAX(CASE WHEN bk = 0 THEN bv END) AS b0,
+               MAX(CASE WHEN bk = 1 THEN bv END) AS b1,
+               MAX(CASE WHEN bk = 2 THEN bv END) AS b2,
+               MAX(CASE WHEN bk = 3 THEN bv END) AS b3
+        FROM bandv GROUP BY id, nf, f),
+      ones AS (
+        SELECT id, f, CAST(SUM(bit) AS BIGINT) AS n_ones
+        FROM bits GROUP BY id, f)"""
+
+  private val videoCatalog = """
+        SELECT doc_id AS id,
+               2 + doc_id % 3 AS shots,
+               4 + octet_length(encode(text)) % 3 AS pershot,
+               13 * doc_id AS seed
+        FROM documents"""
+
+  /** Typed video metadata + whole-stream luma checksum through the
+    * REAL YUV4MPEG2 decode path ([[Multimodal.extractVideoFeatures]]):
+    * geometry and frame rate from a genuine y4m header parse, frame
+    * count from the FRAME-delimited plane walk, Σluma over every
+    * plane proving the full stream was read. The oracle rebuilds the
+    * container arithmetic from the synthesis parameters — 36-byte
+    * header + 70 bytes per frame (6-byte FRAME marker + 64-byte
+    * plane), duration = frames·40 ms at 25:1 — and the luma sum from
+    * the pixel algebra. Scan-bound: one decode per video, map-only
+    * until the final sort. */
+  val mm_video_meta = GQuery(
+    "mm_video_meta",
+    (s, d) => {
+      import s.implicits._
+      Multimodal.extractVideoFeatures(
+          Multimodal.toY4m(T.documents(s, d), "doc_id", "text"))
+        .select($"media_id", $"n_bytes", $"width", $"height",
+          $"fps_num", $"fps_den", $"n_frames", $"duration_ms",
+          $"luma_sum")
+        .orderBy($"media_id")
+    },
+    Some(s"""
+      WITH c AS ($videoCatalog),
+      fr AS (
+        SELECT id, seed, shots * pershot AS nf, f.range AS f,
+               f.range // pershot AS s
+        FROM c, range(24) f WHERE f.range < shots * pershot),
+      px AS (
+        SELECT id, nf, f,
+               (7 * j.range * (s + 1) + seed + 97 * s) % 256 AS g
+        FROM fr, range(64) j)
+      SELECT id AS media_id,
+             CAST(36 + MIN(nf) * 70 AS INT) AS n_bytes,
+             8 AS width, 8 AS height, 25 AS fps_num, 1 AS fps_den,
+             CAST(MIN(nf) AS INT) AS n_frames,
+             CAST(MIN(nf) * 40 AS BIGINT) AS duration_ms,
+             CAST(SUM(g) AS BIGINT) AS luma_sum
+      FROM px GROUP BY id ORDER BY media_id"""))
+
+  /** Per-frame 64-bit perceptual hash through the real y4m decode
+    * ([[Multimodal.videoFrameHash]]) — the mm_phash discipline on the
+    * time axis: real codec on the Spark side, pure-SQL luma rebuild
+    * on the oracle side, one fingerprint per FRAME that must agree
+    * bit-for-bit. One decode emits all of a video's frame rows
+    * (scan-bound, no shuffle before the per-frame row). */
+  val mm_video_frame_hash = GQuery(
+    "mm_video_frame_hash",
+    (s, d) => {
+      import s.implicits._
+      Multimodal.videoFrameHash(
+          Multimodal.toY4m(T.documents(s, d), "doc_id", "text"))
+        .select($"media_id", $"frame_idx",
+          ($"b1" * 65536L + $"b0").as("hash_lo"),
+          ($"b3" * 65536L + $"b2").as("hash_hi"), $"n_ones")
+        .orderBy($"media_id", $"frame_idx")
+    },
+    Some(videoHashSql(videoCatalog) + """
+      SELECT fh.id AS media_id, CAST(fh.f AS INT) AS frame_idx,
+             CAST(fh.b1 * 65536 + fh.b0 AS BIGINT) AS hash_lo,
+             CAST(fh.b3 * 65536 + fh.b2 AS BIGINT) AS hash_hi,
+             ones.n_ones
+      FROM fh JOIN ones ON fh.id = ones.id AND fh.f = ones.f
+      ORDER BY media_id, frame_idx"""))
+
+  /** Scene-cut (shot-boundary) detection over the frame-hash stream:
+    * a cut is a frame whose perceptual hash sits ≥ 8 Hamming bits
+    * from its predecessor — the classic keyframe-extraction primitive
+    * (within a shot the fixture's frames are identical, distance 0;
+    * across a hard cut both the gradient slope and brightness offset
+    * change). Per video: frame count, detected cut count, shot count,
+    * first cut position. The lag runs per-video (partitioned window,
+    * key-local state); the oracle re-derives every hash from the luma
+    * algebra and applies the identical threshold — detection is
+    * gated end to end, not against trusted generator metadata. */
+  val mm_video_scenecut = GQuery(
+    "mm_video_scenecut",
+    (s, d) => {
+      import s.implicits._
+      val fh = Multimodal.videoFrameHash(
+        Multimodal.toY4m(T.documents(s, d), "doc_id", "text"))
+      val w = Window.partitionBy($"media_id").orderBy($"frame_idx")
+      fh.withColumn("hamming",
+          bit_count($"b0".bitwiseXOR(lag($"b0", 1).over(w))) +
+            bit_count($"b1".bitwiseXOR(lag($"b1", 1).over(w))) +
+            bit_count($"b2".bitwiseXOR(lag($"b2", 1).over(w))) +
+            bit_count($"b3".bitwiseXOR(lag($"b3", 1).over(w))))
+        .withColumn("cut", $"hamming" >= 8)
+        .groupBy($"media_id")
+        .agg(count(lit(1)).as("n_frames"),
+          sum(when($"cut", 1L).otherwise(0L)).as("n_cuts"),
+          min(when($"cut", $"frame_idx")).as("first_cut"))
+        .select($"media_id", $"n_frames", $"n_cuts",
+          ($"n_cuts" + 1L).as("n_shots"), $"first_cut")
+        .orderBy($"media_id")
+    },
+    Some(videoHashSql(videoCatalog) + """
+      , lagd AS (
+        SELECT id, f,
+               bit_count(xor(b0, LAG(b0) OVER w)) +
+               bit_count(xor(b1, LAG(b1) OVER w)) +
+               bit_count(xor(b2, LAG(b2) OVER w)) +
+               bit_count(xor(b3, LAG(b3) OVER w)) AS hamming
+        FROM fh WINDOW w AS (PARTITION BY id ORDER BY f))
+      SELECT id AS media_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+             CAST(SUM(CASE WHEN hamming >= 8 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_cuts,
+             CAST(SUM(CASE WHEN hamming >= 8 THEN 1 ELSE 0 END) + 1
+               AS BIGINT) AS n_shots,
+             CAST(MIN(CASE WHEN hamming >= 8 THEN f END) AS INT)
+               AS first_cut
+      FROM lagd GROUP BY id ORDER BY media_id"""))
+
+  /** Video near-dup classes — the [[mm_dedup_audio_canonical]]
+    * production shape on the video axis, with a sequence-exact
+    * canonicalization tier added: exact classes collapse on the FULL
+    * ordered frame-hash sequence (rendered `f:b0:b1:b2:b3` rows
+    * joined by commas — injective, so class membership ⇒ identical
+    * perceptual footage; every 10th video plants a byte-identical
+    * twin under −id−1, the re-upload case), then the pigeonhole-
+    * lossless Hamming ≤ 3 banded join runs over each class's
+    * KEYFRAME hash (frame nf DIV 2 — the thumbnail-dedup primitive:
+    * re-encoded or lightly edited uploads keep their middle keyframe
+    * perceptually close). Self/cross pair_mass rows carry the pair
+    * information linearly; the oracle brute-forces all class pairs —
+    * two algorithms, one answer. */
+  val mm_dedup_video_canonical = GQuery(
+    "mm_dedup_video_canonical",
+    (s, d) => {
+      import s.implicits._
+      val media = Multimodal.toY4m(T.documents(s, d), "doc_id", "text")
+      val plants = media.filter($"media_id" % 10 === 0L)
+        .withColumn("media_id", -$"media_id" - 1L)
+      val fh = Multimodal.videoFrameHash(media.unionByName(plants))
+      val perVid = fh.groupBy($"media_id").agg(
+        count(lit(1)).as("nf"),
+        concat_ws(",", transform(
+          array_sort(collect_list(struct($"frame_idx",
+            $"b0", $"b1", $"b2", $"b3"))),
+          x => concat_ws(":",
+            x.getField("frame_idx").cast("string"),
+            x.getField("b0").cast("string"),
+            x.getField("b1").cast("string"),
+            x.getField("b2").cast("string"),
+            x.getField("b3").cast("string")))).as("sig"))
+      val keyf = fh.join(perVid, Seq("media_id"))
+        .filter($"frame_idx" === ($"nf" / 2).cast("int"))
+        .select($"media_id", $"sig", $"b0", $"b1", $"b2", $"b3")
+      val classes = keyf.groupBy($"sig")
+        .agg(min($"media_id").as("canon"), count(lit(1)).as("n"),
+          min($"b0").as("b0"), min($"b1").as("b1"),
+          min($"b2").as("b2"), min($"b3").as("b3"))
+        .localCheckpoint()
+      val bands = classes.select($"canon",
+        posexplode(array($"b0", $"b1", $"b2", $"b3")).as(Seq("bk", "bv")))
+      val cand = bands.alias("a").join(bands.alias("b"),
+          col("a.bk") === col("b.bk") && col("a.bv") === col("b.bv") &&
+            col("a.canon") < col("b.canon"))
+        .select(col("a.canon").as("c1"), col("b.canon").as("c2"))
+        .distinct()
+      val hx = classes.select($"canon", $"b0", $"b1", $"b2", $"b3", $"n")
+      val cross = cand
+        .join(hx.toDF("c1", "a0", "a1", "a2", "a3", "n1"), "c1")
+        .join(hx.toDF("c2", "x0", "x1", "x2", "x3", "n2"), "c2")
+        .select($"c1", $"c2",
+          (bit_count($"a0".bitwiseXOR($"x0")) +
+            bit_count($"a1".bitwiseXOR($"x1")) +
+            bit_count($"a2".bitwiseXOR($"x2")) +
+            bit_count($"a3".bitwiseXOR($"x3"))).cast("long")
+            .as("hamming"),
+          ($"n1" * $"n2").as("pair_mass"))
+        .filter($"hamming" <= 3L)
+      val self = classes.filter($"n" > 1L)
+        .select($"canon".as("c1"), $"canon".as("c2"),
+          lit(0L).as("hamming"),
+          expr("(n * (n - 1)) DIV 2").as("pair_mass"))
+      cross.unionByName(self).orderBy($"c1", $"c2")
+    },
+    Some(videoHashSql(videoCatalog + """
+        UNION ALL
+        SELECT -doc_id - 1 AS id,
+               2 + doc_id % 3 AS shots,
+               4 + octet_length(encode(text)) % 3 AS pershot,
+               13 * doc_id AS seed
+        FROM documents WHERE doc_id % 10 = 0""") + """
+      , sig AS (
+        SELECT id, MIN(nf) AS nf,
+               string_agg(CAST(f AS VARCHAR) || ':' ||
+                 CAST(b0 AS VARCHAR) || ':' || CAST(b1 AS VARCHAR) ||
+                 ':' || CAST(b2 AS VARCHAR) || ':' ||
+                 CAST(b3 AS VARCHAR), ',' ORDER BY f) AS sig
+        FROM fh GROUP BY id),
+      keyf AS (
+        SELECT fh.id, s.sig, fh.b0, fh.b1, fh.b2, fh.b3
+        FROM fh JOIN sig s ON fh.id = s.id AND fh.f = s.nf // 2),
+      classes AS (
+        SELECT sig, MIN(id) AS canon, CAST(COUNT(*) AS BIGINT) AS n,
+               MIN(b0) AS b0, MIN(b1) AS b1,
+               MIN(b2) AS b2, MIN(b3) AS b3
+        FROM keyf GROUP BY sig),
+      crossed AS (
+        SELECT a.canon AS c1, b.canon AS c2,
+               CAST(bit_count(xor(a.b0, b.b0))
+                  + bit_count(xor(a.b1, b.b1))
+                  + bit_count(xor(a.b2, b.b2))
+                  + bit_count(xor(a.b3, b.b3)) AS BIGINT) AS hamming,
+               CAST(a.n * b.n AS BIGINT) AS pair_mass
+        FROM classes a JOIN classes b ON a.canon < b.canon),
+      selfrows AS (
+        SELECT canon AS c1, canon AS c2,
+               CAST(0 AS BIGINT) AS hamming,
+               CAST((n * (n - 1)) // 2 AS BIGINT) AS pair_mass
+        FROM classes WHERE n > 1)
+      SELECT c1, c2, hamming, pair_mass FROM crossed WHERE hamming <= 3
+      UNION ALL
+      SELECT c1, c2, hamming, pair_mass FROM selfrows
+      ORDER BY c1, c2"""))
+
   /** HLL approx-distinct with its accuracy contract hash-checked: the
     * oracle pins the exact count, and the boolean asserts the ±2%-rsd
     * sketch landed within 5% of it — so the sketch path is verified
@@ -2176,6 +2440,8 @@ object Extras {
     mm_audio_meta, mm_audio_downsample,
     mm_audio_hash, mm_dedup_audio_canonical,
     mm_phash_shift_recall, mm_audio_gain_recall,
+    mm_video_meta, mm_video_frame_hash, mm_video_scenecut,
+    mm_dedup_video_canonical,
     agg_approx_distinct, ml_kmeans_profiles, ml_kmeans_contract,
     ml_quadfit_contract, ml_pca_contract, set_ops, w2_rank_lag,
     j6_outer_join, asof_attribution, asof_forward, asof_nearest,

@@ -1509,6 +1509,102 @@ object Pipeline {
       SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
       FROM embeddings WHERE vec_id < 50"""))
 
+  /** ANN segment merge — the incremental-refresh leg the persisted
+    * lifecycle owed (the vector-side mirror of index_ivm_merge /
+    * bm25_probe_merged): the base corpus (90%, vec_id % 10 ≠ 7)
+    * trains the quantizer and encodes into a base cell segment ONCE;
+    * the delta batch (10%) encodes against the FROZEN quantizer — the
+    * FAISS add() path, no retrain, cell assignment and PQ codes are
+    * map-side projections over broadcast literals — into its own
+    * segment. Because every vector lives in exactly one segment, the
+    * merged index is a pure vec-disjoint UNION of cell tables, the
+    * same concatenation invariant the postings merge gated.
+    *
+    * This gate audits the merge STRUCTURALLY: segment disjointness
+    * (a vector encoded into both segments would double-score every
+    * probe), totality vs the raw corpus, and code ranges in BOTH
+    * segments under the base-trained codebooks. The row-exact probe
+    * over the union is [[sim_ivf_probe_merged]]. */
+  val ann_ivm_merge = GQuery(
+    "ann_ivm_merge",
+    (s, d) => graft.GQuery.withTempTable(s, "graft-ann-ivm") { dir =>
+      import s.implicits._
+      val A = graft.operators.AnnIndex
+      val vecs = T.embeddings(s, d).where($"embedding".isNotNull)
+      val base = vecs.filter($"vec_id" % 10L =!= 7L)
+      val delta = vecs.filter($"vec_id" % 10L === 7L)
+      // init: train on base only, encode base (paid once per epoch)
+      val q = A.trainQuantizer(base, "embedding")
+      A.encode(q, base, "vec_id", "embedding")
+        .write.partitionBy("cell").parquet(s"$dir/base_cells")
+      // refresh: encode(delta) against the frozen quantizer — the
+      // whole incremental cost; the base corpus is never rescanned
+      A.encode(q, delta, "vec_id", "embedding")
+        .write.partitionBy("cell").parquet(s"$dir/delta_cells")
+      val b = s.read.parquet(s"$dir/base_cells")
+      val dl = s.read.parquet(s"$dir/delta_cells")
+      def segAgg(seg: org.apache.spark.sql.DataFrame) = seg.agg(
+        count(lit(1)).as("n"),
+        bool_and($"cell" >= 0 && $"cell" < A.NList &&
+          size($"pq_codes") === A.M &&
+          forall($"pq_codes", c => c >= 0 && c < A.KSub)).as("ok"))
+      val overlap = b.select($"vec_id")
+        .join(dl.select($"vec_id"), Seq("vec_id"))
+        .agg(count(lit(1)).as("n_overlap"))
+      val corpus = vecs.agg(count(lit(1)).as("n_corpus"))
+      segAgg(b).select($"n".as("n_base"), $"ok".as("base_ok"))
+        .crossJoin(broadcast(
+          segAgg(dl).select($"n".as("n_delta"), $"ok".as("delta_ok"))))
+        .crossJoin(broadcast(overlap))
+        .crossJoin(broadcast(corpus))
+        .select($"n_base", $"n_delta",
+          ($"n_overlap" === 0L).as("disjoint_ok"),
+          ($"n_base" + $"n_delta" === $"n_corpus").as("totality_ok"),
+          ($"base_ok" && $"delta_ok").as("codes_ok"))
+    },
+    Some("""
+      SELECT CAST(SUM(CASE WHEN vec_id % 10 <> 7 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_base,
+             CAST(SUM(CASE WHEN vec_id % 10 = 7 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_delta,
+             TRUE AS disjoint_ok, TRUE AS totality_ok, TRUE AS codes_ok
+      FROM embeddings WHERE embedding IS NOT NULL"""))
+
+  /** IVF probe over the MERGED (base ∪ delta) segments at full probe:
+    * the delta was encoded without retraining, so the only way this
+    * equals the exhaustive brute-force scan row-for-row
+    * ([[bruteTop5Vec10Oracle]] VERBATIM — the oracle never sees a
+    * quantizer or a segment) is if frozen-quantizer assignment is a
+    * lossless partition of base ∪ delta AND the union concatenation
+    * drops/duplicates nothing. The probed-cell `isin` filter pushes
+    * through the union into BOTH parquet scans, so segment pruning
+    * survives the merge — the production probe shape over a
+    * just-refreshed index, priced per round (init + refresh + probe
+    * all inside the timed body, the bm25_probe_merged discipline). */
+  val sim_ivf_probe_merged = GQuery(
+    "sim_ivf_probe_merged",
+    (s, d) => graft.GQuery.withTempTable(s, "graft-ann-merge") { dir =>
+      import s.implicits._
+      val A = graft.operators.AnnIndex
+      val vecs = T.embeddings(s, d).where($"embedding".isNotNull)
+      val base = vecs.filter($"vec_id" % 10L =!= 7L)
+      val delta = vecs.filter($"vec_id" % 10L === 7L)
+      val q = A.trainQuantizer(base, "embedding")
+      A.encode(q, base, "vec_id", "embedding")
+        .write.partitionBy("cell").parquet(s"$dir/base_cells")
+      A.encode(q, delta, "vec_id", "embedding")
+        .write.partitionBy("cell").parquet(s"$dir/delta_cells")
+      A.ivfProbe(T.embeddings(s, d).filter($"vec_id" < 10),
+          "vec_id", "embedding", k = 5, nprobe = A.NList,
+          cents = q.centroidMeta,
+          loadCells = cellSet =>
+            s.read.parquet(s"$dir/base_cells")
+              .unionByName(s.read.parquet(s"$dir/delta_cells"))
+              .where($"cell".isin(cellSet: _*)))
+        .orderBy($"query_id", $"rank")
+    },
+    Some(bruteTop5Vec10Oracle))
+
   /** PII scrubbing over documents with deterministic synthetic PII
     * appended (the corpus itself is clean), hash-checked end to end —
     * placeholder substitution, lengths and all. */
@@ -3492,6 +3588,7 @@ object Pipeline {
     sim_rplsh_recall, sim_pq_fullrerank, sim_pq_recall, sim_ivfpq_recall,
     ann_index_build, sim_ivf_probe_persisted, sim_ivfpq_probe_persisted,
     sim_ivf_probe_recall, sim_ivfpq_probe_recall,
+    ann_ivm_merge, sim_ivf_probe_merged,
     text_tokens, text_quality, text_langid,
     text_fingerprint, text_pii_scrub, text_clean, text_repetition, decontaminate,
     decontaminate_bloom,

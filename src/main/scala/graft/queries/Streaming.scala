@@ -570,8 +570,56 @@ object Streaming {
                CAST(-1 AS BIGINT) AS df, CAST(1 AS BIGINT) AS total_tf)
       ORDER BY df DESC, term"""))
 
+  /** The EIGHTH gate — the persisted ANN index's streaming leg
+    * ([[StreamOps.annCellStream]]), completing the
+    * build/probe/merge/stream symmetry the text index already has:
+    * the vector stream (time-sliced by vec_id, multi-batch) is
+    * assigned to coarse cells statelessly against the WARM index's
+    * centroid metadata (loaded once at open(), the probe discipline),
+    * a stateless per-partition combine collapses each micro-batch to
+    * ≤ nlist rows, and the FMGWS machine keeps ONE (count, Σ‖v‖)
+    * pair per cell — nlist-bounded state (16 keys) under a
+    * corpus-sized stream, the tightest state bound in the suite.
+    * Running per-cell totals compact by max(n) (monotone). The gate
+    * pins TOTALITY (Σ per-cell counts == the corpus count — a
+    * dropped or double-counted batch breaks it exactly), the state
+    * bound, and multi-batch evidence in-band; the exact per-cell
+    * distribution is quantizer-derived (Lloyd is not expressible in
+    * SQL), so it is pinned IN-ENGINE against the persisted cells
+    * segment in Round12Spec — the ml_kmeans_contract split between
+    * SQL-checkable invariants and engine-checked model outputs. */
+  val stream_ann_assign = GQuery(
+    "stream_ann_assign",
+    (s, d) => graft.GQuery.withTempTable(s, "graft-stream-ann") { t =>
+      import s.implicits._
+      val cents = graft.operators.AnnIndex.centroidMetaOf(s, d)
+      val vecs = T.embeddings(s, d).where($"embedding".isNotNull)
+        .select($"vec_id", $"embedding")
+        .withColumn("ets", timestamp_seconds($"vec_id"))
+      val inDir = s"$t/in"
+      writeTimeSliced(vecs, "ets", inDir, sliceCount(vecs.count()))
+      val updates = replay(s, t, inDir) { in =>
+        StreamOps.annCellStream(in.drop("ets"), cents)
+      }
+      val perCell = updates.groupBy($"cell").agg(max($"n").as("n"))
+      val ev = updates.agg(count(lit(1)).as("n_up"),
+          countDistinct($"cell").as("n_c"))
+        .select(($"n_up" > $"n_c").as("multi_batch"), $"n_c")
+      perCell.agg(sum($"n").as("n_vectors"),
+          count(lit(1)).as("n_cells"))
+        .crossJoin(broadcast(ev))
+        .select($"n_vectors",
+          ($"n_cells" <= lit(graft.operators.AnnIndex.NList.toLong) &&
+            $"n_cells" === $"n_c").as("bounded_ok"),
+          $"multi_batch")
+    },
+    Some("""
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors, TRUE AS bounded_ok,
+             TRUE AS multi_batch
+      FROM embeddings WHERE embedding IS NOT NULL"""))
+
   val all: Seq[GQuery] = Seq(
     stream_window_agg, stream_sessions, stream_interval_join,
     stream_dedup, stream_static_join, stream_cdc_apply,
-    stream_index_dict)
+    stream_index_dict, stream_ann_assign)
 }

@@ -254,4 +254,68 @@ object StreamOps {
         GroupStateTimeout.NoTimeout)(handle)
       .toDF()
   }
+
+  case class CellRec(cell: Int, n: Long, norm_sum: Double)
+
+  /** Streaming ANN cell-occupancy maintenance — the persisted vector
+    * index's streaming leg (batch legs: AnnIndex build/probe,
+    * ann_ivm_merge), completing the build/probe/merge/stream symmetry
+    * the text index already has. Arriving vectors are assigned to
+    * their coarse cell STATELESSLY per micro-batch — one map-side
+    * argmax projection against the broadcast centroid literals loaded
+    * from the warm index at open() ([[graft.operators.AnnIndex
+    * .assignCell]]) — and a flatMapGroupsWithState machine accumulates
+    * per-cell (count, Σ‖v‖): the occupancy statistics a production
+    * IVF server maintains online to decide when cell skew warrants
+    * re-training the quantizer. State is ONE counter pair per cell —
+    * bounded by nlist (16), the tightest state bound in the gate
+    * suite — while the vector stream is corpus-sized and passes
+    * through statelessly; the batch-local pre-aggregation collapses
+    * each micro-batch to ≤ nlist rows before the state operator (the
+    * indexDictStream discipline, with a GROUP key so small no
+    * combine-spread subtlety remains). Per-batch running totals are
+    * append-mode change-log rows; compaction is `max(n)` per cell
+    * (monotone count carries its Σ‖v‖ beside it via the max-by
+    * struct trick). */
+  def annCellStream(vecs: DataFrame,
+      cents: Seq[(Int, Array[Float], Double)]): DataFrame = {
+    import vecs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+      OutputMode}
+    def handle(cell: Int, it: Iterator[(Int, Long, Double)],
+        state: GroupState[(Long, Double)]): Iterator[CellRec] = {
+      var n = 0L
+      var s = 0.0
+      it.foreach { r => n += r._2; s += r._3 }
+      if (n == 0L) Iterator.empty
+      else {
+        val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+        val next = (n0 + n, s0 + s)
+        state.update(next)
+        Iterator.single(CellRec(cell, next._1, next._2))
+      }
+    }
+    vecs.select(
+        graft.operators.AnnIndex.assignCell(col("embedding"), cents)
+          .as("cell"),
+        graft.functions.VectorExprs.fnorm(col("embedding")).as("nrm"))
+      .as[(Int, Double)]
+      // batch-local pre-agg: a STATELESS per-partition combine (a
+      // streaming groupBy here would be a second stateful operator —
+      // illegal before FMGWS), emitting <= nlist rows per partition;
+      // count and Σ‖v‖ are additive under any partitioning, so no
+      // repartition is owed (unlike indexDictStream's df counting)
+      .mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap.empty[Int, (Long, Double)]
+        it.foreach { case (c, nrm) =>
+          val (n0, s0) = m.getOrElse(c, (0L, 0.0))
+          m.update(c, (n0 + 1L, s0 + nrm))
+        }
+        m.iterator.map { case (c, (n, s)) => (c, n, s) }
+      }
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(handle)
+      .toDF()
+  }
 }

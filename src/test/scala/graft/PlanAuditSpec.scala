@@ -790,7 +790,8 @@ class PlanAuditSpec extends SparkSpec {
   test("r11b: the canonical dedup twins pair through banded band " +
       "buckets over the CLASS table — no cartesian or nested-loop " +
       "pair enumeration in either modality") {
-    for (q <- Seq("mm_dedup_phash_canonical", "mm_dedup_audio_canonical")) {
+    for (q <- Seq("mm_dedup_phash_canonical", "mm_dedup_audio_canonical",
+        "mm_dedup_video_canonical")) {
       val p = plan(q, "simple")
       assert(!p.contains("CartesianProduct"), s"$q:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"),
@@ -863,6 +864,58 @@ class PlanAuditSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin"), s"$n:\n$p")
     }
+  }
+
+  test("r12: mm_video_frame_hash is scan-bound — one decode pass " +
+      "emits every frame row, no shuffle before the final sort") {
+    val p = plan("mm_video_frame_hash", "simple")
+    assert(p.split("Exchange").length - 1 == 1,
+      "expected exactly one Exchange (the output sort):\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("r12: the merged ANN probe prunes BOTH segment scans — the " +
+      "probed-cell isin pushes through the union into base and delta " +
+      "partition filters, and no corpus embeddings scan appears") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-annmerge-pin").toString
+    try {
+      val A = operators.AnnIndex
+      val vecs = Tables.embeddings(spark, sf)
+        .where(col("embedding").isNotNull)
+      val base = vecs.filter(col("vec_id") % 10 =!= 7)
+      val delta = vecs.filter(col("vec_id") % 10 === 7)
+      val qz = A.trainQuantizer(base, "embedding")
+      A.encode(qz, base, "vec_id", "embedding")
+        .write.partitionBy("cell").parquet(s"$dir/base_cells")
+      A.encode(qz, delta, "vec_id", "embedding")
+        .write.partitionBy("cell").parquet(s"$dir/delta_cells")
+      val probe = A.ivfProbe(
+        Tables.embeddings(spark, sf).filter(col("vec_id") < 10),
+        "vec_id", "embedding", 5, nprobe = 4, cents = qz.centroidMeta,
+        loadCells = cs => spark.read.parquet(s"$dir/base_cells")
+          .unionByName(spark.read.parquet(s"$dir/delta_cells"))
+          .where(col("cell").isin(cs: _*)))
+      val p = probe.queryExecution
+        .explainString(ExplainMode.fromString("formatted"))
+      val segBlocks = p.split(raw"\(\d+\) Scan parquet").drop(1)
+        .filter(b => b.contains("base_cells") || b.contains("delta_cells"))
+      assert(segBlocks.length == 2,
+        s"expected base+delta segment scans, got ${segBlocks.length}:\n" + p)
+      for (b <- segBlocks)
+        assert(b.linesIterator.exists(l =>
+          l.contains("PartitionFilters") && l.contains("cell") &&
+            l.contains("INSET")),
+          "a merged-segment scan lost static cell pruning:\n" + b)
+      val embBlocks = p.split(raw"\(\d+\) Scan parquet").drop(1)
+        .filter(_.contains("embeddings.parquet"))
+      assert(embBlocks.nonEmpty && embBlocks.forall(
+        _.linesIterator.exists(_.contains("LessThan(vec_id,10)"))),
+        "a corpus embeddings scan leaked into the merged probe:\n" + p)
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(dir))
   }
 
   test("r11: trgm_probe_persisted scans the corpus exactly once (the " +

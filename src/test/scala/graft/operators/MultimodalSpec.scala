@@ -112,6 +112,70 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.fromText(one, "doc_id", "text"), 2, 2).count() == 0)
   }
 
+  test("Y4M codec round-trips encode → decode, skips unknown header " +
+      "params and FRAME params, and rejects malformations") {
+    import Multimodal.Y4mCodec
+    val v = Y4mCodec.Video(2, 2, 25, 1, Array(
+      Array[Byte](1, 2, 3, 4), Array[Byte](5, 6, 7, 8)))
+    val enc = Y4mCodec.encode(v)
+    val back = Y4mCodec.decode(enc).get
+    assert(back.width == 2 && back.height == 2 &&
+      back.fpsNum == 25 && back.fpsDen == 1 &&
+      back.frames.length == 2 &&
+      back.frames.map(_.toSeq).toSeq == v.frames.map(_.toSeq).toSeq)
+    // unknown header params (X extension) skip per spec; FRAME lines
+    // may carry parameters after a space
+    val hdr = "YUV4MPEG2 W2 H2 F25:1 Ip A1:1 Cmono Xgraft\n"
+    val withParams = hdr.getBytes("US-ASCII") ++
+      "FRAME Ffoo\n".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3, 4)
+    assert(Y4mCodec.decode(withParams).exists(_.frames.length == 1))
+    def mut(s: String) = Y4mCodec.decode(
+      s.getBytes("US-ASCII") ++ Array[Byte](1, 2, 3, 4))
+    assert(mut("YUV4MPEG3 W2 H2 F25:1 Cmono\nFRAME\n").isEmpty, "magic")
+    assert(mut("YUV4MPEG2 W2 H2 F25:1\nFRAME\n").isEmpty,
+      "absent C tag means C420 planes — must refuse, not mis-size")
+    assert(mut("YUV4MPEG2 W2 H2 F25:1 C420\nFRAME\n").isEmpty, "C420")
+    assert(mut("YUV4MPEG2 W2 H2 Fx:1 Cmono\nFRAME\n").isEmpty, "bad F")
+    assert(mut("YUV4MPEG2 W2 F25:1 Cmono\nFRAME\n").isEmpty, "no H")
+    assert(Y4mCodec.decode(enc.dropRight(1)).isEmpty, "truncated plane")
+    assert(Y4mCodec.decode(enc ++ Array[Byte](9)).isEmpty,
+      "trailing garbage")
+    assert(Y4mCodec.decode(enc.take(enc.length - 5)).isEmpty,
+      "partial trailing frame")
+    assert(Y4mCodec.decode(null).isEmpty)
+  }
+
+  test("toY4m payloads decode to the documented deterministic luma; " +
+      "video features match hand arithmetic") {
+    // doc 1 "hello world" (11 bytes): shots = 2+1%3 = 3, perShot =
+    // 4+11%3 = 6 → 18 frames, 36 + 18·70 = 1296 bytes, 720 ms
+    val feats = Multimodal.extractVideoFeatures(
+        Multimodal.toY4m(docs, "doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val f1 = feats(1L)
+    assert(f1.getInt(1) == 36 + 18 * 70 && f1.getInt(2) == 8 &&
+      f1.getInt(3) == 8 && f1.getInt(4) == 25 && f1.getInt(5) == 1 &&
+      f1.getInt(6) == 18 && f1.getLong(7) == 720L)
+    // luma checksum by hand: Σ over f<18, j<64 of
+    // (7j(s+1) + 13 + 97s) % 256, s = f/6
+    var expect = 0L
+    for (f <- 0 until 18; j <- 0 until 64)
+      expect += (7L * j * (f / 6 + 1) + 13L + 97L * (f / 6)) % 256
+    assert(f1.getLong(8) == expect, s"luma_sum ${f1.getLong(8)}")
+    // frame hashes: within a shot identical, across shots different
+    // for this id (hand-checkable because shot luma is a pure ramp)
+    val fh = Multimodal.videoFrameHash(
+        Multimodal.toY4m(docs.filter($"doc_id" === 1L), "doc_id", "text"))
+      .orderBy($"frame_idx")
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+    assert(fh.length == 18)
+    assert(fh.slice(0, 6).distinct.length == 1, "shot 0 not constant")
+    assert(fh.slice(6, 12).distinct.length == 1, "shot 1 not constant")
+    assert(fh(0) != fh(6) || fh(6) != fh(12),
+      "all shots hashed identically — the cut fixture is degenerate")
+  }
+
   test("WAV codec round-trips encode → decode, both bit depths") {
     import Multimodal.WavCodec
     val a16 = WavCodec.Audio(2, 16000, 16,

@@ -137,4 +137,146 @@ class Round12Spec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(
         new java.io.File(dir))
   }
+
+  test("the merged ANN probe (base-trained quantizer + frozen-encoded " +
+      "delta) returns row-for-row what the warm full-corpus probe " +
+      "returns at full probe — both are the brute-force answer") {
+    import org.apache.spark.sql.functions.col
+    val a = Registry.queryMap("sim_ivf_probe_merged")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val b = graft.operators.AnnIndex.ivfProbePersisted(spark, sf,
+        graft.Tables.embeddings(spark, sf).filter(col("vec_id") < 10),
+        "vec_id", "embedding", 5,
+        nprobe = graft.operators.AnnIndex.NList)
+      .orderBy(col("query_id"), col("rank"))
+      .collect().map(_.toSeq).toSeq
+    assert(a == b, s"merged probe:\n$a\nwarm probe:\n$b")
+    assert(a.nonEmpty, "no ANN rows — the pin is vacuous")
+  }
+
+  test("mm_dedup_video_canonical reconciles against an exhaustive " +
+      "O(n^2) driver recount of keyframe-Hamming<=3 pairs, and the " +
+      "planted twins land in fat classes") {
+    import spark.implicits._
+    val media = graft.operators.Multimodal.toY4m(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text")
+    val plants = media.filter($"media_id" % 10 === 0L)
+      .withColumn("media_id", -$"media_id" - 1L)
+    // keyframe hash per video: frame nf DIV 2 of the per-frame hashes
+    val fh = graft.operators.Multimodal
+      .videoFrameHash(media.unionByName(plants))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+    val key = fh.groupBy(_._1).map { case (id, rows) =>
+      id -> rows.find(_._2 == rows.length / 2).get._3
+    }.toArray
+    def ham(a: (Long, Long, Long, Long), b: (Long, Long, Long, Long)) =
+      java.lang.Long.bitCount(a._1 ^ b._1) +
+        java.lang.Long.bitCount(a._2 ^ b._2) +
+        java.lang.Long.bitCount(a._3 ^ b._3) +
+        java.lang.Long.bitCount(a._4 ^ b._4)
+    var exactPairs = 0L
+    for (i <- key.indices; j <- (i + 1) until key.length)
+      if (ham(key(i)._2, key(j)._2) <= 3) exactPairs += 1
+    val out = Registry.queryMap("mm_dedup_video_canonical")(spark, sf)
+      .collect()
+    val mass = out.map(_.getLong(3)).sum
+    assert(mass == exactPairs,
+      s"pair mass $mass != exhaustive recount $exactPairs")
+    // every planted twin is byte-identical (same sequence) so its
+    // class has n >= 2 and the negative plant owns the canonical id
+    val selfCanons = out.filter(r => r.getLong(0) == r.getLong(1))
+      .map(_.getLong(0)).toSet
+    assert(selfCanons.exists(_ < 0L),
+      "no fat class carries a planted (negative) canonical")
+  }
+
+  test("stream_ann_assign's state: per-cell streamed counts equal the " +
+      "persisted cells segment exactly, and the streamed Σ‖v‖ matches " +
+      "the batch recompute — the quantizer-derived distribution the " +
+      "SQL contract cannot see") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-r12-ann-stream").toString
+    try {
+      val cents = graft.operators.AnnIndex.centroidMetaOf(spark, sf)
+      val vecs = graft.Tables.embeddings(spark, sf)
+        .where($"embedding".isNotNull)
+      // two explicit micro-batches split on vec_id parity — the
+      // assignment is stateless and the counters additive, so any
+      // batching must land on the same totals
+      vecs.filter($"vec_id" % 2 === 0).select($"vec_id", $"embedding")
+        .coalesce(1).write.parquet(s"$dir/in")
+      vecs.filter($"vec_id" % 2 === 1).select($"vec_id", $"embedding")
+        .coalesce(1).write.mode("append").parquet(s"$dir/in")
+      val q = graft.streaming.StreamOps.annCellStream(
+          spark.readStream
+            .schema(spark.read.parquet(s"$dir/in").schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(s"$dir/in"), cents)
+        .writeStream.format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val streamed = spark.read.parquet(s"$dir/out")
+        .groupBy($"cell")
+        .agg(max($"n").as("n"), max($"norm_sum").as("ns"))
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+      val batch = graft.operators.AnnIndex.cells(spark, sf)
+        .groupBy($"cell")
+        .agg(count(lit(1)).as("n"), sum($"nrm").as("ns"))
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+      assert(streamed.keySet == batch.keySet,
+        s"cell sets differ: ${streamed.keySet} vs ${batch.keySet}")
+      for ((c, (n, ns)) <- batch) {
+        assert(streamed(c)._1 == n,
+          s"cell $c: streamed ${streamed(c)._1} vectors, segment has $n")
+        assert(math.abs(streamed(c)._2 - ns) <= 1e-6 * math.max(1.0, ns),
+          s"cell $c: streamed norm sum ${streamed(c)._2} vs batch $ns")
+      }
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(dir))
+  }
+
+  test("mm_video_scenecut reconciles against an independent driver " +
+      "recount straight off the decoded y4m payloads") {
+    import spark.implicits._
+    val payloads = graft.operators.Multimodal.toY4m(
+        spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text")
+      .select($"media_id", $"payload")
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    // independent recount: decode via the codec, hash each frame by
+    // direct bit comparison (no band packing), cut = >= 8 differing
+    // bits vs the previous frame
+    val expect = payloads.map { case (id, p) =>
+      val v = graft.operators.Multimodal.Y4mCodec.decode(p).get
+      val bits = v.frames.map { plane =>
+        val g = plane.map(b => (b & 0xff).toLong)
+        val tot = g.sum
+        g.map(px => 64L * px >= tot)
+      }
+      val hams = bits.sliding(2).map { w =>
+        w(0).zip(w(1)).count { case (a, b) => a != b }
+      }.toArray
+      val cuts = hams.zipWithIndex.filter(_._1 >= 8).map(_._2 + 1)
+      (id, (v.frames.length.toLong, cuts.length.toLong,
+        cuts.headOption.map(_.toLong)))
+    }.toMap
+    val got = Registry.queryMap("mm_video_scenecut")(spark, sf)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(4)) None else Some(r.getInt(4).toLong)))).toMap
+    assert(got.keySet == expect.keySet)
+    for ((id, e) <- expect)
+      assert(got(id) == e, s"video $id: got ${got(id)}, recount $e")
+    assert(expect.values.exists(_._2 > 0),
+      "no video has any detected cut — the fixture is degenerate")
+  }
 }
