@@ -162,7 +162,13 @@ object ScaleSweep {
     "mm_dedup_video_canonical",
     // round-12 fifth wave: the eighth streaming gate (embeddings —
     // nlist-bounded FMGWS state under a corpus-sized vector stream)
-    "stream_ann_assign")
+    "stream_ann_assign",
+    // round-12 sixth wave: the video invariance plant (documents —
+    // two decode+hash passes over corpus/10 plants, one frame-keyed
+    // join). sim_ivfpq_probe_merged is deliberately NOT swept: its
+    // build leg is byte-identical to sim_ivf_probe_merged's (already
+    // swept) and the ADC delta is probe-side constant.
+    "mm_video_shift_recall")
   // fk_violations is EXCLUDED: it joins customer/part, which MkScale
   // does not scale - a sweep would measure a mixed-scale plan.
   // pareto_frontier is excluded for the same reason (part-backed);

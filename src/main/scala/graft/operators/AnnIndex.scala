@@ -66,6 +66,8 @@ object AnnIndex {
     def dim: Int = coarse.head.length
     def centroidMeta: Seq[(Int, Array[Float], Double)] =
       coarse.zipWithIndex.map { case (cv, i) => (i, cv, n2Of(cv)) }.toSeq
+    def bookMeta: Array[Array[(Array[Float], Double)]] =
+      books.map(_.map(cv => (cv, n2Of(cv))))
   }
 
   private[operators] def n2Of(v: Array[Float]): Double =
@@ -317,8 +319,22 @@ object AnnIndex {
       idCol: String, vecCol: String, k: Int, nprobe: Int,
       rerank: Int): DataFrame = {
     val dir = segmentDir(s, d)
-    val centArr = centLiteral(loadCentroids(s, dir))
-    val books = loadCodebooks(s, dir)
+    ivfPqProbe(queries, idCol, vecCol, k, nprobe, rerank,
+      loadCentroids(s, dir), loadCodebooks(s, dir),
+      cellSet => s.read.parquet(s"$dir/cells")
+        .where(col("cell").isin(cellSet: _*)))
+  }
+
+  /** The IVF-PQ probe kernel over ANY cells segment source — the
+    * [[ivfProbe]] loader pattern applied to the compressed path, so
+    * the merged-segment gate can run the ADC scan + exact rerank over
+    * a base ∪ delta union with pruning intact on both children. */
+  def ivfPqProbe(queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nprobe: Int, rerank: Int,
+      cents: Seq[(Int, Array[Float], Double)],
+      books: Array[Array[(Array[Float], Double)]],
+      loadCells: Seq[Int] => DataFrame): DataFrame = {
+    val centArr = centLiteral(cents)
     val dim = books.map(_.head._1.length).sum
     val dsub = dim / M
     val bookLits = (0 until M).map(j =>
@@ -334,8 +350,7 @@ object AnnIndex {
         1, nprobe).getField("cell")).as("cell"))
     val cellSet = q.select(col("cell")).distinct().collect()
       .map(_.getInt(0)).toSeq
-    val pruned = s.read.parquet(s"$dir/cells")
-      .where(col("cell").isin(cellSet: _*))
+    val pruned = loadCells(cellSet)
     val enc = pruned.select(col("cell"), col("vec_id").as("neighbor_id"),
       col("pq_codes"), col("vn2"))
     val scanned = enc.join(broadcast(q), Seq("cell"))

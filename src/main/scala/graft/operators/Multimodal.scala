@@ -883,6 +883,37 @@ object Multimodal {
         "height", "duration_ms")
   }
 
+  /** Brightness-shift edit through the REAL y4m codec path (decode →
+    * add `delta` to every luma byte, clamped at 255 — a genuine
+    * exposure edit, clipping included → re-encode). The video twin of
+    * [[brightnessShift]]: aHash's threshold is EXACTLY invariant to
+    * an unclamped uniform shift (64·(g+δ) ≥ Σg+64δ ⟺ 64·g ≥ Σg) and
+    * only approximately invariant once clipping bites the bright
+    * tail; mm_video_shift_recall measures that residual per frame
+    * instead of trusting the algebra. */
+  def lumaShift(media: DataFrame, delta: Int): DataFrame = {
+    require(delta >= 0 && delta <= 255, s"bad luma delta $delta")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val codec = Y4mCodec.init()
+        rows.flatMap { case (id, payload) =>
+          codec.decode(payload).iterator.map { v =>
+            val shifted = v.frames.map(_.map { b =>
+              math.min((b & 0xff) + delta, 255).toByte
+            })
+            (id, "video", "video/x-yuv4mpeg",
+              codec.encode(v.copy(frames = shifted)),
+              Some(v.width), Some(v.height),
+              Some((v.frames.length.toLong * 1000 * v.fpsDen /
+                v.fpsNum).toInt))
+          }
+        }
+      }.toDF("media_id", "modality", "mime", "payload", "width",
+        "height", "duration_ms")
+  }
+
   /** Typed metadata + whole-stream checksum through the REAL y4m
     * decode: geometry, frame rate, frame count, duration from the
     * rate, and Σ luma over every plane (proves the full stream was

@@ -1287,6 +1287,89 @@ object Extras {
       SELECT c1, c2, hamming, pair_mass FROM selfrows
       ORDER BY c1, c2"""))
 
+  /** Planted-recall gate for the VIDEO perceptual hash — the
+    * mm_phash_shift_recall discipline on the time axis, so the video
+    * family's invariance claim is measured the round it ships rather
+    * than owed: every 10th video gets a genuine +16 brightness edit
+    * through the real y4m path ([[Multimodal.lumaShift]] — decode,
+    * clamp-add at 255, re-encode; clipping included, so invariance is
+    * honestly approximate), both versions hash per-frame through
+    * [[Multimodal.videoFrameHash]], and the PER-VIDEO MAX frame
+    * Hamming must land within the banded radius — stronger than a
+    * keyframe-only check, since a single clipped frame anywhere in
+    * the stream breaks it. Detection at Hamming ≤ 3 IS banded
+    * recovery by the 4-band pigeonhole theorem, so this gates what
+    * mm_dedup_video_canonical would recover for an exposure-edited
+    * re-upload. The oracle rebuilds BOTH hash variants from the luma
+    * algebra (LEAST(g+16, 255)) and pins n_planted / n_recovered /
+    * max_hamming exactly — the clipping residual, bit-for-bit. */
+  val mm_video_shift_recall = GQuery(
+    "mm_video_shift_recall",
+    (s, d) => {
+      import s.implicits._
+      val media = Multimodal.toY4m(T.documents(s, d), "doc_id", "text")
+        .filter($"media_id" % 10 === 0L)
+      val orig = Multimodal.videoFrameHash(media)
+        .select($"media_id", $"frame_idx", $"b0".as("a0"),
+          $"b1".as("a1"), $"b2".as("a2"), $"b3".as("a3"))
+      val edited =
+        Multimodal.videoFrameHash(Multimodal.lumaShift(media, 16))
+          .select($"media_id", $"frame_idx", $"b0".as("x0"),
+            $"b1".as("x1"), $"b2".as("x2"), $"b3".as("x3"))
+      orig.join(edited, Seq("media_id", "frame_idx"))
+        .select($"media_id",
+          (bit_count($"a0".bitwiseXOR($"x0")) +
+            bit_count($"a1".bitwiseXOR($"x1")) +
+            bit_count($"a2".bitwiseXOR($"x2")) +
+            bit_count($"a3".bitwiseXOR($"x3"))).cast("long").as("hamming"))
+        .groupBy($"media_id").agg(max($"hamming").as("vham"))
+        .agg(count(lit(1)).as("n_planted"),
+          sum(when($"vham" <= 3L, 1L).otherwise(0L)).as("n_recovered"),
+          max($"vham").as("max_hamming"))
+        .select($"n_planted", $"n_recovered", $"max_hamming",
+          ($"n_recovered" * 10 >= $"n_planted" * 9).as("recall_ok"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT doc_id AS id,
+               2 + doc_id % 3 AS shots,
+               4 + octet_length(encode(text)) % 3 AS pershot,
+               13 * doc_id AS seed
+        FROM documents WHERE doc_id % 10 = 0),
+      fr AS (
+        SELECT id, seed, shots * pershot AS nf, f.range AS f,
+               f.range // pershot AS s
+        FROM c, range(24) f WHERE f.range < shots * pershot),
+      px AS (
+        SELECT id, f, j.range AS j,
+               (7 * j.range * (s + 1) + seed + 97 * s) % 256 AS g
+        FROM fr, range(64) j),
+      px2 AS (SELECT id, f, j, g, LEAST(g + 16, 255) AS g2 FROM px),
+      t0 AS (SELECT id, f, CAST(SUM(g) AS BIGINT) AS t
+             FROM px2 GROUP BY id, f),
+      t1 AS (SELECT id, f, CAST(SUM(g2) AS BIGINT) AS t
+             FROM px2 GROUP BY id, f),
+      b0 AS (SELECT px2.id, px2.f, px2.j,
+                    CASE WHEN 64 * px2.g >= t0.t THEN 1 ELSE 0 END AS bit
+             FROM px2 JOIN t0 ON px2.id = t0.id AND px2.f = t0.f),
+      b1 AS (SELECT px2.id, px2.f, px2.j,
+                    CASE WHEN 64 * px2.g2 >= t1.t THEN 1 ELSE 0 END AS bit
+             FROM px2 JOIN t1 ON px2.id = t1.id AND px2.f = t1.f),
+      fham AS (
+        SELECT b0.id, b0.f,
+               CAST(SUM(CASE WHEN b0.bit <> b1.bit THEN 1 ELSE 0 END)
+                 AS BIGINT) AS hamming
+        FROM b0 JOIN b1 ON b0.id = b1.id AND b0.f = b1.f AND b0.j = b1.j
+        GROUP BY b0.id, b0.f),
+      vham AS (SELECT id, MAX(hamming) AS vham FROM fham GROUP BY id)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
+             CAST(SUM(CASE WHEN vham <= 3 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_recovered,
+             CAST(MAX(vham) AS BIGINT) AS max_hamming,
+             SUM(CASE WHEN vham <= 3 THEN 1 ELSE 0 END) * 10
+               >= COUNT(*) * 9 AS recall_ok
+      FROM vham"""))
+
   /** HLL approx-distinct with its accuracy contract hash-checked: the
     * oracle pins the exact count, and the boolean asserts the ±2%-rsd
     * sketch landed within 5% of it — so the sketch path is verified
@@ -2441,7 +2524,7 @@ object Extras {
     mm_audio_hash, mm_dedup_audio_canonical,
     mm_phash_shift_recall, mm_audio_gain_recall,
     mm_video_meta, mm_video_frame_hash, mm_video_scenecut,
-    mm_dedup_video_canonical,
+    mm_dedup_video_canonical, mm_video_shift_recall,
     agg_approx_distinct, ml_kmeans_profiles, ml_kmeans_contract,
     ml_quadfit_contract, ml_pca_contract, set_ops, w2_rank_lag,
     j6_outer_join, asof_attribution, asof_forward, asof_nearest,

@@ -1605,6 +1605,44 @@ object Pipeline {
     },
     Some(bruteTop5Vec10Oracle))
 
+  /** IVF-PQ probe over the MERGED segments at full probe + full
+    * rerank — the compressed path composed over the same base ∪ delta
+    * union [[sim_ivf_probe_merged]] gates: the delta's PQ codes were
+    * encoded against the base-trained codebooks (frozen, no retrain),
+    * the ADC scan runs over the union's code columns, and the exact
+    * rerank fetches raw vectors from the SAME pruned partitions — so
+    * equality with the exhaustive brute-force scan
+    * ([[bruteTop5Vec10Oracle]] VERBATIM, the oracle's sixth
+    * structurally different plan) certifies frozen-codebook encoding,
+    * the union concatenation, LUT scoring, and the rerank join in one
+    * hash gate. Bench-priced; excluded from the decade sweep because
+    * its build leg is byte-identical to sim_ivf_probe_merged's
+    * (already swept) and the ADC delta is probe-side constant. */
+  val sim_ivfpq_probe_merged = GQuery(
+    "sim_ivfpq_probe_merged",
+    (s, d) => graft.GQuery.withTempTable(s, "graft-annpq-merge") { dir =>
+      import s.implicits._
+      val A = graft.operators.AnnIndex
+      val vecs = T.embeddings(s, d).where($"embedding".isNotNull)
+      val base = vecs.filter($"vec_id" % 10L =!= 7L)
+      val delta = vecs.filter($"vec_id" % 10L === 7L)
+      val q = A.trainQuantizer(base, "embedding")
+      A.encode(q, base, "vec_id", "embedding")
+        .write.partitionBy("cell").parquet(s"$dir/base_cells")
+      A.encode(q, delta, "vec_id", "embedding")
+        .write.partitionBy("cell").parquet(s"$dir/delta_cells")
+      A.ivfPqProbe(T.embeddings(s, d).filter($"vec_id" < 10),
+          "vec_id", "embedding", k = 5, nprobe = A.NList,
+          rerank = Int.MaxValue,
+          cents = q.centroidMeta, books = q.bookMeta,
+          loadCells = cellSet =>
+            s.read.parquet(s"$dir/base_cells")
+              .unionByName(s.read.parquet(s"$dir/delta_cells"))
+              .where($"cell".isin(cellSet: _*)))
+        .orderBy($"query_id", $"rank")
+    },
+    Some(bruteTop5Vec10Oracle))
+
   /** PII scrubbing over documents with deterministic synthetic PII
     * appended (the corpus itself is clean), hash-checked end to end —
     * placeholder substitution, lengths and all. */
@@ -3588,7 +3626,7 @@ object Pipeline {
     sim_rplsh_recall, sim_pq_fullrerank, sim_pq_recall, sim_ivfpq_recall,
     ann_index_build, sim_ivf_probe_persisted, sim_ivfpq_probe_persisted,
     sim_ivf_probe_recall, sim_ivfpq_probe_recall,
-    ann_ivm_merge, sim_ivf_probe_merged,
+    ann_ivm_merge, sim_ivf_probe_merged, sim_ivfpq_probe_merged,
     text_tokens, text_quality, text_langid,
     text_fingerprint, text_pii_scrub, text_clean, text_repetition, decontaminate,
     decontaminate_bloom,

@@ -792,23 +792,50 @@ object Retrieval {
     "trgm_probe_persisted",
     (s, d) => {
       import s.implicits._
-      val pat = "ash jo"
-      val patTrgs = pat.sliding(3).toSeq.distinct
-      val cands = graft.operators.IndexOps.trigrams(s, d)
-        .filter($"g".isin(patTrgs: _*))
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("ng"))
-        .filter($"ng" === patTrgs.size.toLong)
-        .select($"doc_id")
-      T.documents(s, d)
-        .join(broadcast(cands), Seq("doc_id"))
-        .filter($"text".contains(pat))
-        .select($"doc_id",
-          expr("CAST((length(text) - length(replace(text, 'ash jo', '')))" +
-            " DIV 6 AS BIGINT)").as("n_occurrences"))
-        .orderBy($"doc_id")
+      trgmProbePersistedFor(s, d, Seq("ash jo").toDF("pattern"))
     },
     Some(trgmOracle))
+
+  /** The warm trigram-probe plan builder behind
+    * [[trgm_probe_persisted]], with the pattern as DATA — the
+    * [[bm25ProbePersistedFor]] discipline applied to substring
+    * search, closing the probe family's last compile-time-constant
+    * query: the pattern arrives as a `pattern` column of any
+    * DataFrame (exactly ONE row — a substring probe serves one
+    * pattern by nature; batch pattern sets belong in a join-shaped
+    * plan), is collected driver-side to cut its trigrams, and those
+    * trigrams become the pushed In filter over the
+    * trigram-partitioned segment — the only way the filter
+    * statically prunes the segment's row groups. The occurrence
+    * count generalizes the old literal arithmetic:
+    * (len − len(remove(pat))) / |pat|, exact integer content in a
+    * double division. */
+  private[graft] def trgmProbePersistedFor(s: org.apache.spark.sql
+      .SparkSession, d: String, patternDf: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val pats = patternDf.select(col("pattern")).limit(2)
+      .collect().map(_.getString(0))
+    require(pats.length == 1,
+      s"trgmProbePersistedFor serves exactly one pattern per probe " +
+        s"(got ${pats.length})")
+    val pat = pats(0)
+    require(pat.length >= 3, s"pattern '$pat' is shorter than a trigram")
+    val patTrgs = pat.sliding(3).toSeq.distinct
+    val cands = graft.operators.IndexOps.trigrams(s, d)
+      .filter($"g".isin(patTrgs: _*))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("ng"))
+      .filter($"ng" === patTrgs.size.toLong)
+      .select($"doc_id")
+    T.documents(s, d)
+      .join(broadcast(cands), Seq("doc_id"))
+      .filter($"text".contains(pat))
+      .select($"doc_id",
+        ((length($"text") - length(replace($"text", lit(pat)))) /
+          lit(pat.length)).cast("long").as("n_occurrences"))
+      .orderBy($"doc_id")
+  }
 
   /** Incremental segment merge — the Lucene lifecycle step the
     * persisted index needs to absorb new documents WITHOUT rebuilding:

@@ -829,6 +829,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("r12b: trgmProbePersistedFor is query-AS-DATA — a pattern the " +
+      "registry never saw yields the same Generate-free plan with ITS " +
+      "trigrams in the pushed In filter and one corpus scan (the " +
+      "verify fetch)") {
+    import spark.implicits._
+    val p = queries.Retrieval.trgmProbePersistedFor(spark, sf,
+        Seq("ord p").toDF("pattern"))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Generate"),
+      "the corpus-wide trigram generator must be build-time only:\n" + p)
+    // 'ord p' cuts trigrams [ord, rd , d p]; order inside In may vary
+    assert(p.contains("PushedFilters: [In(g, [") &&
+      p.contains("ord") && p.contains("d p"),
+      "the pattern's OWN trigrams must reach the segment scan:\n" + p)
+    assert(p.linesIterator.count(l =>
+      l.contains("parquet") && l.contains("documents")) <= 2,
+      "expected exactly one corpus scan (the verify fetch):\n" + p)
+  }
+
   test("r12: the warm ANN probes are corpus-free — no quantizer " +
       "training and no embeddings scan beyond the query sliver; the " +
       "cell-partitioned segment is pruned by a STATIC partition " +
