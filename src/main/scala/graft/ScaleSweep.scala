@@ -168,7 +168,11 @@ object ScaleSweep {
     // join). sim_ivfpq_probe_merged is deliberately NOT swept: its
     // build leg is byte-identical to sim_ivf_probe_merged's (already
     // swept) and the ADC delta is probe-side constant.
-    "mm_video_shift_recall")
+    "mm_video_shift_recall",
+    // round-12 seventh wave: the ANN delete leg (embeddings — warm
+    // probe minus a cell-co-keyed tombstone anti-join, both sides
+    // pruned to the probed cells)
+    "ann_probe_tombstoned")
   // fk_violations is EXCLUDED: it joins customer/part, which MkScale
   // does not scale - a sweep would measure a mixed-scale plan.
   // pareto_frontier is excluded for the same reason (part-backed);

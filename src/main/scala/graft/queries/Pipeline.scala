@@ -1605,6 +1605,64 @@ object Pipeline {
     },
     Some(bruteTop5Vec10Oracle))
 
+  /** The ANN lifecycle's DELETE leg — the FAISS remove_ids shape, the
+    * one segment operation build/probe/merge/stream left open: a
+    * production vector index never rewrites segments on deletion, it
+    * keeps a deletion side-table (id bitmap) co-keyed with the
+    * inverted lists and anti-joins it at probe time until the next
+    * compaction. Here the tombstone set (vec_id ≡ 3 mod 17, ~6% of
+    * the corpus) derives from the WARM cells segment carrying its
+    * cell key — the co-keyed-bitmap analog — so at probe time BOTH
+    * sides prune to the probed cells first and the LEFT ANTI join
+    * touches only the pruned slivers (never a corpus-wide exchange;
+    * a deployment would store the bitmap per segment and merge it at
+    * compaction, exactly as bm25's postings merge absorbs deltas).
+    * The probe runs at FULL probe over the warm index minus
+    * tombstones and must reproduce the brute-force scan over the
+    * REMAINING vectors row-for-row ([[bruteTop5Vec10Oracle]]'s
+    * algebra with the corpus CTE filtered; query vectors stay raw —
+    * a query needn't live in the index). A tombstone leaking through
+    * the anti join, or the anti join dropping a live vector, breaks
+    * the hash exactly. */
+  val ann_probe_tombstoned = GQuery(
+    "ann_probe_tombstoned",
+    (s, d) => {
+      import s.implicits._
+      val A = graft.operators.AnnIndex
+      val tomb = A.cells(s, d).filter($"vec_id" % 17L === 3L)
+        .select($"cell", $"vec_id")
+      A.ivfProbe(T.embeddings(s, d).filter($"vec_id" < 10),
+          "vec_id", "embedding", k = 5, nprobe = A.NList,
+          cents = A.centroidMetaOf(s, d),
+          loadCells = cellSet =>
+            A.cells(s, d).where($"cell".isin(cellSet: _*))
+              .join(tomb.where($"cell".isin(cellSet: _*)),
+                Seq("cell", "vec_id"), "left_anti"))
+        .orderBy($"query_id", $"rank")
+    },
+    Some("""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                 FROM embeddings WHERE vec_id < 10),
+      c AS (SELECT vec_id AS neighbor_id, embedding AS cv
+            FROM embeddings WHERE vec_id % 17 <> 3),
+      dots AS (
+        SELECT query_id, neighbor_id,
+               SUM(CAST(qv[i.i+1] AS DOUBLE) * CAST(cv[i.i+1] AS DOUBLE)) AS dot,
+               SUM(CAST(qv[i.i+1] AS DOUBLE) * CAST(qv[i.i+1] AS DOUBLE)) AS nq,
+               SUM(CAST(cv[i.i+1] AS DOUBLE) * CAST(cv[i.i+1] AS DOUBLE)) AS nc
+        FROM q JOIN c ON query_id <> neighbor_id,
+             (SELECT CAST(range AS INT) AS i FROM range(64)) i
+        GROUP BY query_id, neighbor_id),
+      ranked AS (
+        SELECT query_id, neighbor_id,
+               ROUND(dot / (SQRT(nq) * SQRT(nc)), 6) AS cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY ROUND(dot / (SQRT(nq) * SQRT(nc)), 6) DESC,
+                          neighbor_id) AS rank
+        FROM dots)
+      SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos
+      FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   /** IVF-PQ probe over the MERGED segments at full probe + full
     * rerank — the compressed path composed over the same base ∪ delta
     * union [[sim_ivf_probe_merged]] gates: the delta's PQ codes were
@@ -3627,6 +3685,7 @@ object Pipeline {
     ann_index_build, sim_ivf_probe_persisted, sim_ivfpq_probe_persisted,
     sim_ivf_probe_recall, sim_ivfpq_probe_recall,
     ann_ivm_merge, sim_ivf_probe_merged, sim_ivfpq_probe_merged,
+    ann_probe_tombstoned,
     text_tokens, text_quality, text_langid,
     text_fingerprint, text_pii_scrub, text_clean, text_repetition, decontaminate,
     decontaminate_bloom,

@@ -276,7 +276,14 @@ object StreamOps {
     * combine-spread subtlety remains). Per-batch running totals are
     * append-mode change-log rows; compaction is `max(n)` per cell
     * (monotone count carries its Σ‖v‖ beside it via the max-by
-    * struct trick). */
+    * struct trick).
+    *
+    * Determinism note: `n` is exact under any partitioning and is
+    * what the gate hashes; `norm_sum` is a double accumulation whose
+    * low bits depend on arrival order — it is ADVISORY (the skew
+    * signal a rebalancer thresholds, never compares exactly), so the
+    * oracle gate never sees it and Round12Spec checks it against the
+    * batch recompute to 1e-6 relative. */
   def annCellStream(vecs: DataFrame,
       cents: Seq[(Int, Array[Float], Double)]): DataFrame = {
     import vecs.sparkSession.implicits._

@@ -154,6 +154,39 @@ class Round12Spec extends SparkSpec {
     assert(a.nonEmpty, "no ANN rows — the pin is vacuous")
   }
 
+  test("the tombstoned probe never surfaces a deleted id at the " +
+      "production knob, and full-probe results equal brute force " +
+      "over the remaining vectors") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val A = graft.operators.AnnIndex
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .where($"embedding".isNotNull)
+    val q = vecs.filter($"vec_id" < 50)
+    val tomb = A.cells(spark, sf).filter($"vec_id" % 17L === 3L)
+      .select($"cell", $"vec_id")
+    def probe(np: Int) = A.ivfProbe(q, "vec_id", "embedding", 5,
+      nprobe = np, cents = A.centroidMetaOf(spark, sf),
+      loadCells = cs => A.cells(spark, sf).where($"cell".isin(cs: _*))
+        .join(tomb.where($"cell".isin(cs: _*)),
+          Seq("cell", "vec_id"), "left_anti"))
+    // production knob: no tombstoned id may surface, 50 queries
+    val leaked = probe(4)
+      .filter($"neighbor_id" % 17L === 3L).count()
+    assert(leaked == 0L, s"$leaked tombstoned neighbors leaked")
+    // full probe ≡ brute force over the REMAINING corpus
+    val got = probe(A.NList).orderBy($"query_id", $"rank")
+      .collect().map(_.toSeq).toSeq
+    val want = graft.operators.Similarity.bruteForceTopK(
+        vecs.filter($"vec_id" % 17L =!= 3L), q,
+        "vec_id", "embedding", 5)
+      .orderBy($"query_id", $"rank")
+      .collect().map(_.toSeq).toSeq
+    assert(got == want, "tombstoned full probe diverged from brute " +
+      "force over the remaining vectors")
+    assert(got.nonEmpty, "no rows — the pin is vacuous")
+  }
+
   test("mm_dedup_video_canonical reconciles against an exhaustive " +
       "O(n^2) driver recount of keyframe-Hamming<=3 pairs, and the " +
       "planted twins land in fat classes") {
