@@ -172,7 +172,11 @@ object ScaleSweep {
     // round-12 seventh wave: the ANN delete leg (embeddings — warm
     // probe minus a cell-co-keyed tombstone anti-join, both sides
     // pruned to the probed cells)
-    "ann_probe_tombstoned")
+    "ann_probe_tombstoned",
+    // round-12 eighth wave: the text delete leg (documents — warm
+    // postings masked by a tombstone anti-join, stats header
+    // corrected by the parked (count, sum_dl) of the delete batch)
+    "bm25_probe_tombstoned")
   // fk_violations is EXCLUDED: it joins customer/part, which MkScale
   // does not scale - a sweep would measure a mixed-scale plan.
   // pareto_frontier is excluded for the same reason (part-backed);

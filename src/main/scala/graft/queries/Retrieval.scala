@@ -962,9 +962,62 @@ object Retrieval {
     },
     Some(bm25JoinOracle))
 
+  /** The TEXT index's DELETE leg — the mirror of ann_probe_tombstoned,
+    * completing the build/probe/merge/delete/stream matrix on BOTH
+    * lifecycles: a search engine never rewrites posting lists on
+    * document deletion, it keeps a live-docs side table per segment
+    * and masks at probe time until the next compaction. The delete
+    * operation here parks the tombstones WITH their document lengths
+    * — the two stats corrections a deletion owes — and the probe then
+    * (a) anti-joins the term-pruned sliver against the tombstone ids
+    * (df comes from a window over the masked sliver, so idf reflects
+    * the REMAINING corpus for free), and (b) subtracts the deleted
+    * (count, Σdl) from the 1-row stats header so avgdl shifts exactly
+    * as a rebuild would. BM25 is nonlinear in (df, n_docs, avgdl), so
+    * agreeing with the full-rebuild oracle over the filtered corpus
+    * (bm25_join_topk's SQL with the tombstones excluded) proves both
+    * corrections, not just the masking. At scale both anti-join sides
+    * are slivers: postings pruned by the pushed In(term), tombstones
+    * a per-segment bitmap analog (here derived at delete time from
+    * the arriving delete batch — one bounded scan). */
+  val bm25_probe_tombstoned = GQuery(
+    "bm25_probe_tombstoned",
+    (s, d) => graft.GQuery.withTempTable(s, "graft-bm25-tomb") { t =>
+      import s.implicits._
+      // the DELETE operation: tombstones arrive as data; park them
+      // with dl, the per-doc stats mass the header correction needs
+      T.documents(s, d).filter($"doc_id" % 17L === 3L)
+        .select($"doc_id", size(toks($"text")).cast("long").as("dl"))
+        .write.parquet(s"$t/tombstones")
+      val tomb = s.read.parquet(s"$t/tombstones")
+      val sliver = graft.operators.IndexOps.postings(s, d)
+        .filter($"term".isin(QueryTerms: _*))
+        .join(tomb.select($"doc_id"), Seq("doc_id"), "left_anti")
+      val withDf = sliver.withColumn("df",
+        count(lit(1)).over(Window.partitionBy($"term")))
+      val corr = tomb.agg(count(lit(1)).as("del_docs"),
+        sum($"dl").as("del_dl"))
+      val st = graft.operators.IndexOps.stats(s, d)
+        .crossJoin(broadcast(corr))
+        .select(($"n_docs" - $"del_docs").as("n_docs"),
+          ($"sum_dl" - $"del_dl").as("sum_dl"))
+      val avgdl = $"sum_dl".cast("double") / $"n_docs".cast("double")
+      withDf.crossJoin(broadcast(st))
+        .withColumn("wd",
+          bm25w($"tf", $"df", $"dl", $"n_docs", avgdl)
+            .cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_terms"),
+          round(sum($"wd").cast("double"), 6).as("score"))
+        .orderBy($"score".desc, $"doc_id")
+        .limit(10)
+    },
+    Some(bm25JoinOracle.replace("FROM documents",
+      "FROM documents WHERE doc_id % 17 <> 3")))
+
   val all: Seq[GQuery] =
     Seq(index_postings, bm25_topk, bm25_join_topk, phrase_query,
       conjunctive_query, rrf_fusion, substr_search_trgm, postings_delta,
       index_persist_build, bm25_probe_persisted, trgm_probe_persisted,
-      index_ivm_merge, bm25_probe_merged)
+      index_ivm_merge, bm25_probe_merged, bm25_probe_tombstoned)
 }

@@ -154,6 +154,27 @@ class Round12Spec extends SparkSpec {
     assert(a.nonEmpty, "no ANN rows — the pin is vacuous")
   }
 
+  test("the text delete leg: bm25_probe_tombstoned surfaces no " +
+      "tombstoned doc, visibly reshapes the top-10, and shifts the " +
+      "scores of surviving docs (the stats-header correction, not " +
+      "just masking)") {
+    import spark.implicits._
+    val tomb = Registry.queryMap("bm25_probe_tombstoned")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    val full = Registry.queryMap("bm25_join_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(tomb.nonEmpty && full.nonEmpty)
+    assert(tomb.keys.forall(_ % 17L != 3L),
+      s"a tombstoned doc surfaced: ${tomb.keys.filter(_ % 17L == 3L)}")
+    assert(full.keys.exists(_ % 17L == 3L),
+      "no tombstoned doc in the UNFILTERED top-10 — the fixture " +
+        "cannot show deletion reshaping the ranking; pick another mod")
+    val shared = tomb.keySet intersect full.keySet
+    assert(shared.nonEmpty && shared.exists(k => tomb(k) != full(k)),
+      "surviving docs kept identical scores — the n_docs/avgdl " +
+        "correction never engaged")
+  }
+
   test("the tombstoned probe never surfaces a deleted id at the " +
       "production knob, and full-probe results equal brute force " +
       "over the remaining vectors") {
