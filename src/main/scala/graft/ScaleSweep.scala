@@ -176,7 +176,11 @@ object ScaleSweep {
     // round-12 eighth wave: the text delete leg (documents — warm
     // postings masked by a tombstone anti-join, stats header
     // corrected by the parked (count, sum_dl) of the delete batch)
-    "bm25_probe_tombstoned")
+    "bm25_probe_tombstoned",
+    // round-12 ninth wave: compaction — merge-with-deletes on both
+    // lifecycles (documents / embeddings), the whole cycle priced per
+    // round (init + refresh + delete + compact + probe)
+    "index_compact", "ann_compact")
   // fk_violations is EXCLUDED: it joins customer/part, which MkScale
   // does not scale - a sweep would measure a mixed-scale plan.
   // pareto_frontier is excluded for the same reason (part-backed);

@@ -1663,6 +1663,67 @@ object Pipeline {
       SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos
       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  /** ANN segment COMPACTION — merge-with-deletes on the vector side
+    * (FAISS rebuilding its inverted lists after remove_ids
+    * accumulates): (base ∪ delta) cells MINUS tombstones rewritten
+    * into one fresh cell-partitioned segment, quantizer unchanged
+    * (compaction moves codes, it never retrains), and the probe reads
+    * only the compacted segment — no anti-join remains. The timed
+    * body prices the whole cycle (train + encode both segments +
+    * delete + compact + probe); the probe must reproduce the
+    * brute-force scan over the REMAINING vectors
+    * ([[ann_probe_tombstoned]]'s filtered oracle VERBATIM — the
+    * masked probe and the compacted probe are two structurally
+    * different plans, one rebuilt answer). */
+  val ann_compact = GQuery(
+    "ann_compact",
+    (s, d) => graft.GQuery.withTempTable(s, "graft-ann-compact") { dir =>
+      import s.implicits._
+      val A = graft.operators.AnnIndex
+      val vecs = T.embeddings(s, d).where($"embedding".isNotNull)
+      val base = vecs.filter($"vec_id" % 10L =!= 7L)
+      val delta = vecs.filter($"vec_id" % 10L === 7L)
+      val q = A.trainQuantizer(base, "embedding")
+      A.encode(q, base, "vec_id", "embedding")
+        .write.partitionBy("cell").parquet(s"$dir/base_cells")
+      A.encode(q, delta, "vec_id", "embedding")
+        .write.partitionBy("cell").parquet(s"$dir/delta_cells")
+      // compact: union minus tombstones, one fresh segment
+      s.read.parquet(s"$dir/base_cells")
+        .unionByName(s.read.parquet(s"$dir/delta_cells"))
+        .filter($"vec_id" % 17L =!= 3L)
+        .write.partitionBy("cell").parquet(s"$dir/compacted_cells")
+      A.ivfProbe(T.embeddings(s, d).filter($"vec_id" < 10),
+          "vec_id", "embedding", k = 5, nprobe = A.NList,
+          cents = q.centroidMeta,
+          loadCells = cellSet =>
+            s.read.parquet(s"$dir/compacted_cells")
+              .where($"cell".isin(cellSet: _*)))
+        .orderBy($"query_id", $"rank")
+    },
+    Some("""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                 FROM embeddings WHERE vec_id < 10),
+      c AS (SELECT vec_id AS neighbor_id, embedding AS cv
+            FROM embeddings WHERE vec_id % 17 <> 3),
+      dots AS (
+        SELECT query_id, neighbor_id,
+               SUM(CAST(qv[i.i+1] AS DOUBLE) * CAST(cv[i.i+1] AS DOUBLE)) AS dot,
+               SUM(CAST(qv[i.i+1] AS DOUBLE) * CAST(qv[i.i+1] AS DOUBLE)) AS nq,
+               SUM(CAST(cv[i.i+1] AS DOUBLE) * CAST(cv[i.i+1] AS DOUBLE)) AS nc
+        FROM q JOIN c ON query_id <> neighbor_id,
+             (SELECT CAST(range AS INT) AS i FROM range(64)) i
+        GROUP BY query_id, neighbor_id),
+      ranked AS (
+        SELECT query_id, neighbor_id,
+               ROUND(dot / (SQRT(nq) * SQRT(nc)), 6) AS cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY ROUND(dot / (SQRT(nq) * SQRT(nc)), 6) DESC,
+                          neighbor_id) AS rank
+        FROM dots)
+      SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos
+      FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   /** IVF-PQ probe over the MERGED segments at full probe + full
     * rerank — the compressed path composed over the same base ∪ delta
     * union [[sim_ivf_probe_merged]] gates: the delta's PQ codes were
@@ -3685,7 +3746,7 @@ object Pipeline {
     ann_index_build, sim_ivf_probe_persisted, sim_ivfpq_probe_persisted,
     sim_ivf_probe_recall, sim_ivfpq_probe_recall,
     ann_ivm_merge, sim_ivf_probe_merged, sim_ivfpq_probe_merged,
-    ann_probe_tombstoned,
+    ann_probe_tombstoned, ann_compact,
     text_tokens, text_quality, text_langid,
     text_fingerprint, text_pii_scrub, text_clean, text_repetition, decontaminate,
     decontaminate_bloom,

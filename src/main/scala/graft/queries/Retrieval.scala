@@ -1015,9 +1015,87 @@ object Retrieval {
     Some(bm25JoinOracle.replace("FROM documents",
       "FROM documents WHERE doc_id % 17 <> 3")))
 
+  /** Segment COMPACTION — merge-with-deletes, the Lucene
+    * forceMerge(expungeDeletes) step that closes the lifecycle loop:
+    * after enough deltas and deletions accumulate, the engine
+    * rewrites (base ∪ delta) MINUS tombstones into one fresh segment
+    * with a corrected stats header, and every later probe reads only
+    * the compacted segment — no anti-join, no header arithmetic, the
+    * masking cost paid once instead of per-probe. The timed body
+    * prices the whole cycle (init + refresh + delete + compact +
+    * probe), and the probe shares [[bm25_probe_tombstoned]]'s
+    * filtered-corpus oracle VERBATIM: the masked multi-segment probe
+    * and the compacted single-segment probe are two structurally
+    * different plans that must land on the same rebuilt answer. */
+  val index_compact = GQuery(
+    "index_compact",
+    (s, d) => graft.GQuery.withTempTable(s, "graft-compact") { t =>
+      import s.implicits._
+      def postingsOf(dd: org.apache.spark.sql.DataFrame) =
+        dd.select($"doc_id", size(toks($"text")).cast("long").as("dl"),
+            explode(toks($"text")).as("term"))
+          .groupBy($"term", $"doc_id", $"dl")
+          .agg(count(lit(1)).as("tf"))
+          .select("term", "doc_id", "tf", "dl")
+      def statsOf(dd: org.apache.spark.sql.DataFrame) =
+        dd.agg(count(lit(1)).as("n_docs"),
+          sum(size(toks($"text")).cast("long")).as("sum_dl"))
+      val docs = T.documents(s, d)
+      // init + refresh: the two segments (the bm25_probe_merged shape)
+      postingsOf(docs.filter($"doc_id" % 10L =!= 0L))
+        .write.parquet(s"$t/base_postings")
+      postingsOf(docs.filter($"doc_id" % 10L === 0L))
+        .write.parquet(s"$t/delta_postings")
+      statsOf(docs.filter($"doc_id" % 10L =!= 0L))
+        .write.parquet(s"$t/base_stats")
+      statsOf(docs.filter($"doc_id" % 10L === 0L))
+        .write.parquet(s"$t/delta_stats")
+      // delete: tombstones parked with dl (the stats mass they carry)
+      docs.filter($"doc_id" % 17L === 3L)
+        .select($"doc_id", size(toks($"text")).cast("long").as("dl"))
+        .write.parquet(s"$t/tombstones")
+      val tomb = s.read.parquet(s"$t/tombstones")
+      // compact: union minus tombstones, rewritten range-partitioned
+      // (the IndexOps layout), header corrected once
+      s.read.parquet(s"$t/base_postings")
+        .unionByName(s.read.parquet(s"$t/delta_postings"))
+        .join(tomb.select($"doc_id"), Seq("doc_id"), "left_anti")
+        .repartitionByRange($"term", $"doc_id")
+        .sortWithinPartitions("term", "doc_id")
+        .write.parquet(s"$t/compacted_postings")
+      val corr = tomb.agg(count(lit(1)).as("del_docs"),
+        sum($"dl").as("del_dl"))
+      s.read.parquet(s"$t/base_stats")
+        .unionByName(s.read.parquet(s"$t/delta_stats"))
+        .agg(sum($"n_docs").as("n_docs"), sum($"sum_dl").as("sum_dl"))
+        .crossJoin(corr)
+        .select(($"n_docs" - $"del_docs").as("n_docs"),
+          ($"sum_dl" - $"del_dl").as("sum_dl"))
+        .write.parquet(s"$t/compacted_stats")
+      // probe: ONLY the compacted segment — no anti-join remains
+      val sliver = s.read.parquet(s"$t/compacted_postings")
+        .filter($"term".isin(QueryTerms: _*))
+      val withDf = sliver.withColumn("df",
+        count(lit(1)).over(Window.partitionBy($"term")))
+      val st = s.read.parquet(s"$t/compacted_stats")
+      val avgdl = $"sum_dl".cast("double") / $"n_docs".cast("double")
+      withDf.crossJoin(broadcast(st))
+        .withColumn("wd",
+          bm25w($"tf", $"df", $"dl", $"n_docs", avgdl)
+            .cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_terms"),
+          round(sum($"wd").cast("double"), 6).as("score"))
+        .orderBy($"score".desc, $"doc_id")
+        .limit(10)
+    },
+    Some(bm25JoinOracle.replace("FROM documents",
+      "FROM documents WHERE doc_id % 17 <> 3")))
+
   val all: Seq[GQuery] =
     Seq(index_postings, bm25_topk, bm25_join_topk, phrase_query,
       conjunctive_query, rrf_fusion, substr_search_trgm, postings_delta,
       index_persist_build, bm25_probe_persisted, trgm_probe_persisted,
-      index_ivm_merge, bm25_probe_merged, bm25_probe_tombstoned)
+      index_ivm_merge, bm25_probe_merged, bm25_probe_tombstoned,
+      index_compact)
 }
