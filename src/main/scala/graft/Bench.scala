@@ -50,11 +50,20 @@ object Bench {
       catch { case _: Throwable => () }
     }
     // a failed query reports -1, not a deceptively small elapsed time;
-    // total sums successful queries only
+    // total sums successful queries only. The exception CLASS of each
+    // -1.0 entry is recorded beside the map (VERDICT-r12 item 7): a
+    // box-level failure mid-series (one OOM/interrupt class across
+    // many entries) is then distinguishable from independent per-query
+    // regressions when reading the artifact alone.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { Registry.force(fn(spark, sfDir)); true }
-        catch { case _: Throwable => false }
+        catch { case e: Throwable =>
+          errors(name) = s"${e.getClass.getName}: ${
+            Option(e.getMessage).getOrElse("").take(160)}"
+          false
+        }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     // Streaming throughput: a fixed synthetic season (80 matches × 800
@@ -67,8 +76,19 @@ object Bench {
     val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = all.values.filter(_ >= 0).sum
+    // errors keyed beside (not inside) the numeric queries map, so
+    // tools/minof_* and every prior-round parser keep reading numbers
+    def jesc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val errs = errors.map { case (k, v) =>
+      "\"" + jesc(k) + "\":\"" + jesc(v) + "\""
+    }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"cpus_source":"$cpusSource"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","cpus":$cpus,"cpus_source":"$cpusSource"}"""
     // Persist the FULL per-query map to a stable path: BENCH_r06–r08
     // recorded "parsed": null because the driver's captured log tail
     // truncated the ~6 KB JSON line — the file survives any stdout

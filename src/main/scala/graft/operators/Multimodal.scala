@@ -825,6 +825,14 @@ object Multimodal {
       }
       if (bad || w <= 0 || h <= 0 || fn <= 0 || fd <= 0 || cs != "mono")
         return None
+      // ADVICE-r12: W·H is computed in Int below — an adversarial
+      // header (W46341 H46341, W65536 H65536) overflows the plane size
+      // to a negative or tiny value, turning "None on any malformation"
+      // into an Arrays.copyOfRange throw or silently-empty frames.
+      // Guard the geometry in Long first so oversized headers fail soft
+      // like every other malformation (any plane over Int.MaxValue
+      // cannot be addressed in a JVM byte array anyway).
+      if (w.toLong * h.toLong > Int.MaxValue.toLong) return None
       val plane = w * h
       val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
       var pos = nl + 1

@@ -604,13 +604,32 @@ object Streaming {
       val perCell = updates.groupBy($"cell").agg(max($"n").as("n"))
       val ev = updates.agg(count(lit(1)).as("n_up"),
           countDistinct($"cell").as("n_c"))
-        .select(($"n_up" > $"n_c").as("multi_batch"), $"n_c")
+        .select(($"n_up" > $"n_c").as("multi_batch"))
+      // ADVICE-r12: the old `n_cells === n_c` compared two counts
+      // derived from the same updates rows — always true, zero gate
+      // strength. The meaningful form compares the STREAMED cell set
+      // against the persisted cells segment's distinct cells (the
+      // Round12Spec in-engine pin, promoted into the oracle row): the
+      // stream assigns the same corpus against the same frozen
+      // centroids the batch build used, so the two sets must be EQUAL
+      // — a drifting assignCell, a stale centroid load, or a dropped
+      // micro-batch's worth of cells breaks one of the anti-joins.
+      val segCells = graft.operators.AnnIndex.cells(s, d)
+        .select($"cell").distinct()
+      val extra = perCell.select($"cell")
+        .join(segCells, Seq("cell"), "left_anti")
+        .agg(count(lit(1)).as("n_extra"))
+      val missing = segCells
+        .join(perCell.select($"cell"), Seq("cell"), "left_anti")
+        .agg(count(lit(1)).as("n_missing"))
       perCell.agg(sum($"n").as("n_vectors"),
           count(lit(1)).as("n_cells"))
         .crossJoin(broadcast(ev))
+        .crossJoin(broadcast(extra))
+        .crossJoin(broadcast(missing))
         .select($"n_vectors",
           ($"n_cells" <= lit(graft.operators.AnnIndex.NList.toLong) &&
-            $"n_cells" === $"n_c").as("bounded_ok"),
+            $"n_extra" === 0L && $"n_missing" === 0L).as("bounded_ok"),
           $"multi_batch")
     },
     Some("""

@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Per-query min over docs/bench_r12_run*.json -> docs/bench_r11_minN.json,
+"""Per-query min over docs/bench_r12_run*.json -> docs/bench_r12_minN.json,
 plus a protocol-matched like-for-like comparison against the r11 record
 (docs/bench_r11_min6.json) on shared entries."""
 import glob, json, sys
