@@ -180,7 +180,20 @@ object ScaleSweep {
     // round-12 ninth wave: compaction — merge-with-deletes on both
     // lifecycles (documents / embeddings), the whole cycle priced per
     // round (init + refresh + delete + compact + probe)
-    "index_compact", "ann_compact")
+    "index_compact", "ann_compact",
+    // round-13 wave: the refresh/compaction legs priced ALONE against
+    // the memoized split segments (VERDICT-r12 item 6 — the
+    // steady-state cost the whole-cycle gates could only argue); the
+    // compressed-path delete (embeddings); the trigram segment's
+    // merge/delete legs (documents)
+    "bm25_probe_refresh", "index_compact_warm",
+    "ann_probe_refresh", "ann_compact_warm",
+    "ann_pq_probe_tombstoned",
+    "trgm_probe_merged", "trgm_probe_tombstoned",
+    // round-13 second wave: the continuous-indexing gates — streamed
+    // ingest into servable delta segments on both lifecycles, plus the
+    // occupancy-threshold retrain verdict (the stats' first consumer)
+    "stream_index_ingest", "stream_ann_ingest", "stream_ann_retrain")
   // fk_violations is EXCLUDED: it joins customer/part, which MkScale
   // does not scale - a sweep would measure a mixed-scale plan.
   // pareto_frontier is excluded for the same reason (part-backed);

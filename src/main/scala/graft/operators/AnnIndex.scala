@@ -137,6 +137,8 @@ object AnnIndex {
 
   private val cache =
     scala.collection.concurrent.TrieMap.empty[String, String]
+  private val splitCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** Pricing hook (ScaleSweep): forget AND delete the memoized
     * segments so the next probe re-derives — the
@@ -144,8 +146,10 @@ object AnnIndex {
     * ADVICE-r11 delete-on-reset (a rounds=N sweep must not accumulate
     * N+1 full index copies). */
   def resetIndexCache(): Unit = {
-    cache.values.foreach(d => deleteTree(java.nio.file.Paths.get(d)))
+    (cache.values ++ splitCache.values)
+      .foreach(d => deleteTree(java.nio.file.Paths.get(d)))
     cache.clear()
+    splitCache.clear()
   }
 
   private def deleteTree(p: java.nio.file.Path): Unit = {
@@ -182,6 +186,52 @@ object AnnIndex {
         .write.partitionBy("cell").parquet(s"$out/cells")
       out
     })
+
+  /** Memoized SPLIT segments for the refresh-leg pricing entries
+    * (VERDICT-r12 item 6): the corpus vec-disjoint-partitioned into a
+    * base segment (90%, vec_id % 10 ≠ 7 — the ann_ivm_merge split)
+    * whose quantizer is trained on BASE ONLY, plus the delta's encoded
+    * cells — all derived once per (JVM, sf dir). A deployment has
+    * these on disk already when a refresh epoch arrives, so gates
+    * pricing the STEADY-STATE legs (encode(delta)+merged probe;
+    * compact+probe) read them warm, while the whole-cycle gates
+    * (ann_ivm_merge, ann_compact) keep re-deriving per run
+    * deliberately. Layout mirrors [[segmentDir]]: centroids/codebooks
+    * metadata + cell-partitioned base_cells and delta_cells. */
+  def splitSegmentDir(s: SparkSession, d: String): String =
+    splitCache.getOrElseUpdate(d, {
+      import s.implicits._
+      val out = annRoot
+        .resolve(java.util.UUID.randomUUID().toString).toString
+      val vecs = graft.Tables.embeddings(s, d)
+        .where(col("embedding").isNotNull)
+      val base = vecs.filter(col("vec_id") % 10L =!= 7L)
+      val delta = vecs.filter(col("vec_id") % 10L === 7L)
+      val q = trainQuantizer(base, "embedding")
+      q.coarse.zipWithIndex
+        .map { case (cv, i) => (i, cv.toSeq, n2Of(cv)) }.toSeq
+        .toDF("cell", "cv", "n2")
+        .coalesce(1).write.parquet(s"$out/centroids")
+      q.books.zipWithIndex.flatMap { case (bk, j) =>
+        bk.zipWithIndex.map { case (cv, c) => (j, c, cv.toSeq, n2Of(cv)) }
+      }.toSeq.toDF("j", "c", "cv", "n2")
+        .coalesce(1).write.parquet(s"$out/codebooks")
+      encode(q, base, "vec_id", "embedding")
+        .write.partitionBy("cell").parquet(s"$out/base_cells")
+      encode(q, delta, "vec_id", "embedding")
+        .write.partitionBy("cell").parquet(s"$out/delta_cells")
+      out
+    })
+
+  /** Rehydrate a [[Quantizer]] from a persisted segment dir's
+    * centroid/codebook metadata — the ANN-server open() step for the
+    * refresh legs, which must encode new batches against the FROZEN
+    * quantizer without retraining. Bounded driver reads (nlist +
+    * m·ksub rows). */
+  def loadQuantizer(s: SparkSession, dir: String): Quantizer =
+    Quantizer(
+      loadCentroids(s, dir).sortBy(_._1).map(_._2).toArray,
+      loadCodebooks(s, dir).map(_.map(_._1)))
 
   /** The centroid literal + cell-score expression shared by build and
     * probes — the [[Similarity.ivfTopK]] argmax(2·v·c − |c|²) algebra. */
@@ -231,6 +281,13 @@ object AnnIndex {
   def centroidMetaOf(s: SparkSession, d: String)
       : Seq[(Int, Array[Float], Double)] =
     loadCentroids(s, segmentDir(s, d))
+
+  /** The warm index's PQ codebook metadata for an sf dir — the
+    * compressed-path mirror of [[centroidMetaOf]] (m·ksub rows), what
+    * a masked/compacted ADC probe loads at open(). */
+  def codebookMetaOf(s: SparkSession, d: String)
+      : Array[Array[(Array[Float], Double)]] =
+    loadCodebooks(s, segmentDir(s, d))
 
   /** The cell-partitioned corpus segment (for gates that audit it). */
   def cells(s: SparkSession, d: String): DataFrame =
@@ -287,7 +344,18 @@ object AnnIndex {
     * steady-state probe, or a base ∪ delta union for the merged probe
     * (the `isin` pushes through a union to BOTH parquet children, so
     * segment pruning survives the merge). Centroid metadata arrives
-    * as driver values (the ANN-server open() step). */
+    * as driver values (the ANN-server open() step).
+    *
+    * Top-k selection cost (VERDICT-r12): the `row_number` filter
+    * plans as TWO-PHASE WindowGroupLimit (pinned in PlanAuditSpec) —
+    * each task keeps only its local top-k per query before the
+    * exchange, so the shuffle carries ≤ k·queries rows regardless of
+    * corpus size. The partial phase still sorts each task's slice of
+    * the PRUNED candidate sliver (nprobe/nlist of the corpus, never
+    * the corpus) — the accepted cost, in exchange for emitting exact
+    * (rank, cos) in one operator; the bounded-heap TopKAgg alternative
+    * would save that local sort but re-derive rank/cos from an array
+    * column. */
   def ivfProbe(queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nprobe: Int, cents: Seq[(Int, Array[Float], Double)],
       loadCells: Seq[Int] => DataFrame): DataFrame = {
@@ -342,12 +410,18 @@ object AnnIndex {
     val qBase = queries.where(col(vecCol).isNotNull)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         graft.functions.VectorExprs.fnorm(col(vecCol)).as("qn"))
+    // localCheckpoint (VERDICT-r12): the probed-cell collect below and
+    // the joined query side both consume q — without the lineage cut
+    // the M×ksub LUT projection is evaluated twice (bounded, but the
+    // dedup_containment_incremental discipline makes the
+    // double-execution impossible rather than merely cheap)
     val q = qBase.select(col("query_id"), col("qv"), col("qn"),
       array((0 until M).map(j => transform(bookLits(j),
         cv => graft.functions.VectorExprs.fdot(
           slice(col("qv"), j * dsub + 1, dsub), cv))): _*).as("lut"),
       explode(slice(reverse(array_sort(cellScores(col("qv"), centArr))),
         1, nprobe).getField("cell")).as("cell"))
+      .localCheckpoint()
     val cellSet = q.select(col("cell")).distinct().collect()
       .map(_.getInt(0)).toSeq
     val pruned = loadCells(cellSet)

@@ -64,6 +64,8 @@ object IndexOps {
     scala.collection.concurrent.TrieMap.empty[String, String]
   private val trgmCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
+  private val splitCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** Pricing hook (ScaleSweep): forget the memoized segment paths so
     * the next probe re-derives — a sweep that wants to price the
@@ -77,10 +79,9 @@ object IndexOps {
     * dir under the temp root until JVM exit — real disk pressure at
     * large SFs. */
   def resetIndexCache(): Unit = {
-    (postingsCache.values ++ trgmCache.values).foreach { dir =>
-      deleteTree(java.nio.file.Paths.get(dir))
-    }
-    postingsCache.clear(); trgmCache.clear()
+    (postingsCache.values ++ trgmCache.values ++ splitCache.values)
+      .foreach { dir => deleteTree(java.nio.file.Paths.get(dir)) }
+    postingsCache.clear(); trgmCache.clear(); splitCache.clear()
   }
 
   private def deleteTree(p: java.nio.file.Path): Unit = {
@@ -133,6 +134,44 @@ object IndexOps {
       docs.agg(count(lit(1)).as("n_docs"),
           sum(size(toks(col("text"))).cast("long")).as("sum_dl"))
         .write.parquet(s"$out/stats")
+      out
+    })
+
+  /** Memoized SPLIT segments for the refresh-leg pricing entries
+    * (VERDICT-r12 item 6): the corpus doc-disjoint-partitioned into a
+    * base postings+stats segment (90%, doc_id % 10 ≠ 0 — the
+    * bm25_probe_merged split) and the delta's segment, derived once
+    * per (JVM, sf dir). A deployment has both on disk when a refresh
+    * epoch arrives: gates pricing the steady-state legs read them warm
+    * — `bm25_probe_refresh` re-tokenizes ONLY the delta (its priced
+    * leg) against the warm base; `index_compact_warm` compacts the two
+    * warm segments without re-tokenizing anything — while the
+    * whole-cycle gates (bm25_probe_merged, index_compact) keep
+    * re-deriving per run deliberately. */
+  def splitSegmentDir(s: SparkSession, d: String): String =
+    splitCache.getOrElseUpdate(d, {
+      val out = indexRoot
+        .resolve(java.util.UUID.randomUUID().toString).toString
+      val docs = graft.Tables.documents(s, d)
+      def postingsOf(dd: DataFrame): DataFrame =
+        dd.select(col("doc_id"),
+            size(toks(col("text"))).cast("long").as("dl"),
+            explode(toks(col("text"))).as("term"))
+          .groupBy(col("term"), col("doc_id"), col("dl"))
+          .agg(count(lit(1)).as("tf"))
+          .select("term", "doc_id", "tf", "dl")
+      def statsOf(dd: DataFrame): DataFrame =
+        dd.agg(count(lit(1)).as("n_docs"),
+          sum(size(toks(col("text"))).cast("long")).as("sum_dl"))
+      val base = docs.filter(col("doc_id") % 10L =!= 0L)
+      val delta = docs.filter(col("doc_id") % 10L === 0L)
+      postingsOf(base)
+        .repartitionByRange(col("term"), col("doc_id"))
+        .sortWithinPartitions("term", "doc_id")
+        .write.parquet(s"$out/base_postings")
+      statsOf(base).write.parquet(s"$out/base_stats")
+      postingsOf(delta).write.parquet(s"$out/delta_postings")
+      statsOf(delta).write.parquet(s"$out/delta_stats")
       out
     })
 

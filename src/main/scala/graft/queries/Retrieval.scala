@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{GQuery, Tables => T}
@@ -48,8 +48,9 @@ object Retrieval {
   private val B = 0.75
 
   /** The fixed demo query: one rare term (df ≈ 5% of docs — high idf,
-    * dominates ranking) and two common ones (df ≈ 77%). */
-  private val QueryTerms = Seq("dup", "vector", "spark")
+    * dominates ranking) and two common ones (df ≈ 77%). Shared with
+    * the streaming-ingest gate in [[Streaming]]. */
+  private[queries] val QueryTerms = Seq("dup", "vector", "spark")
 
   private def toks(text: Column): Column =
     filter(split(lower(text), " "), t => t =!= "")
@@ -203,7 +204,7 @@ object Retrieval {
     * re-derives everything from `documents` and never sees the index
     * parquet, so a wrong/stale segment breaks the probe's hash gate
     * (the cdc_apply/stream_cdc_apply same-oracle precedent). */
-  private val bm25JoinOracle = """
+  private[queries] val bm25JoinOracle = """
       WITH q(term) AS (VALUES ('dup'), ('vector'), ('spark')),
       toksed AS (
         SELECT doc_id,
@@ -913,6 +914,33 @@ object Retrieval {
     * doc-disjoint invariant the dictionary merge gated). A doc split
     * across segments would surface as a duplicate (term, doc_id)
     * posting and a wrong df/score — the hash gate breaks. */
+  /** The shared merged/masked/compacted BM25 probe kernel: score the
+    * term-pruned posting SLIVER against a 1-row stats header. df is a
+    * window over the sliver (global df — the sliver holds every
+    * posting of the query terms across however many segments fed it,
+    * PROVIDED every doc lives in exactly one segment and tombstoned
+    * docs are masked before this point), idf/avgdl from the broadcast
+    * header, per-(doc,term) weights cross the per-doc sum as
+    * DECIMAL(38,12), top-10 as TakeOrderedAndProject. One kernel
+    * behind four structurally different segment topologies
+    * (base ∪ delta, masked, compacted, streamed-ingest union) — each
+    * gated by the same full-rebuild oracle family. */
+  private[graft] def bm25TopFromSliver(sliver: DataFrame,
+      st: DataFrame): DataFrame = {
+    val withDf = sliver.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("term"))))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    withDf.crossJoin(broadcast(st))
+      .withColumn("wd",
+        bm25w(col("tf"), col("df"), col("dl"), col("n_docs"), avgdl)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        round(sum(col("wd")).cast("double"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+  }
+
   val bm25_probe_merged = GQuery(
     "bm25_probe_merged",
     (s, d) => graft.GQuery.withTempTable(s, "graft-seg-merge") { dir =>
@@ -947,18 +975,7 @@ object Retrieval {
       val st = s.read.parquet(s"$dir/base_stats")
         .unionByName(s.read.parquet(s"$dir/delta_stats"))
         .agg(sum($"n_docs").as("n_docs"), sum($"sum_dl").as("sum_dl"))
-      val withDf = sliver.withColumn("df",
-        count(lit(1)).over(Window.partitionBy($"term")))
-      val avgdl = $"sum_dl".cast("double") / $"n_docs".cast("double")
-      withDf.crossJoin(broadcast(st))
-        .withColumn("wd",
-          bm25w($"tf", $"df", $"dl", $"n_docs", avgdl)
-            .cast(org.apache.spark.sql.types.DecimalType(38, 12)))
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_terms"),
-          round(sum($"wd").cast("double"), 6).as("score"))
-        .orderBy($"score".desc, $"doc_id")
-        .limit(10)
+      bm25TopFromSliver(sliver, st)
     },
     Some(bm25JoinOracle))
 
@@ -993,24 +1010,13 @@ object Retrieval {
       val sliver = graft.operators.IndexOps.postings(s, d)
         .filter($"term".isin(QueryTerms: _*))
         .join(tomb.select($"doc_id"), Seq("doc_id"), "left_anti")
-      val withDf = sliver.withColumn("df",
-        count(lit(1)).over(Window.partitionBy($"term")))
       val corr = tomb.agg(count(lit(1)).as("del_docs"),
         sum($"dl").as("del_dl"))
       val st = graft.operators.IndexOps.stats(s, d)
         .crossJoin(broadcast(corr))
         .select(($"n_docs" - $"del_docs").as("n_docs"),
           ($"sum_dl" - $"del_dl").as("sum_dl"))
-      val avgdl = $"sum_dl".cast("double") / $"n_docs".cast("double")
-      withDf.crossJoin(broadcast(st))
-        .withColumn("wd",
-          bm25w($"tf", $"df", $"dl", $"n_docs", avgdl)
-            .cast(org.apache.spark.sql.types.DecimalType(38, 12)))
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_terms"),
-          round(sum($"wd").cast("double"), 6).as("score"))
-        .orderBy($"score".desc, $"doc_id")
-        .limit(10)
+      bm25TopFromSliver(sliver, st)
     },
     Some(bm25JoinOracle.replace("FROM documents",
       "FROM documents WHERE doc_id % 17 <> 3")))
@@ -1075,19 +1081,181 @@ object Retrieval {
       // probe: ONLY the compacted segment — no anti-join remains
       val sliver = s.read.parquet(s"$t/compacted_postings")
         .filter($"term".isin(QueryTerms: _*))
-      val withDf = sliver.withColumn("df",
-        count(lit(1)).over(Window.partitionBy($"term")))
-      val st = s.read.parquet(s"$t/compacted_stats")
-      val avgdl = $"sum_dl".cast("double") / $"n_docs".cast("double")
-      withDf.crossJoin(broadcast(st))
-        .withColumn("wd",
-          bm25w($"tf", $"df", $"dl", $"n_docs", avgdl)
-            .cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+      bm25TopFromSliver(sliver, s.read.parquet(s"$t/compacted_stats"))
+    },
+    Some(bm25JoinOracle.replace("FROM documents",
+      "FROM documents WHERE doc_id % 17 <> 3")))
+
+  /** Trigram-SEGMENT merge + probe (VERDICT-r12 item 4): the
+    * [[bm25_probe_merged]] lifecycle applied to the substring index,
+    * which had only build+probe — so substring search over an
+    * EVOLVING corpus was unproven. Base (90%, doc_id % 10 ≠ 0) and
+    * delta (10%) trigram postings are derived per segment (the
+    * refresh cost is generate(delta), not generate(corpus) — priced
+    * whole-cycle here, the merged-gate discipline); because every doc
+    * lives in exactly one segment AND postings are distinct within a
+    * segment, the merged table is a pure doc-disjoint UNION with
+    * (g, doc_id) still unique — so count(*) per doc over the
+    * pattern-pruned union IS the distinct-trigram count, no
+    * re-dedup. The pushed In(g) prunes BOTH segment scans; candidates
+    * (docs carrying ALL 4 pattern trigrams) broadcast onto the one
+    * corpus scan (the verify fetch). Same naive-LIKE oracle VERBATIM
+    * as [[substr_search_trgm]]/[[trgm_probe_persisted]] — the merge
+    * is this oracle family's third structurally different plan. */
+  val trgm_probe_merged = GQuery(
+    "trgm_probe_merged",
+    (s, d) => graft.GQuery.withTempTable(s, "graft-trgm-merge") { t =>
+      import s.implicits._
+      def trgmsOf(dd: org.apache.spark.sql.DataFrame) =
+        dd.select($"doc_id", explode(expr(
+          "transform(sequence(1, greatest(length(text) - 2, 1))," +
+            " i -> substring(text, i, 3))")).as("g"))
+          .distinct()
+      val docs = T.documents(s, d)
+      // init: the base segment, range-partitioned (IndexOps layout)
+      trgmsOf(docs.filter($"doc_id" % 10L =!= 0L))
+        .repartitionByRange($"g", $"doc_id")
+        .sortWithinPartitions("g", "doc_id")
+        .write.parquet(s"$t/base_trgm")
+      // refresh: generate(delta) only
+      trgmsOf(docs.filter($"doc_id" % 10L === 0L))
+        .write.parquet(s"$t/delta_trgm")
+      val pat = "ash jo"
+      val patTrgs = pat.sliding(3).toSeq.distinct
+      val merged = s.read.parquet(s"$t/base_trgm")
+        .unionByName(s.read.parquet(s"$t/delta_trgm"))
+      val cands = merged.filter($"g".isin(patTrgs: _*))
         .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_terms"),
-          round(sum($"wd").cast("double"), 6).as("score"))
-        .orderBy($"score".desc, $"doc_id")
-        .limit(10)
+        .agg(count(lit(1)).as("ng"))
+        .filter($"ng" === patTrgs.size.toLong)
+        .select($"doc_id")
+      T.documents(s, d)
+        .join(broadcast(cands), Seq("doc_id"))
+        .filter($"text".contains(pat))
+        .select($"doc_id",
+          ((length($"text") - length(replace($"text", lit(pat)))) /
+            lit(pat.length)).cast("long").as("n_occurrences"))
+        .orderBy($"doc_id")
+    },
+    Some(trgmOracle))
+
+  /** The trigram segment's DELETE leg — live-docs masking on the warm
+    * [[graft.operators.IndexOps.trigrams]] segment (the
+    * bm25_probe_tombstoned discipline, minus the stats header: a
+    * membership index has no corpus statistics to correct, so masking
+    * the pattern-pruned sliver before the all-trigrams count is the
+    * WHOLE deletion semantics). Tombstones park as data, the anti-join
+    * runs AFTER the pushed In(g) prunes the postings — both sides
+    * slivers at 100 TB — and a tombstoned doc can never reach the
+    * verify fetch because candidates define the output docs. Oracle is
+    * the naive LIKE over the REMAINING corpus. */
+  val trgm_probe_tombstoned = GQuery(
+    "trgm_probe_tombstoned",
+    (s, d) => graft.GQuery.withTempTable(s, "graft-trgm-tomb") { t =>
+      import s.implicits._
+      T.documents(s, d).filter($"doc_id" % 17L === 3L)
+        .select($"doc_id")
+        .write.parquet(s"$t/tombstones")
+      val tomb = s.read.parquet(s"$t/tombstones")
+      val pat = "ash jo"
+      val patTrgs = pat.sliding(3).toSeq.distinct
+      val cands = graft.operators.IndexOps.trigrams(s, d)
+        .filter($"g".isin(patTrgs: _*))
+        .join(tomb, Seq("doc_id"), "left_anti")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("ng"))
+        .filter($"ng" === patTrgs.size.toLong)
+        .select($"doc_id")
+      T.documents(s, d)
+        .join(broadcast(cands), Seq("doc_id"))
+        .filter($"text".contains(pat))
+        .select($"doc_id",
+          ((length($"text") - length(replace($"text", lit(pat)))) /
+            lit(pat.length)).cast("long").as("n_occurrences"))
+        .orderBy($"doc_id")
+    },
+    Some(trgmOracle.replace("WHERE contains(text, 'ash jo')",
+      "WHERE contains(text, 'ash jo') AND doc_id % 17 <> 3")))
+
+  /** The refresh leg PRICED ALONE (VERDICT-r12 item 6):
+    * [[bm25_probe_merged]] deliberately re-derives BOTH segments
+    * inside its timed body (whole-cycle pricing — tokenize(corpus)
+    * every run), so the PERF tables could only argue, not show, that
+    * a deployment's per-epoch refresh cost is tokenize(delta) + the
+    * merged probe. This entry shows it: the base segment comes from
+    * the memoized [[graft.operators.IndexOps.splitSegmentDir]] store
+    * (on disk already when a refresh epoch arrives — warm after the
+    * first derivation, exactly like every other IndexOps probe), and
+    * the timed body pays ONLY tokenize(delta) + delta write + the
+    * union probe. Same full-rebuild oracle VERBATIM; the bench delta
+    * bm25_probe_merged − bm25_probe_refresh is the measured price of
+    * the base rebuild the steady state never pays. */
+  val bm25_probe_refresh = GQuery(
+    "bm25_probe_refresh",
+    (s, d) => graft.GQuery.withTempTable(s, "graft-seg-refresh") { t =>
+      import s.implicits._
+      val baseDir = graft.operators.IndexOps.splitSegmentDir(s, d)
+      val delta = T.documents(s, d).filter($"doc_id" % 10L === 0L)
+      // the refresh leg: tokenize(delta) into a fresh delta segment
+      delta.select($"doc_id", size(toks($"text")).cast("long").as("dl"),
+          explode(toks($"text")).as("term"))
+        .groupBy($"term", $"doc_id", $"dl")
+        .agg(count(lit(1)).as("tf"))
+        .select("term", "doc_id", "tf", "dl")
+        .write.parquet(s"$t/delta_postings")
+      delta.agg(count(lit(1)).as("n_docs"),
+          sum(size(toks($"text")).cast("long")).as("sum_dl"))
+        .write.parquet(s"$t/delta_stats")
+      // the merged probe: pushed In prunes both segments
+      val merged = s.read.parquet(s"$baseDir/base_postings")
+        .unionByName(s.read.parquet(s"$t/delta_postings"))
+      val sliver = merged.filter($"term".isin(QueryTerms: _*))
+      val st = s.read.parquet(s"$baseDir/base_stats")
+        .unionByName(s.read.parquet(s"$t/delta_stats"))
+        .agg(sum($"n_docs").as("n_docs"), sum($"sum_dl").as("sum_dl"))
+      bm25TopFromSliver(sliver, st)
+    },
+    Some(bm25JoinOracle))
+
+  /** Compaction PRICED WARM (VERDICT-r12 item 6, the compaction half):
+    * [[index_compact]] re-tokenizes the whole corpus into both
+    * segments before compacting — the honest whole-cycle price, but a
+    * deployment compacts segments it ALREADY HAS. Here base+delta come
+    * from the memoized split store, so the timed body pays what the
+    * compaction epoch actually costs: the tombstone derivation
+    * (bounded — one filtered corpus pass for the ~6% deleted docs'
+    * dl mass), the union-minus-tombstones rewrite, the header
+    * correction, and the probe over the fresh segment. Same
+    * filtered-corpus oracle VERBATIM as index_compact /
+    * bm25_probe_tombstoned — the oracle family's fourth structurally
+    * different plan. */
+  val index_compact_warm = GQuery(
+    "index_compact_warm",
+    (s, d) => graft.GQuery.withTempTable(s, "graft-compact-warm") { t =>
+      import s.implicits._
+      val seg = graft.operators.IndexOps.splitSegmentDir(s, d)
+      T.documents(s, d).filter($"doc_id" % 17L === 3L)
+        .select($"doc_id", size(toks($"text")).cast("long").as("dl"))
+        .write.parquet(s"$t/tombstones")
+      val tomb = s.read.parquet(s"$t/tombstones")
+      s.read.parquet(s"$seg/base_postings")
+        .unionByName(s.read.parquet(s"$seg/delta_postings"))
+        .join(tomb.select($"doc_id"), Seq("doc_id"), "left_anti")
+        .repartitionByRange($"term", $"doc_id")
+        .sortWithinPartitions("term", "doc_id")
+        .write.parquet(s"$t/compacted_postings")
+      val corr = tomb.agg(count(lit(1)).as("del_docs"),
+        sum($"dl").as("del_dl"))
+      s.read.parquet(s"$seg/base_stats")
+        .unionByName(s.read.parquet(s"$seg/delta_stats"))
+        .agg(sum($"n_docs").as("n_docs"), sum($"sum_dl").as("sum_dl"))
+        .crossJoin(corr)
+        .select(($"n_docs" - $"del_docs").as("n_docs"),
+          ($"sum_dl" - $"del_dl").as("sum_dl"))
+        .write.parquet(s"$t/compacted_stats")
+      val sliver = s.read.parquet(s"$t/compacted_postings")
+        .filter($"term".isin(QueryTerms: _*))
+      bm25TopFromSliver(sliver, s.read.parquet(s"$t/compacted_stats"))
     },
     Some(bm25JoinOracle.replace("FROM documents",
       "FROM documents WHERE doc_id % 17 <> 3")))
@@ -1097,5 +1265,6 @@ object Retrieval {
       conjunctive_query, rrf_fusion, substr_search_trgm, postings_delta,
       index_persist_build, bm25_probe_persisted, trgm_probe_persisted,
       index_ivm_merge, bm25_probe_merged, bm25_probe_tombstoned,
-      index_compact)
+      index_compact, trgm_probe_merged, trgm_probe_tombstoned,
+      bm25_probe_refresh, index_compact_warm)
 }
