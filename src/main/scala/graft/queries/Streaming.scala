@@ -124,6 +124,28 @@ object Streaming {
         .coalesce(1).write.mode("append").parquet(dir)
   }
 
+  /** Replay the time-sliced files under `in` through a foreachBatch
+    * INGEST body, one file per micro-batch — the continuous-indexing
+    * transport (VERDICT-r12 item 1): each micro-batch lands derived
+    * segment data keyed by batchId, so a crash-replayed batch
+    * overwrites its own output instead of double-applying (the
+    * [[Extras.stream_ivm_refresh]] idempotent-sink discipline). The
+    * body runs on the driver per batch; everything it launches is
+    * ordinary batch execution over the micro-batch frame. */
+  private def replayForeach(s: SparkSession, t: String, inDir: String)
+      (body: (DataFrame, Long) => Unit): Unit = {
+    val q = s.readStream.schema(s.read.parquet(inDir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], id: Long) => body(b.toDF(), id) }
+      .option("checkpointLocation", s"$t/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Replay the time-sliced files under `in` through `mk`, one file
     * per micro-batch, and materialize the sink; returns the sink read
     * back. */
@@ -637,8 +659,205 @@ object Streaming {
              TRUE AS multi_batch
       FROM embeddings WHERE embedding IS NOT NULL"""))
 
+  /** The NINTH gate — streaming INGEST into a SERVABLE text segment
+    * (VERDICT-r12 item 1, the continuous-indexing leg both lifecycles
+    * owed): the prior streaming gates maintain derived state only
+    * (stream_index_dict the dictionary, stream_ann_assign cell
+    * occupancy); this one streams arriving documents INTO a delta
+    * postings segment a probe then actually reads — the Lucene
+    * soft-commit topology. The base segment (90% of docs) is built
+    * once; the delta docs (10%) replay time-sliced by doc_id through
+    * foreachBatch, each micro-batch tokenizing ITSELF into a
+    * batchId-keyed postings+stats dir (mode=overwrite — a replayed
+    * batch rewrites its own segment, the stream_ivm_refresh
+    * idempotent-sink contract; a doc's rows can't split across
+    * segments because one doc is one stream row). The probe then
+    * serves base ∪ streamed-delta with [[Retrieval.bm25_probe_merged]]'s
+    * kernel and full-rebuild oracle — pushed In(term) pruning BOTH
+    * the base scan and every batch segment, df a window over the
+    * union sliver, stats headers added across base + all batches.
+    * Multi-batch evidence rides IN-BAND: the delta rows carry their
+    * batch_id, and the evidence row pins distinct-batch-count ≥ 2
+    * (slice floor is 2 and doc_id is uniform, so ≥ 2 non-empty
+    * batches by construction); the oracle pins it to literal 1 with
+    * a sentinel score that sorts after every real hit. */
+  val stream_index_ingest = GQuery(
+    "stream_index_ingest",
+    (s, d) => graft.GQuery.withTempTable(s, "graft-stream-ingest") { t =>
+      import s.implicits._
+      def toksOf(c: org.apache.spark.sql.Column) =
+        filter(split(lower(c), " "), x => x =!= "")
+      def postingsOf(dd: DataFrame) =
+        dd.select($"doc_id", size(toksOf($"text")).cast("long").as("dl"),
+            explode(toksOf($"text")).as("term"))
+          .groupBy($"term", $"doc_id", $"dl")
+          .agg(count(lit(1)).as("tf"))
+          .select("term", "doc_id", "tf", "dl")
+      def statsOf(dd: DataFrame) =
+        dd.agg(count(lit(1)).as("n_docs"),
+          sum(size(toksOf($"text")).cast("long")).as("sum_dl"))
+      val docs = T.documents(s, d)
+      // init: the base segment, written once (the IndexOps layout)
+      postingsOf(docs.filter($"doc_id" % 10L =!= 0L))
+        .repartitionByRange($"term", $"doc_id")
+        .sortWithinPartitions("term", "doc_id")
+        .write.parquet(s"$t/base_postings")
+      statsOf(docs.filter($"doc_id" % 10L =!= 0L))
+        .write.parquet(s"$t/base_stats")
+      // continuous ingest: delta docs arrive time-sliced by doc_id
+      val delta = docs.filter($"doc_id" % 10L === 0L)
+        .select($"doc_id", $"text")
+        .withColumn("ets", timestamp_seconds($"doc_id"))
+      writeTimeSliced(delta, "ets", s"$t/in", sliceCount(delta.count()))
+      replayForeach(s, t, s"$t/in") { (batch, id) =>
+        val bd = batch.drop("ets")
+        postingsOf(bd).withColumn("batch_id", lit(id))
+          .write.mode("overwrite").parquet(s"$t/delta_postings/b$id")
+        statsOf(bd)
+          .write.mode("overwrite").parquet(s"$t/delta_stats/b$id")
+      }
+      // probe: base UNION streamed delta, one answer
+      val deltaPosts = s.read.parquet(s"$t/delta_postings/b*")
+      val merged = s.read.parquet(s"$t/base_postings")
+        .unionByName(deltaPosts.drop("batch_id"))
+      val sliver = merged.filter($"term".isin(Retrieval.QueryTerms: _*))
+      val st = s.read.parquet(s"$t/base_stats")
+        .unionByName(s.read.parquet(s"$t/delta_stats/b*"))
+        .agg(sum($"n_docs").as("n_docs"), sum($"sum_dl").as("sum_dl"))
+      val probe = Retrieval.bm25TopFromSliver(sliver, st)
+      val ev = deltaPosts.agg(countDistinct($"batch_id").as("nb"))
+        .select(lit(-1L).as("doc_id"),
+          ($"nb" >= 2L).cast("long").as("n_terms"),
+          lit(-999999.0).as("score"))
+      probe.unionByName(ev).orderBy($"score".desc, $"doc_id")
+    },
+    Some(s"""
+      WITH probe AS (${Retrieval.bm25JoinOracle})
+      SELECT doc_id, n_terms, score FROM (
+        SELECT doc_id, n_terms, score FROM probe
+        UNION ALL
+        SELECT CAST(-1 AS BIGINT) AS doc_id, CAST(1 AS BIGINT) AS n_terms,
+               -999999.0 AS score)
+      ORDER BY score DESC, doc_id"""))
+
+  /** The TENTH gate — streaming ingest into a SERVABLE ANN delta
+    * segment, the vector mirror of [[stream_index_ingest]] (the FAISS
+    * online-add topology): the base segment trains the quantizer and
+    * encodes once; delta vectors replay time-sliced through
+    * foreachBatch, each micro-batch map-side-encoded against the
+    * FROZEN quantizer into a batchId-keyed cells dir (overwrite —
+    * idempotent under replay), and the probe serves base ∪
+    * streamed-delta through [[graft.operators.AnnIndex.ivfProbe]] at
+    * full probe — the probed-cell isin pruning the base partitions
+    * statically AND each batch segment's cell column. Row-for-row
+    * equality with the exhaustive brute-force oracle certifies that
+    * frozen-quantizer streaming ingest loses and duplicates nothing
+    * across however many micro-batches the replay cut; batch_id
+    * evidence rides in-band as in the text gate. */
+  val stream_ann_ingest = GQuery(
+    "stream_ann_ingest",
+    (s, d) => graft.GQuery.withTempTable(s, "graft-stream-annin") { t =>
+      import s.implicits._
+      val A = graft.operators.AnnIndex
+      val vecs = T.embeddings(s, d).where($"embedding".isNotNull)
+      val base = vecs.filter($"vec_id" % 10L =!= 7L)
+      // init: train on base only, encode base (paid once per epoch)
+      val qz = A.trainQuantizer(base, "embedding")
+      A.encode(qz, base, "vec_id", "embedding")
+        .write.partitionBy("cell").parquet(s"$t/base_cells")
+      // continuous ingest: delta vectors arrive time-sliced by vec_id
+      val delta = vecs.filter($"vec_id" % 10L === 7L)
+        .select($"vec_id", $"embedding")
+        .withColumn("ets", timestamp_seconds($"vec_id"))
+      writeTimeSliced(delta, "ets", s"$t/in", sliceCount(delta.count()))
+      replayForeach(s, t, s"$t/in") { (batch, id) =>
+        A.encode(qz, batch.drop("ets"), "vec_id", "embedding")
+          .withColumn("batch_id", lit(id))
+          .write.mode("overwrite").parquet(s"$t/delta_cells/b$id")
+      }
+      val deltaCells = s.read.parquet(s"$t/delta_cells/b*")
+      val probe = A.ivfProbe(T.embeddings(s, d).filter($"vec_id" < 10),
+        "vec_id", "embedding", k = 5, nprobe = A.NList,
+        cents = qz.centroidMeta,
+        loadCells = cellSet =>
+          s.read.parquet(s"$t/base_cells")
+            .unionByName(s.read.parquet(s"$t/delta_cells/b*")
+              .drop("batch_id"))
+            .where($"cell".isin(cellSet: _*)))
+      val ev = deltaCells.agg(countDistinct($"batch_id").as("nb"))
+        .select(lit(-1L).as("query_id"),
+          ($"nb" >= 2L).cast("long").as("neighbor_id"),
+          lit(-1).as("rank"), lit(-1.0).as("cos"))
+      probe.unionByName(ev).orderBy($"query_id", $"rank")
+    },
+    Some(s"""
+      WITH probe AS (${Pipeline.bruteTop5Vec10Oracle})
+      SELECT query_id, neighbor_id, rank, cos FROM (
+        SELECT query_id, neighbor_id, rank, cos FROM probe
+        UNION ALL
+        SELECT CAST(-1 AS BIGINT) AS query_id,
+               CAST(1 AS BIGINT) AS neighbor_id,
+               CAST(-1 AS INT) AS rank, -1.0 AS cos)
+      ORDER BY query_id, rank"""))
+
+  /** The occupancy stats' CONSUMER (VERDICT-r12 item 5):
+    * [[stream_ann_assign]] maintains per-cell (count, Σ‖v‖) "to
+    * decide when cell skew warrants re-training" — but nothing
+    * thresholded the skew into a decision. This gate does: the
+    * retrain rule is max(n)·nlist > 4·total (exact integer
+    * arithmetic — "the hottest cell holds over 4× its fair share"),
+    * applied to the STREAMED per-cell counts and, independently, to
+    * the persisted segment's per-cell counts (a batch groupBy over a
+    * different code path entirely) — the two verdicts must agree.
+    * Because the real verdict's VALUE is quantizer-derived (Lloyd is
+    * not SQL-expressible), the thresholding logic itself is gated
+    * through two PLANTED occupancies with known answers: a uniform
+    * 16-cell occupancy must NOT trigger retrain, an
+    * everything-in-one-cell occupancy MUST — the ml_kmeans_contract
+    * split between SQL-checkable invariants and engine-derived
+    * values, applied to a control decision. */
+  val stream_ann_retrain = GQuery(
+    "stream_ann_retrain",
+    (s, d) => graft.GQuery.withTempTable(s, "graft-stream-retrain") { t =>
+      import s.implicits._
+      val A = graft.operators.AnnIndex
+      val cents = A.centroidMetaOf(s, d)
+      val vecs = T.embeddings(s, d).where($"embedding".isNotNull)
+        .select($"vec_id", $"embedding")
+        .withColumn("ets", timestamp_seconds($"vec_id"))
+      writeTimeSliced(vecs, "ets", s"$t/in", sliceCount(vecs.count()))
+      val updates = replay(s, t, s"$t/in") { in =>
+        StreamOps.annCellStream(in.drop("ets"), cents)
+      }
+      val streamCounts = updates.groupBy($"cell").agg(max($"n").as("n"))
+      val segCounts = A.cells(s, d).groupBy($"cell")
+        .agg(count(lit(1)).as("n"))
+      def verdict(counts: DataFrame) =
+        counts.agg((max($"n") * lit(A.NList.toLong) >
+          sum($"n") * lit(4L)).as("v"))
+      val uniform = s.range(A.NList.toLong)
+        .select($"id".cast("int").as("cell"), lit(100L).as("n"))
+      val skewed = s.range(A.NList.toLong)
+        .select($"id".cast("int").as("cell"),
+          when($"id" === 0L, 1600L).otherwise(1L).as("n"))
+      streamCounts.agg(sum($"n").as("n_vectors"))
+        .crossJoin(broadcast(verdict(streamCounts)
+          .select($"v".as("v_stream"))))
+        .crossJoin(broadcast(verdict(segCounts).select($"v".as("v_seg"))))
+        .crossJoin(broadcast(verdict(uniform).select($"v".as("v_uni"))))
+        .crossJoin(broadcast(verdict(skewed).select($"v".as("v_skew"))))
+        .select($"n_vectors",
+          ($"v_stream" === $"v_seg").as("verdict_consistent"),
+          (!$"v_uni" && $"v_skew").as("threshold_ok"))
+    },
+    Some("""
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+             TRUE AS verdict_consistent, TRUE AS threshold_ok
+      FROM embeddings WHERE embedding IS NOT NULL"""))
+
   val all: Seq[GQuery] = Seq(
     stream_window_agg, stream_sessions, stream_interval_join,
     stream_dedup, stream_static_join, stream_cdc_apply,
-    stream_index_dict, stream_ann_assign)
+    stream_index_dict, stream_ann_assign, stream_index_ingest,
+    stream_ann_ingest, stream_ann_retrain)
 }
