@@ -193,7 +193,10 @@ object ScaleSweep {
     // round-13 second wave: the continuous-indexing gates — streamed
     // ingest into servable delta segments on both lifecycles, plus the
     // occupancy-threshold retrain verdict (the stats' first consumer)
-    "stream_index_ingest", "stream_ann_ingest", "stream_ann_retrain")
+    "stream_index_ingest", "stream_ann_ingest", "stream_ann_retrain",
+    // round-13 third wave: the trigram lifecycle's compact + stream
+    // legs, completing the 3-lifecycle × 6-leg matrix
+    "trgm_compact", "stream_trgm_ingest")
   // fk_violations is EXCLUDED: it joins customer/part, which MkScale
   // does not scale - a sweep would measure a mixed-scale plan.
   // pareto_frontier is excluded for the same reason (part-backed);

@@ -575,7 +575,7 @@ object Retrieval {
     * is algorithm-independent — no trigram anywhere in the SQL — so
     * both the worst-case and the deployment path must reproduce the
     * scan's answer exactly. */
-  private lazy val trgmOracle = """
+  private[queries] lazy val trgmOracle = """
       SELECT doc_id,
              CAST((length(text) - length(replace(text, 'ash jo', '')))
                // 6 AS BIGINT) AS n_occurrences
@@ -1177,6 +1177,60 @@ object Retrieval {
     Some(trgmOracle.replace("WHERE contains(text, 'ash jo')",
       "WHERE contains(text, 'ash jo') AND doc_id % 17 <> 3")))
 
+  /** Trigram segment COMPACTION — merge-with-deletes, the leg that
+    * completes the trigram lifecycle's build/probe/merge/delete/
+    * compact/stream matrix (the other two lifecycles closed theirs in
+    * r12/r13): (base ∪ delta) trigram postings MINUS tombstones
+    * rewritten as one fresh range-partitioned segment — no stats
+    * header exists to correct on a membership index — and the probe
+    * reads ONLY the compacted segment, anti-join-free. Whole-cycle
+    * priced (both segments re-derived per run, the index_compact
+    * discipline). Shares [[trgm_probe_tombstoned]]'s filtered
+    * naive-LIKE oracle VERBATIM: the masked multi-segment probe and
+    * the compacted single-segment probe are two structurally
+    * different plans, one rebuilt answer. */
+  val trgm_compact = GQuery(
+    "trgm_compact",
+    (s, d) => graft.GQuery.withTempTable(s, "graft-trgm-compact") { t =>
+      import s.implicits._
+      def trgmsOf(dd: org.apache.spark.sql.DataFrame) =
+        dd.select($"doc_id", explode(expr(
+          "transform(sequence(1, greatest(length(text) - 2, 1))," +
+            " i -> substring(text, i, 3))")).as("g"))
+          .distinct()
+      val docs = T.documents(s, d)
+      trgmsOf(docs.filter($"doc_id" % 10L =!= 0L))
+        .write.parquet(s"$t/base_trgm")
+      trgmsOf(docs.filter($"doc_id" % 10L === 0L))
+        .write.parquet(s"$t/delta_trgm")
+      docs.filter($"doc_id" % 17L === 3L).select($"doc_id")
+        .write.parquet(s"$t/tombstones")
+      val tomb = s.read.parquet(s"$t/tombstones")
+      s.read.parquet(s"$t/base_trgm")
+        .unionByName(s.read.parquet(s"$t/delta_trgm"))
+        .join(tomb, Seq("doc_id"), "left_anti")
+        .repartitionByRange($"g", $"doc_id")
+        .sortWithinPartitions("g", "doc_id")
+        .write.parquet(s"$t/compacted_trgm")
+      val pat = "ash jo"
+      val patTrgs = pat.sliding(3).toSeq.distinct
+      val cands = s.read.parquet(s"$t/compacted_trgm")
+        .filter($"g".isin(patTrgs: _*))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("ng"))
+        .filter($"ng" === patTrgs.size.toLong)
+        .select($"doc_id")
+      T.documents(s, d)
+        .join(broadcast(cands), Seq("doc_id"))
+        .filter($"text".contains(pat))
+        .select($"doc_id",
+          ((length($"text") - length(replace($"text", lit(pat)))) /
+            lit(pat.length)).cast("long").as("n_occurrences"))
+        .orderBy($"doc_id")
+    },
+    Some(trgmOracle.replace("WHERE contains(text, 'ash jo')",
+      "WHERE contains(text, 'ash jo') AND doc_id % 17 <> 3")))
+
   /** The refresh leg PRICED ALONE (VERDICT-r12 item 6):
     * [[bm25_probe_merged]] deliberately re-derives BOTH segments
     * inside its timed body (whole-cycle pricing — tokenize(corpus)
@@ -1266,5 +1320,5 @@ object Retrieval {
       index_persist_build, bm25_probe_persisted, trgm_probe_persisted,
       index_ivm_merge, bm25_probe_merged, bm25_probe_tombstoned,
       index_compact, trgm_probe_merged, trgm_probe_tombstoned,
-      bm25_probe_refresh, index_compact_warm)
+      trgm_compact, bm25_probe_refresh, index_compact_warm)
 }

@@ -855,9 +855,73 @@ object Streaming {
              TRUE AS verdict_consistent, TRUE AS threshold_ok
       FROM embeddings WHERE embedding IS NOT NULL"""))
 
+  /** The TWELFTH gate — streamed ingest into a servable TRIGRAM delta
+    * segment, completing the trigram lifecycle's stream leg (and with
+    * it the full 3-lifecycle × 6-leg matrix: postings, cells, and
+    * trigrams each now have build/probe/merge/delete/compact/stream):
+    * the [[stream_index_ingest]] topology with the per-batch derive
+    * swapped for the trigram generate — each micro-batch cuts ITS
+    * docs' distinct trigrams into a batchId-keyed segment dir
+    * (overwrite — idempotent under replay; a doc is one stream row,
+    * so (g, doc_id) stays unique across segments), and the probe
+    * serves base ∪ streamed-delta: pushed In(g) on every segment,
+    * all-4-trigrams candidates, broadcast verify fetch. Naive-LIKE
+    * oracle with the in-band evidence union. */
+  val stream_trgm_ingest = GQuery(
+    "stream_trgm_ingest",
+    (s, d) => graft.GQuery.withTempTable(s, "graft-stream-trgm") { t =>
+      import s.implicits._
+      def trgmsOf(dd: DataFrame) =
+        dd.select($"doc_id", explode(expr(
+          "transform(sequence(1, greatest(length(text) - 2, 1))," +
+            " i -> substring(text, i, 3))")).as("g"))
+          .distinct()
+      val docs = T.documents(s, d)
+      trgmsOf(docs.filter($"doc_id" % 10L =!= 0L))
+        .repartitionByRange($"g", $"doc_id")
+        .sortWithinPartitions("g", "doc_id")
+        .write.parquet(s"$t/base_trgm")
+      val delta = docs.filter($"doc_id" % 10L === 0L)
+        .select($"doc_id", $"text")
+        .withColumn("ets", timestamp_seconds($"doc_id"))
+      writeTimeSliced(delta, "ets", s"$t/in", sliceCount(delta.count()))
+      replayForeach(s, t, s"$t/in") { (batch, id) =>
+        trgmsOf(batch.drop("ets")).withColumn("batch_id", lit(id))
+          .write.mode("overwrite").parquet(s"$t/delta_trgm/b$id")
+      }
+      val deltaTrgm = s.read.parquet(s"$t/delta_trgm/b*")
+      val pat = "ash jo"
+      val patTrgs = pat.sliding(3).toSeq.distinct
+      val merged = s.read.parquet(s"$t/base_trgm")
+        .unionByName(deltaTrgm.drop("batch_id"))
+      val cands = merged.filter($"g".isin(patTrgs: _*))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("ng"))
+        .filter($"ng" === patTrgs.size.toLong)
+        .select($"doc_id")
+      val probe = T.documents(s, d)
+        .join(broadcast(cands), Seq("doc_id"))
+        .filter($"text".contains(pat))
+        .select($"doc_id",
+          ((length($"text") - length(replace($"text", lit(pat)))) /
+            lit(pat.length)).cast("long").as("n_occurrences"))
+      val ev = deltaTrgm.agg(countDistinct($"batch_id").as("nb"))
+        .select(lit(-1L).as("doc_id"),
+          ($"nb" >= 2L).cast("long").as("n_occurrences"))
+      probe.unionByName(ev).orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH probe AS (${Retrieval.trgmOracle})
+      SELECT doc_id, n_occurrences FROM (
+        SELECT doc_id, n_occurrences FROM probe
+        UNION ALL
+        SELECT CAST(-1 AS BIGINT) AS doc_id,
+               CAST(1 AS BIGINT) AS n_occurrences)
+      ORDER BY doc_id"""))
+
   val all: Seq[GQuery] = Seq(
     stream_window_agg, stream_sessions, stream_interval_join,
     stream_dedup, stream_static_join, stream_cdc_apply,
     stream_index_dict, stream_ann_assign, stream_index_ingest,
-    stream_ann_ingest, stream_ann_retrain)
+    stream_ann_ingest, stream_ann_retrain, stream_trgm_ingest)
 }

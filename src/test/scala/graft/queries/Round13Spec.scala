@@ -96,6 +96,22 @@ class Round13Spec extends SparkSpec {
       "the mask dropped a LIVE doc")
   }
 
+  test("the trigram matrix closes consistently: compacted ≡ masked " +
+      "(two plans, one rebuilt answer) and streamed-ingest ≡ the warm " +
+      "persisted probe with multi-batch evidence") {
+    def rows(n: String) = Registry.queryMap(n)(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(rows("trgm_compact") == rows("trgm_probe_tombstoned"),
+      "compacted trigram probe diverged from the masked probe")
+    val out = rows("stream_trgm_ingest")
+    val (ev, probe) = out.partition(_.head == -1L)
+    assert(ev.size == 1 && ev.head(1) == 1L,
+      s"multi-batch trigram-ingest evidence missing or 0: $ev")
+    assert(probe == rows("trgm_probe_persisted"),
+      "streamed trigram ingest diverged from the warm persisted probe")
+    assert(probe.nonEmpty, "no substring hits — the pin is vacuous")
+  }
+
   test("y4m decode fails soft (None) on overflowing geometry headers " +
       "— ADVICE-r12") {
     val M = graft.operators.Multimodal.Y4mCodec
