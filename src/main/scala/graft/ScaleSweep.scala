@@ -196,7 +196,14 @@ object ScaleSweep {
     "stream_index_ingest", "stream_ann_ingest", "stream_ann_retrain",
     // round-13 third wave: the trigram lifecycle's compact + stream
     // legs, completing the 3-lifecycle × 6-leg matrix
-    "trgm_compact", "stream_trgm_ingest")
+    "trgm_compact", "stream_trgm_ingest",
+    // round-13 fourth wave: the warm-serving HYBRID probes (documents
+    // + embeddings, both legs off warm segments — expected near-flat
+    // like their per-leg parents) and the retrain decision loop
+    // (embeddings — whole-cycle priced: frozen-quantizer assignment +
+    // retrain + full re-encode + brute-force reconciliation per run)
+    "rrf_probe_persisted", "rrf_probe_merged", "rrf_probe_production",
+    "ann_retrain_apply")
   // fk_violations is EXCLUDED: it joins customer/part, which MkScale
   // does not scale - a sweep would measure a mixed-scale plan.
   // pareto_frontier is excluded for the same reason (part-backed);

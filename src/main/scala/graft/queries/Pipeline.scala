@@ -1804,6 +1804,90 @@ object Pipeline {
     },
     Some(bruteTop5Vec10TombOracle))
 
+  /** RETRAIN APPLIED — the consumer of [[Streaming.stream_ann_retrain]]'s
+    * occupancy verdict, closing the decision loop the stats opened:
+    * when a drifted arrival batch piles into one cell of the FROZEN
+    * base-trained quantizer (here the natural delta pulled toward one
+    * region of the unit sphere, v → 0.2·v + e₁ — the "new domain
+    * entered the stream" shift the frozen centroids cannot spread),
+    * the retrain_needed threshold
+    * (max·nlist > 4·total, the stream gate's formula verbatim) fires;
+    * the correct response is NOT another frozen-quantizer merge but a
+    * quantizer REBUILD on base ∪ arrivals (the FAISS re-train epoch).
+    * This gate runs the whole decision: assign the drifted batch
+    * against the frozen quantizer (verdict fires), retrain on the
+    * union, re-encode into a fresh cell-partitioned segment, and
+    * certify (a) the rebuilt index no longer trips the threshold,
+    * (b) balance strictly improved (max-cell share dropped), and
+    * (c) the full probe over the rebuilt segment still reproduces the
+    * exhaustive brute-force scan row-for-row IN-PLAN — retraining
+    * moved cell boundaries, never vectors. Booleans hash-check because
+    * every ingredient is deterministic (seeded Lloyd, hash-ordered
+    * sample); the oracle contributes the data-derived batch size and
+    * pins the contract (the ml_kmeans_contract idiom — Lloyd itself is
+    * not SQL-expressible). */
+  val ann_retrain_apply = GQuery(
+    "ann_retrain_apply",
+    (s, d) => graft.GQuery.withTempTable(s, "graft-ann-retrain") { dir =>
+      import s.implicits._
+      val A = graft.operators.AnnIndex
+      val qz = A.loadQuantizer(s, A.splitSegmentDir(s, d))
+      val vecs = T.embeddings(s, d).where($"embedding".isNotNull)
+      val base = vecs.filter($"vec_id" % 10L =!= 7L)
+        .select($"vec_id", $"embedding")
+      // the drifted arrival batch: every delta vector pulled toward ONE
+      // region of the (unit-norm) embedding space — v → 0.2·v + e₁ —
+      // the "new domain entered the stream" shift: norms stay ~1 (in
+      // distribution) but the whole batch concentrates around e₁, so
+      // the frozen quantizer funnels it into the cell(s) nearest e₁
+      val delta = vecs.filter($"vec_id" % 10L === 7L)
+        .select($"vec_id", transform($"embedding",
+          (x, i) => (x * lit(0.2) +
+            when(i === 0, lit(1.0)).otherwise(lit(0.0))).cast("float"))
+          .as("embedding"))
+      val union = base.unionByName(delta)
+      def skew(counts: DataFrame, v: String, r: String) =
+        counts.agg(
+          (max($"n") * lit(A.NList.toLong) > sum($"n") * lit(4L)).as(v),
+          ((max($"n") * lit(A.NList.toLong)).cast("double") /
+            sum($"n").cast("double")).as(r))
+      val pre = skew(delta
+        .select(A.assignCell($"embedding", qz.centroidMeta).as("cell"))
+        .groupBy($"cell").agg(count(lit(1)).as("n")),
+        "pre_retrain_needed", "pre_ratio")
+      // the retrain epoch: rebuild the quantizer on base ∪ arrivals,
+      // re-encode everything into a fresh cell-partitioned segment
+      val q1 = A.trainQuantizer(union, "embedding")
+      A.encode(q1, union, "vec_id", "embedding")
+        .write.partitionBy("cell").parquet(s"$dir/retrained_cells")
+      val seg = s.read.parquet(s"$dir/retrained_cells")
+      val post = skew(seg.groupBy($"cell").agg(count(lit(1)).as("n")),
+        "post_retrain_needed", "post_ratio")
+      val probe = A.ivfProbe(union.filter($"vec_id" < 10L),
+        "vec_id", "embedding", k = 5, nprobe = A.NList,
+        cents = q1.centroidMeta,
+        loadCells = cellSet => seg.where($"cell".isin(cellSet: _*)))
+      val bf = Similarity.bruteForceTopK(union,
+        union.filter($"vec_id" < 10L), "vec_id", "embedding", 5)
+      val exact = probe.unionByName(bf)
+        .groupBy($"query_id", $"neighbor_id", $"rank", $"cos")
+        .agg(count(lit(1)).as("c"))
+        .agg(bool_and($"c" === 2L).as("probe_exact_ok"),
+          count(lit(1)).as("n_pairs"))
+      delta.agg(count(lit(1)).as("n_delta"))
+        .crossJoin(broadcast(pre))
+        .crossJoin(broadcast(post))
+        .crossJoin(broadcast(exact))
+        .select($"n_delta", $"pre_retrain_needed", $"post_retrain_needed",
+          ($"post_ratio" < $"pre_ratio").as("balance_improved"),
+          ($"probe_exact_ok" && $"n_pairs" === lit(50L)).as("probe_exact_ok"))
+    },
+    Some("""
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_delta,
+             TRUE AS pre_retrain_needed, FALSE AS post_retrain_needed,
+             TRUE AS balance_improved, TRUE AS probe_exact_ok
+      FROM embeddings WHERE embedding IS NOT NULL AND vec_id % 10 = 7"""))
+
   /** IVF-PQ probe over the MERGED segments at full probe + full
     * rerank — the compressed path composed over the same base ∪ delta
     * union [[sim_ivf_probe_merged]] gates: the delta's PQ codes were
@@ -3827,7 +3911,7 @@ object Pipeline {
     sim_ivf_probe_recall, sim_ivfpq_probe_recall,
     ann_ivm_merge, sim_ivf_probe_merged, sim_ivfpq_probe_merged,
     ann_probe_tombstoned, ann_pq_probe_tombstoned, ann_compact,
-    ann_probe_refresh, ann_compact_warm,
+    ann_probe_refresh, ann_compact_warm, ann_retrain_apply,
     text_tokens, text_quality, text_langid,
     text_fingerprint, text_pii_scrub, text_clean, text_repetition, decontaminate,
     decontaminate_bloom,

@@ -750,7 +750,8 @@ object Retrieval {
     * a corpus-sized "query" table would belong in the join-shaped
     * bm25_join_topk plan, not a probe. */
   private[graft] def bm25ProbePersistedFor(s: org.apache.spark.sql
-      .SparkSession, d: String, queryDf: org.apache.spark.sql.DataFrame)
+      .SparkSession, d: String, queryDf: org.apache.spark.sql.DataFrame,
+      k: Int = 10)
       : org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val terms = queryDf.select(col("term"))
@@ -775,7 +776,7 @@ object Retrieval {
       .agg(count(lit(1)).as("n_terms"),
         round(sum($"wd").cast("double"), 6).as("score"))
       .orderBy($"score".desc, $"doc_id")
-      .limit(10)
+      .limit(k)
   }
 
   /** Substring search served off the warm persisted trigram index:
@@ -926,7 +927,7 @@ object Retrieval {
     * (base ∪ delta, masked, compacted, streamed-ingest union) — each
     * gated by the same full-rebuild oracle family. */
   private[graft] def bm25TopFromSliver(sliver: DataFrame,
-      st: DataFrame): DataFrame = {
+      st: DataFrame, k: Int = 10): DataFrame = {
     val withDf = sliver.withColumn("df",
       count(lit(1)).over(Window.partitionBy(col("term"))))
     val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
@@ -938,7 +939,7 @@ object Retrieval {
       .agg(count(lit(1)).as("n_terms"),
         round(sum(col("wd")).cast("double"), 6).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
-      .limit(10)
+      .limit(k)
   }
 
   val bm25_probe_merged = GQuery(
@@ -1314,11 +1315,216 @@ object Retrieval {
     Some(bm25JoinOracle.replace("FROM documents",
       "FROM documents WHERE doc_id % 17 <> 3")))
 
+  /** The fused hybrid top-10 served off BOTH warm persisted indexes —
+    * the plan builder behind [[rrf_probe_persisted]] (exact, full
+    * probe) and [[rrf_probe_production]] (production nprobe). Lexical
+    * leg: [[bm25ProbePersistedFor]] widened to top-50 — the postings
+    * sliver IS the score>0 candidate set (a doc scores > 0 iff it
+    * carries ≥ 1 query term, and idf = ln(1+x) with x > 0 is always
+    * positive), so warm index and corpus scan rank the same docs.
+    * Semantic leg: [[graft.operators.AnnIndex.ivfProbePersisted]]
+    * top-50 for the fixed query vector (vec_id 0, self excluded by
+    * the probe kernel). Fusion is [[rrf_fusion]]'s exact-integer RRF
+    * verbatim: per-leg contribution 1000000 DIV (60 + rank), absent
+    * legs 0, BIGINT total — hash-stable by construction. Both rank
+    * windows run over ≤ 50 rows (bounded-domain exception). */
+  private def rrfFusedProbe(s: org.apache.spark.sql.SparkSession,
+      d: String, nprobe: Int): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val lex = bm25ProbePersistedFor(s, d, QueryTerms.toDF("term"), k = 50)
+    val sem = graft.operators.AnnIndex.ivfProbePersisted(s, d,
+      T.embeddings(s, d).filter($"vec_id" === 0L),
+      "vec_id", "embedding", k = 50, nprobe = nprobe)
+    rrfFuse(lex, sem)
+  }
+
+  /** [[rrf_fusion]]'s exact-integer RRF over a scored lexical top-50
+    * (doc_id, …, score) and an ANN top-50 (…, neighbor_id, rank, …):
+    * ranks assigned over the bounded leg outputs (≤ 50 rows each),
+    * per-leg contribution 1000000 DIV (60 + rank), absent legs 0. */
+  private def rrfFuse(lexTop: DataFrame, semTop: DataFrame): DataFrame = {
+    val lex = lexTop.select(col("doc_id"),
+      row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+        .as("lex_rank"))
+    val sem = semTop
+      .select(col("neighbor_id").as("doc_id"), col("rank").as("sem_rank"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rank"), col("sem_rank"),
+        (coalesce(expr("1000000 DIV (60 + lex_rank)"), lit(0L)) +
+          coalesce(expr("1000000 DIV (60 + sem_rank)"), lit(0L)))
+          .as("rrf_micro"))
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  /** Hybrid lexical+semantic RRF retrieval served ENTIRELY off both
+    * warm persisted indexes — the production RAG serving topology the
+    * two lifecycles exist for, now gated as one query: the BM25 leg
+    * reads the postings/dict/stats segments (pushed In(term), dl in
+    * the posting, broadcast slivers — zero corpus data), the ANN leg
+    * reads centroid metadata + the cell-partitioned codes segment
+    * (zero corpus-embedding scan; its only `embeddings` read is the
+    * 1-row query sliver), and the fused answer must STILL be what the
+    * cold corpus derives. At full probe the semantic leg is exact, so
+    * the oracle is [[rrf_fusion]]'s shape re-derived 100% from raw
+    * `documents`/`embeddings` — the same-oracle dual-path discipline
+    * (bm25_probe_persisted, cdc_apply) applied to the composed
+    * retrieval stack. The lexical oracle leg takes [[bm25JoinOracle]]'s
+    * DECIMAL(38,12) summation path (the probe's own arithmetic — the
+    * certified-equal twin of rrf_fusion's fixed-association double
+    * tree) widened to top-50. */
+  private[queries] val rrfProbeOracle = """
+      WITH q(term) AS (VALUES ('dup'), ('vector'), ('spark')),
+      toksed AS (
+        SELECT doc_id,
+               len(list_filter(string_split(lower(text), ' '),
+                               t -> t <> '')) AS dl,
+               unnest(list_filter(string_split(lower(text), ' '),
+                                  t -> t <> '')) AS term
+        FROM documents),
+      tfs AS (
+        SELECT t.doc_id, t.dl, t.term, COUNT(*) AS tf
+        FROM toksed t JOIN q USING (term)
+        GROUP BY t.doc_id, t.dl, t.term),
+      tfd AS (
+        SELECT doc_id, dl, term, tf,
+               COUNT(*) OVER (PARTITION BY term) AS df
+        FROM tfs),
+      stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS BIGINT) AS sum_dl
+        FROM (SELECT doc_id,
+                     len(list_filter(string_split(lower(text), ' '),
+                                     t -> t <> '')) AS dl
+              FROM documents)),
+      w AS (
+        SELECT tfd.doc_id,
+               CAST(
+                 ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)
+                           + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+                   * (CAST(tf AS DOUBLE) * 2.2)
+                   / (CAST(tf AS DOUBLE)
+                      + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                               / (CAST(sum_dl AS DOUBLE)
+                                  / CAST(n_docs AS DOUBLE))))
+                 AS DECIMAL(38,12)) AS wd
+        FROM tfd, stats),
+      lexs AS (
+        SELECT doc_id, ROUND(CAST(SUM(wd) AS DOUBLE), 6) AS score
+        FROM w GROUP BY doc_id),
+      lex AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                 AS INT) AS lex_rank
+        FROM lexs
+        ORDER BY score DESC, doc_id LIMIT 50),
+      qe AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      dots AS (
+        SELECT vec_id AS doc_id,
+               SUM(CAST(qv[i.i+1] AS DOUBLE) * CAST(embedding[i.i+1] AS DOUBLE)) AS dot,
+               SUM(CAST(qv[i.i+1] AS DOUBLE) * CAST(qv[i.i+1] AS DOUBLE)) AS nq,
+               SUM(CAST(embedding[i.i+1] AS DOUBLE) * CAST(embedding[i.i+1] AS DOUBLE)) AS nc
+        FROM embeddings, qe,
+             (SELECT CAST(range AS INT) AS i FROM range(64)) i
+        WHERE vec_id <> 0
+        GROUP BY vec_id),
+      sem AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (
+                 ORDER BY ROUND(dot / (SQRT(nq) * SQRT(nc)), 6) DESC,
+                          doc_id) AS INT) AS sem_rank
+        FROM dots
+        ORDER BY ROUND(dot / (SQRT(nq) * SQRT(nc)), 6) DESC, doc_id
+        LIMIT 50)
+      SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+             lex.lex_rank, sem.sem_rank,
+             CAST(COALESCE(1000000 // (60 + lex.lex_rank), 0)
+                + COALESCE(1000000 // (60 + sem.sem_rank), 0)
+                AS BIGINT) AS rrf_micro
+      FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+      ORDER BY rrf_micro DESC, doc_id LIMIT 10"""
+
+  val rrf_probe_persisted = GQuery(
+    "rrf_probe_persisted",
+    (s, d) => rrfFusedProbe(s, d,
+      nprobe = graft.operators.AnnIndex.NList),
+    Some(rrfProbeOracle))
+
+  /** The hybrid probe over the EVOLVING corpus — both legs served off
+    * their warm base ∪ delta split segments (the continuous-indexing
+    * steady state [[bm25_probe_merged]] / [[sim_ivf_probe_merged]]
+    * gate per-leg, here composed into the fused answer a RAG deployment
+    * actually returns): the lexical sliver unions base+delta postings
+    * with the stats headers SUMMED (df recomputed over the union —
+    * exactly a rebuild's statistics), the semantic leg unions
+    * base+delta cells under the FROZEN base-trained quantizer at full
+    * probe (lossless partition ⇒ still exact), and the fusion must
+    * land on [[rrf_probe_persisted]]'s oracle VERBATIM — base ∪ delta
+    * IS the corpus, so a single-segment index and a merged index must
+    * serve identical fused answers. */
+  val rrf_probe_merged = GQuery(
+    "rrf_probe_merged",
+    (s, d) => {
+      import s.implicits._
+      val tDir = graft.operators.IndexOps.splitSegmentDir(s, d)
+      val sliver = s.read.parquet(s"$tDir/base_postings")
+        .unionByName(s.read.parquet(s"$tDir/delta_postings"))
+        .filter($"term".isin(QueryTerms: _*))
+      val st = s.read.parquet(s"$tDir/base_stats")
+        .unionByName(s.read.parquet(s"$tDir/delta_stats"))
+        .agg(sum($"n_docs").as("n_docs"), sum($"sum_dl").as("sum_dl"))
+      val lex = bm25TopFromSliver(sliver, st, k = 50)
+      val A = graft.operators.AnnIndex
+      val seg = A.splitSegmentDir(s, d)
+      val sem = A.ivfProbe(T.embeddings(s, d).filter($"vec_id" === 0L),
+        "vec_id", "embedding", k = 50, nprobe = A.NList,
+        cents = A.loadCentroids(s, seg),
+        loadCells = cellSet =>
+          s.read.parquet(s"$seg/base_cells")
+            .unionByName(s.read.parquet(s"$seg/delta_cells"))
+            .where($"cell".isin(cellSet: _*)))
+      rrfFuse(lex, sem)
+    },
+    Some(rrfProbeOracle))
+
+  /** The hybrid probe at the PRODUCTION knob (nprobe = 4 of 16): the
+    * lexical leg stays exact (postings pruning is lossless), only the
+    * semantic leg degrades to the gated 60%-recall tier, and RRF's
+    * rank-dampened fusion must still land ≥ 50% of the exact fused
+    * top-10 — fused-quality is gated end to end, not inferred from the
+    * per-leg tiers (a leg-level recall bound does NOT automatically
+    * survive fusion: a lost semantic hit promotes a DIFFERENT doc into
+    * the heavily-tied RRF tail, so fused recall sits BELOW the sem
+    * leg's own tier — measured 8/10, 5/10, 7/10 at sf0.001/0.01/0.1,
+    * deterministic, hence the 50% floor: exact-lex × 60%-sem is
+    * exactly the composition argument sim_ivfpq_recall prices).
+    * Both fused sets compute in-plan; the contract booleans hash-check
+    * because every ingredient is deterministic (seeded quantizer,
+    * integer RRF). */
+  val rrf_probe_production = GQuery(
+    "rrf_probe_production",
+    (s, d) => {
+      import s.implicits._
+      val prod = rrfFusedProbe(s, d, nprobe = 4)
+        .select($"doc_id")
+      val exact = rrfFusedProbe(s, d,
+          nprobe = graft.operators.AnnIndex.NList)
+        .select($"doc_id")
+      val hits = prod.join(exact, Seq("doc_id"), "inner")
+        .agg(count(lit(1)).as("n_hits"))
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(broadcast(hits))
+        .select($"n_exact",
+          ($"n_hits" >= $"n_exact" * lit(0.5)).as("fused_recall_ok"))
+    },
+    Some("SELECT CAST(10 AS BIGINT) AS n_exact, TRUE AS fused_recall_ok"))
+
   val all: Seq[GQuery] =
     Seq(index_postings, bm25_topk, bm25_join_topk, phrase_query,
       conjunctive_query, rrf_fusion, substr_search_trgm, postings_delta,
       index_persist_build, bm25_probe_persisted, trgm_probe_persisted,
       index_ivm_merge, bm25_probe_merged, bm25_probe_tombstoned,
       index_compact, trgm_probe_merged, trgm_probe_tombstoned,
-      trgm_compact, bm25_probe_refresh, index_compact_warm)
+      trgm_compact, bm25_probe_refresh, index_compact_warm,
+      rrf_probe_persisted, rrf_probe_merged, rrf_probe_production)
 }

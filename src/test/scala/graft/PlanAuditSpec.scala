@@ -1061,4 +1061,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       "candidates must broadcast onto the corpus scan:\n" + p)
   }
+
+  test("r13b: rrf_probe_persisted is corpus-free on BOTH legs — no " +
+      "document scan, no tokenize, no quantizer training; query terms " +
+      "pushed into the postings segment, the only embeddings scan is " +
+      "the 1-row query-vector sliver, and the cells segment is read " +
+      "from the warm store") {
+    val p = plan("rrf_probe_persisted")
+    assert(!p.contains("documents"),
+      "the lexical leg leaked a corpus scan:\n" + p)
+    assert(p.contains("PushedFilters: [In(term, ["),
+      "query-term pushdown into the postings segment lost:\n" + p)
+    assert(p.contains("graft-ann-index"),
+      "the semantic leg never read the persisted ANN segment:\n" + p)
+    assert(p.contains("PartitionFilters: [cell") && p.contains("INSET"),
+      "static cell pruning lost on the cells segment scan:\n" + p)
+    // the only Generates permitted are the probed-cell explodes over
+    // the 1-row query sliver (main plan + its DPP subquery copy) —
+    // a corpus-side Generate would mean tokenization leaked back in
+    assert(p.split("\\) Generate").length - 1 <= 2,
+      "unexpected Generate beyond the query-sliver cell explode:\n" + p)
+    // every embeddings scan must be the fixed query vector's sliver
+    val embBlocks = p.split(raw"\(\d+\) Scan parquet").drop(1)
+      .filter(_.contains("embeddings.parquet"))
+    assert(embBlocks.nonEmpty, "no query sliver at all?\n" + p)
+    for (b <- embBlocks) {
+      val pf = b.linesIterator
+        .find(_.contains("PushedFilters")).getOrElse("")
+      assert(pf.contains("EqualTo(vec_id,0)"),
+        s"an embeddings scan without the query bound — the corpus " +
+          s"leaked into the fused probe plan: $pf\n" + p)
+    }
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
