@@ -203,7 +203,11 @@ object ScaleSweep {
     // (embeddings — whole-cycle priced: frozen-quantizer assignment +
     // retrain + full re-encode + brute-force reconciliation per run)
     "rrf_probe_persisted", "rrf_probe_merged", "rrf_probe_production",
-    "ann_retrain_apply")
+    "ann_retrain_apply",
+    // round-13 fifth wave: epoch-manifest time travel on both index
+    // lifecycles (documents / embeddings — two warm pruned probes per
+    // entry plus a metadata-sized manifest write; expected near-flat)
+    "bm25_probe_asof", "ann_probe_asof")
   // fk_violations is EXCLUDED: it joins customer/part, which MkScale
   // does not scale - a sweep would measure a mixed-scale plan.
   // pareto_frontier is excluded for the same reason (part-backed);

@@ -1888,6 +1888,52 @@ object Pipeline {
              TRUE AS balance_improved, TRUE AS probe_exact_ok
       FROM embeddings WHERE embedding IS NOT NULL AND vec_id % 10 = 7"""))
 
+  /** TIME-TRAVEL reads on the persisted ANN index — the
+    * [[Retrieval.bm25_probe_asof]] epoch-manifest discipline on the
+    * vector side: cell segments are immutable once committed, so an
+    * epoch-pinned probe reads exactly the manifest prefix's segment
+    * paths (the FAISS-sharded-index "which shards existed at T"
+    * question, answered by metadata, not data movement). Epoch 1 =
+    * base cells only (the corpus before the delta batch committed, so
+    * the top-k must equal brute force over BASE vectors — delta
+    * vectors are invisible even as near-perfect neighbors); epoch 2 =
+    * base ∪ delta (the full-corpus answer). Both probes share the
+    * frozen base-trained quantizer (full probe ⇒ exact regardless)
+    * and the probed-cell pruning pushes into every manifest-listed
+    * segment; the oracle re-derives both epochs from raw `embeddings`
+    * with the epoch's own filter. */
+  val ann_probe_asof = GQuery(
+    "ann_probe_asof",
+    (s, d) => graft.GQuery.withTempTable(s, "graft-ann-asof") { t =>
+      import s.implicits._
+      val A = graft.operators.AnnIndex
+      val seg = A.splitSegmentDir(s, d)
+      Seq((1, s"$seg/base_cells"), (2, s"$seg/delta_cells"))
+        .toDF("epoch", "path")
+        .coalesce(1).write.parquet(s"$t/manifest")
+      val cents = A.loadCentroids(s, seg)
+      def probeAsOf(epoch: Int) = A.ivfProbe(
+          T.embeddings(s, d).filter($"vec_id" < 10L),
+          "vec_id", "embedding", k = 5, nprobe = A.NList, cents = cents,
+          loadCells = cellSet =>
+            s.read.parquet(s"$t/manifest").filter($"epoch" <= epoch)
+              .collect()
+              .map(r => s.read.parquet(r.getAs[String]("path")))
+              .reduce(_ unionByName _)
+              .where($"cell".isin(cellSet: _*)))
+        .withColumn("epoch", lit(epoch))
+      probeAsOf(1).unionByName(probeAsOf(2))
+        .select($"epoch", $"query_id", $"neighbor_id", $"rank", $"cos")
+        .orderBy($"epoch", $"query_id", $"rank")
+    },
+    Some(s"""
+      SELECT 1 AS epoch, * FROM (${bruteTop5Vec10Oracle.replace(
+        "embedding AS cv FROM embeddings)",
+        "embedding AS cv FROM embeddings WHERE vec_id % 10 <> 7)")})
+      UNION ALL
+      SELECT 2 AS epoch, * FROM ($bruteTop5Vec10Oracle)
+      ORDER BY epoch, query_id, rank"""))
+
   /** IVF-PQ probe over the MERGED segments at full probe + full
     * rerank — the compressed path composed over the same base ∪ delta
     * union [[sim_ivf_probe_merged]] gates: the delta's PQ codes were
@@ -3912,6 +3958,7 @@ object Pipeline {
     ann_ivm_merge, sim_ivf_probe_merged, sim_ivfpq_probe_merged,
     ann_probe_tombstoned, ann_pq_probe_tombstoned, ann_compact,
     ann_probe_refresh, ann_compact_warm, ann_retrain_apply,
+    ann_probe_asof,
     text_tokens, text_quality, text_langid,
     text_fingerprint, text_pii_scrub, text_clean, text_repetition, decontaminate,
     decontaminate_bloom,

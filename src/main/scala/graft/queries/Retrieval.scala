@@ -1331,10 +1331,26 @@ object Retrieval {
   private def rrfFusedProbe(s: org.apache.spark.sql.SparkSession,
       d: String, nprobe: Int): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val lex = bm25ProbePersistedFor(s, d, QueryTerms.toDF("term"), k = 50)
+    hybridProbeFor(s, d, QueryTerms.toDF("term"),
+      T.embeddings(s, d).filter($"vec_id" === 0L), "vec_id", "embedding",
+      nprobe)
+  }
+
+  /** The fused-probe plan builder with BOTH leg queries as DATA — the
+    * [[bm25ProbePersistedFor]] discipline extended to the hybrid
+    * topology: terms arrive as any DataFrame's `term` column (bounded
+    * collect into the pushed In filter), the query vector as any
+    * 1-query DataFrame (its id/vector columns named by the caller —
+    * the probe kernel prunes cells from ITS embedding), so a new
+    * hybrid query never means a new plan-as-code. What a RAG
+    * coordinator hands the engine IS (terms, vector) — this is that
+    * call. */
+  private[graft] def hybridProbeFor(s: org.apache.spark.sql.SparkSession,
+      d: String, termsDf: DataFrame, queryDf: DataFrame, idCol: String,
+      vecCol: String, nprobe: Int): DataFrame = {
+    val lex = bm25ProbePersistedFor(s, d, termsDf, k = 50)
     val sem = graft.operators.AnnIndex.ivfProbePersisted(s, d,
-      T.embeddings(s, d).filter($"vec_id" === 0L),
-      "vec_id", "embedding", k = 50, nprobe = nprobe)
+      queryDf, idCol, vecCol, k = 50, nprobe = nprobe)
     rrfFuse(lex, sem)
   }
 
@@ -1519,6 +1535,57 @@ object Retrieval {
     },
     Some("SELECT CAST(10 AS BIGINT) AS n_exact, TRUE AS fused_recall_ok"))
 
+  /** TIME-TRAVEL reads on the persisted postings index — the Lucene
+    * commit-point / Iceberg-snapshot discipline applied to index
+    * serving (the [[graft.operators.Upsert]] upsert_time_travel
+    * precedent, moved from tables to segments): an index deployment
+    * appends a MANIFEST row per committed segment (epoch, path, kind)
+    * and a reader pins an epoch by selecting the manifest prefix — old
+    * segments are immutable, so "the index as of epoch N" is exactly
+    * "the segments the manifest listed at N", no data copied, no
+    * rewind machinery. The gate probes BOTH epochs of the warm split
+    * store through one manifest: epoch 1 (base segments only — the
+    * corpus before the delta batch committed) must reproduce BM25
+    * over the BASE docs, epoch 2 (manifest prefix now includes the
+    * delta) the full corpus — both re-derived by the oracle from raw
+    * `documents` with the epoch's own filter, never from segments.
+    * The manifest read is driver-side and bounded (segments-per-index
+    * metadata, the open()-step shape); each probe's plan is the
+    * standard pruned-sliver scan over exactly the manifest-listed
+    * paths. */
+  val bm25_probe_asof = GQuery(
+    "bm25_probe_asof",
+    (s, d) => graft.GQuery.withTempTable(s, "graft-seg-asof") { t =>
+      import s.implicits._
+      val seg = graft.operators.IndexOps.splitSegmentDir(s, d)
+      Seq((1, s"$seg/base_postings", "postings"),
+          (1, s"$seg/base_stats", "stats"),
+          (2, s"$seg/delta_postings", "postings"),
+          (2, s"$seg/delta_stats", "stats"))
+        .toDF("epoch", "path", "kind")
+        .coalesce(1).write.parquet(s"$t/manifest")
+      def probeAsOf(epoch: Int): DataFrame = {
+        val m = s.read.parquet(s"$t/manifest")
+          .filter($"epoch" <= epoch).collect()
+        def rd(kind: String) = m.filter(_.getAs[String]("kind") == kind)
+          .map(r => s.read.parquet(r.getAs[String]("path")))
+          .reduce(_ unionByName _)
+        val sliver = rd("postings").filter($"term".isin(QueryTerms: _*))
+        val st = rd("stats")
+          .agg(sum($"n_docs").as("n_docs"), sum($"sum_dl").as("sum_dl"))
+        bm25TopFromSliver(sliver, st).withColumn("epoch", lit(epoch))
+      }
+      probeAsOf(1).unionByName(probeAsOf(2))
+        .select($"epoch", $"doc_id", $"n_terms", $"score")
+        .orderBy($"epoch", $"score".desc, $"doc_id")
+    },
+    Some(s"""
+      SELECT 1 AS epoch, * FROM (${bm25JoinOracle.replace(
+        "FROM documents", "FROM documents WHERE doc_id % 10 <> 0")})
+      UNION ALL
+      SELECT 2 AS epoch, * FROM ($bm25JoinOracle)
+      ORDER BY epoch, score DESC, doc_id"""))
+
   val all: Seq[GQuery] =
     Seq(index_postings, bm25_topk, bm25_join_topk, phrase_query,
       conjunctive_query, rrf_fusion, substr_search_trgm, postings_delta,
@@ -1526,5 +1593,6 @@ object Retrieval {
       index_ivm_merge, bm25_probe_merged, bm25_probe_tombstoned,
       index_compact, trgm_probe_merged, trgm_probe_tombstoned,
       trgm_compact, bm25_probe_refresh, index_compact_warm,
-      rrf_probe_persisted, rrf_probe_merged, rrf_probe_production)
+      rrf_probe_persisted, rrf_probe_merged, rrf_probe_production,
+      bm25_probe_asof)
 }

@@ -1094,4 +1094,31 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("r13c: hybridProbeFor is query-AS-DATA on BOTH legs — a term " +
+      "table and a query vector the registry never saw yield the same " +
+      "corpus-free fused plan with THEIR terms in the pushed In and " +
+      "THEIR vector bound on every embeddings scan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val p = queries.Retrieval.hybridProbeFor(spark, sf,
+        Seq("table", "hash").toDF("term"),
+        Tables.embeddings(spark, sf).filter(col("vec_id") === 5L),
+        "vec_id", "embedding", nprobe = 4)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("documents"),
+      "the lexical leg must stay corpus-free for ANY query:\n" + p)
+    assert(p.contains("PushedFilters: [In(term, [hash,table])") ||
+      p.contains("PushedFilters: [In(term, [table,hash])"),
+      "the query table's OWN terms must reach the postings scan:\n" + p)
+    val embBlocks = p.split(raw"\(\d+\) Scan parquet").drop(1)
+      .filter(_.contains("embeddings.parquet"))
+    assert(embBlocks.nonEmpty, "no query sliver at all?\n" + p)
+    for (b <- embBlocks) {
+      val pf = b.linesIterator
+        .find(_.contains("PushedFilters")).getOrElse("")
+      assert(pf.contains("EqualTo(vec_id,5)"),
+        s"an embeddings scan without the caller's query bound: $pf\n" + p)
+    }
+  }
 }

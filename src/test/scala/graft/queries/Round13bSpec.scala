@@ -71,6 +71,30 @@ class Round13bSpec extends SparkSpec {
     assert(r(0).getBoolean(1), s"fused recall contract broke: ${r(0)}")
   }
 
+  test("the epoch-manifest probes time-travel correctly: epoch 2 ≡ " +
+      "the full-corpus answers in-engine, and epoch 1 never surfaces " +
+      "a delta doc/vector — segment immutability IS the snapshot") {
+    import spark.implicits._
+    val bm = Registry.queryMap("bm25_probe_asof")(spark, sf)
+    val bmE2 = bm.filter($"epoch" === 2).drop("epoch")
+      .collect().map(_.toSeq).toSeq
+    val cold = Registry.queryMap("bm25_join_topk")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(bmE2 == cold, "epoch-2 text probe diverged from the cold scan")
+    assert(bm.filter($"epoch" === 1 && $"doc_id" % 10 === 0).count() == 0,
+      "a delta doc surfaced in the epoch-1 snapshot")
+    val ann = Registry.queryMap("ann_probe_asof")(spark, sf)
+    val annE2 = ann.filter($"epoch" === 2).drop("epoch")
+      .collect().map(_.toSeq).toSeq
+    val full = Registry.queryMap("sim_ivf_fullprobe")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(annE2 == full,
+      "epoch-2 ANN probe diverged from the in-plan full probe")
+    assert(ann.filter($"epoch" === 1 && $"neighbor_id" % 10 === 7)
+      .count() == 0, "a delta vector surfaced in the epoch-1 snapshot")
+    assert(bmE2.nonEmpty && annE2.nonEmpty, "vacuous pin")
+  }
+
   test("ann_retrain_apply closes the decision loop: the drifted batch " +
       "fires the verdict, the rebuilt quantizer is balanced, and the " +
       "post-retrain full probe reproduces brute force") {
