@@ -207,7 +207,10 @@ object ScaleSweep {
     // round-13 fifth wave: epoch-manifest time travel on both index
     // lifecycles (documents / embeddings — two warm pruned probes per
     // entry plus a metadata-sized manifest write; expected near-flat)
-    "bm25_probe_asof", "ann_probe_asof")
+    "bm25_probe_asof", "ann_probe_asof",
+    // trigram time travel is whole-cycle priced (both segments
+    // re-derived per run — the trgm_probe_merged geometry)
+    "trgm_probe_asof")
   // fk_violations is EXCLUDED: it joins customer/part, which MkScale
   // does not scale - a sweep would measure a mixed-scale plan.
   // pareto_frontier is excluded for the same reason (part-backed);

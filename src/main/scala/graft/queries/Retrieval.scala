@@ -1586,6 +1586,71 @@ object Retrieval {
       SELECT 2 AS epoch, * FROM ($bm25JoinOracle)
       ORDER BY epoch, score DESC, doc_id"""))
 
+  /** TIME-TRAVEL reads on the trigram segment — completing the
+    * epoch-manifest discipline across all THREE index lifecycles
+    * (postings: [[bm25_probe_asof]]; ANN cells:
+    * [[Pipeline.ann_probe_asof]]; trigrams: here), the same way r13b
+    * completed the 3-lifecycle × 6-leg build/probe/merge/delete/
+    * compact/stream matrix. Base and delta trigram segments derive
+    * once in the timed body (whole-cycle priced, the
+    * trgm_probe_merged geometry), the manifest pins each epoch to its
+    * immutable segment prefix, and both epoch probes run the standard
+    * pushed-In(g) all-4-trigrams candidate plan with the broadcast
+    * verify fetch — candidates only name epoch docs (a doc absent
+    * from the epoch's segments has no postings), so the fetch result
+    * is epoch-consistent against the one full corpus scan. Oracle:
+    * the naive-LIKE scan over each epoch's filtered corpus — no
+    * trigram, no segment, no manifest anywhere in the SQL. */
+  val trgm_probe_asof = GQuery(
+    "trgm_probe_asof",
+    (s, d) => graft.GQuery.withTempTable(s, "graft-trgm-asof") { t =>
+      import s.implicits._
+      val pat = "ash jo"
+      val patTrgs = pat.sliding(3).toSeq.distinct
+      def trgmsOf(dd: DataFrame) =
+        dd.select($"doc_id", explode(expr(
+          "transform(sequence(1, greatest(length(text) - 2, 1))," +
+            " i -> substring(text, i, 3))")).as("g"))
+          .distinct()
+      val docs = T.documents(s, d)
+      trgmsOf(docs.filter($"doc_id" % 10L =!= 0L))
+        .repartitionByRange($"g", $"doc_id")
+        .sortWithinPartitions("g", "doc_id")
+        .write.parquet(s"$t/base_trgm")
+      trgmsOf(docs.filter($"doc_id" % 10L === 0L))
+        .write.parquet(s"$t/delta_trgm")
+      Seq((1, s"$t/base_trgm"), (2, s"$t/delta_trgm"))
+        .toDF("epoch", "path")
+        .coalesce(1).write.parquet(s"$t/manifest")
+      def probeAsOf(epoch: Int): DataFrame = {
+        val seg = s.read.parquet(s"$t/manifest")
+          .filter($"epoch" <= epoch).collect()
+          .map(r => s.read.parquet(r.getAs[String]("path")))
+          .reduce(_ unionByName _)
+        val cands = seg.filter($"g".isin(patTrgs: _*))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("ng"))
+          .filter($"ng" === patTrgs.size.toLong)
+          .select($"doc_id")
+        docs.join(broadcast(cands), Seq("doc_id"))
+          .filter($"text".contains(pat))
+          .select($"doc_id",
+            ((length($"text") - length(replace($"text", lit(pat)))) /
+              lit(pat.length)).cast("long").as("n_occurrences"))
+          .withColumn("epoch", lit(epoch))
+      }
+      probeAsOf(1).unionByName(probeAsOf(2))
+        .select($"epoch", $"doc_id", $"n_occurrences")
+        .orderBy($"epoch", $"doc_id")
+    },
+    Some(s"""
+      SELECT 1 AS epoch, * FROM (${trgmOracle.replace(
+        "WHERE contains(text, 'ash jo')",
+        "WHERE doc_id % 10 <> 0 AND contains(text, 'ash jo')")})
+      UNION ALL
+      SELECT 2 AS epoch, * FROM ($trgmOracle)
+      ORDER BY epoch, doc_id"""))
+
   val all: Seq[GQuery] =
     Seq(index_postings, bm25_topk, bm25_join_topk, phrase_query,
       conjunctive_query, rrf_fusion, substr_search_trgm, postings_delta,
@@ -1594,5 +1659,5 @@ object Retrieval {
       index_compact, trgm_probe_merged, trgm_probe_tombstoned,
       trgm_compact, bm25_probe_refresh, index_compact_warm,
       rrf_probe_persisted, rrf_probe_merged, rrf_probe_production,
-      bm25_probe_asof)
+      bm25_probe_asof, trgm_probe_asof)
 }

@@ -93,6 +93,17 @@ class Round13bSpec extends SparkSpec {
     assert(ann.filter($"epoch" === 1 && $"neighbor_id" % 10 === 7)
       .count() == 0, "a delta vector surfaced in the epoch-1 snapshot")
     assert(bmE2.nonEmpty && annE2.nonEmpty, "vacuous pin")
+    val tg = Registry.queryMap("trgm_probe_asof")(spark, sf)
+    val tgE2 = tg.filter($"epoch" === 2).drop("epoch")
+      .collect().map(_.toSeq).toSeq
+    val naive = Registry.queryMap("substr_search_trgm")(spark, sf)
+      .select($"doc_id", $"n_occurrences")
+      .collect().map(_.toSeq).toSeq
+    assert(tgE2 == naive,
+      "epoch-2 trigram probe diverged from the in-plan substring search")
+    assert(tg.filter($"epoch" === 1 && $"doc_id" % 10 === 0).count() == 0,
+      "a delta doc surfaced in the epoch-1 trigram snapshot")
+    assert(tgE2.nonEmpty, "no substring hits — the trigram pin is vacuous")
   }
 
   test("ann_retrain_apply closes the decision loop: the drifted batch " +
