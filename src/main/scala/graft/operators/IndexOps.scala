@@ -66,6 +66,8 @@ object IndexOps {
     scala.collection.concurrent.TrieMap.empty[String, String]
   private val splitCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
+  private val trgmSplitCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** Pricing hook (ScaleSweep): forget the memoized segment paths so
     * the next probe re-derives — a sweep that wants to price the
@@ -79,9 +81,11 @@ object IndexOps {
     * dir under the temp root until JVM exit — real disk pressure at
     * large SFs. */
   def resetIndexCache(): Unit = {
-    (postingsCache.values ++ trgmCache.values ++ splitCache.values)
+    (postingsCache.values ++ trgmCache.values ++ splitCache.values ++
+        trgmSplitCache.values)
       .foreach { dir => deleteTree(java.nio.file.Paths.get(dir)) }
     postingsCache.clear(); trgmCache.clear(); splitCache.clear()
+    trgmSplitCache.clear()
   }
 
   private def deleteTree(p: java.nio.file.Path): Unit = {
@@ -183,6 +187,39 @@ object IndexOps {
 
   def stats(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"${segmentDir(s, d)}/stats")
+
+  /** Memoized SPLIT trigram segments (VERDICT-r13 "what's missing"
+    * #2 — the last lifecycle without a warm split store): the corpus
+    * doc-disjoint-partitioned into a base trigram segment (90%,
+    * doc_id % 10 ≠ 0, range-partitioned on (g, doc_id) — the
+    * [[trigrams]] layout) and the delta's segment, derived once per
+    * (JVM, sf dir). The trigram merged/compact/asof/stream gates
+    * price whole-cycle deliberately (both segments re-derived per
+    * timed body — the 6.7–7.8× decade rows); the warm twins
+    * (`trgm_probe_refresh`, `trgm_compact_warm`) and the asof reader
+    * read THIS store so the steady-state legs are measured alone,
+    * exactly the [[splitSegmentDir]] discipline on the postings
+    * side. */
+  def trgmSplitSegmentDir(s: SparkSession, d: String): String =
+    trgmSplitCache.getOrElseUpdate(d, {
+      val out = indexRoot
+        .resolve(java.util.UUID.randomUUID().toString).toString
+      val docs = graft.Tables.documents(s, d)
+      def trgmsOf(dd: DataFrame): DataFrame =
+        dd.select(col("doc_id"), explode(expr(
+          "transform(sequence(1, greatest(length(text) - 2, 1))," +
+            " i -> substring(text, i, 3))")).as("g"))
+          .distinct()
+      trgmsOf(docs.filter(col("doc_id") % 10L =!= 0L))
+        .repartitionByRange(col("g"), col("doc_id"))
+        .sortWithinPartitions("g", "doc_id")
+        .write.parquet(s"$out/base_trgm")
+      trgmsOf(docs.filter(col("doc_id") % 10L === 0L))
+        .repartitionByRange(col("g"), col("doc_id"))
+        .sortWithinPartitions("g", "doc_id")
+        .write.parquet(s"$out/delta_trgm")
+      out
+    })
 
   /** Derive-once distinct trigram postings (separate cache so BM25
     * probes never pay the trigram build). The generator is the same

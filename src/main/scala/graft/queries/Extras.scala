@@ -703,29 +703,30 @@ object Extras {
     * (e·frames ≥ Σe·cnt), bands = 16-bit packs. range(95) covers the
     * max frame count (64 + len%32 ≤ 95, the mm_audio_downsample
     * bound). */
-  private def audioHashSql(catalogCte: String): String = s"""
-      WITH c AS ($catalogCte),
-      fr AS (
+  /** `p` prefixes every CTE name (see [[phashSql]]). */
+  private def audioHashSql(catalogCte: String, p: String = ""): String = s"""
+      WITH ${p}c AS ($catalogCte),
+      ${p}fr AS (
         SELECT id, frames, (f.range * 64) // frames AS k,
                ABS(((31 * (f.range * ch) * (f.range * ch) + seed)
                      % 65536) - 32768) AS av
-        FROM c, range(95) f WHERE f.range < frames),
-      win AS (
+        FROM ${p}c, range(95) f WHERE f.range < frames),
+      ${p}win AS (
         SELECT id, frames, k, CAST(SUM(av) AS BIGINT) AS e,
                CAST(COUNT(*) AS BIGINT) AS cnt
-        FROM fr GROUP BY id, frames, k),
-      tot AS (SELECT id, CAST(SUM(e) AS BIGINT) AS t
-              FROM win GROUP BY id),
-      bits AS (
+        FROM ${p}fr GROUP BY id, frames, k),
+      ${p}tot AS (SELECT id, CAST(SUM(e) AS BIGINT) AS t
+              FROM ${p}win GROUP BY id),
+      ${p}bits AS (
         SELECT w.id, w.k,
-               CASE WHEN w.e * w.frames >= tot.t * w.cnt
+               CASE WHEN w.e * w.frames >= ${p}tot.t * w.cnt
                     THEN 1 ELSE 0 END AS bit
-        FROM win w JOIN tot ON w.id = tot.id),
-      bandv AS (
+        FROM ${p}win w JOIN ${p}tot ON w.id = ${p}tot.id),
+      ${p}bandv AS (
         SELECT id, k // 16 AS bk,
                CAST(SUM((CAST(1 AS BIGINT) << (k % 16)) * bit)
                  AS BIGINT) AS bv
-        FROM bits GROUP BY id, k // 16)"""
+        FROM ${p}bits GROUP BY id, k // 16)"""
 
   private val audioCatalog = """
         SELECT doc_id AS id,
@@ -1031,37 +1032,39 @@ object Extras {
     * f DIV pershot, per-frame bit = 64·g ≥ Σg (the plane IS the 8×8
     * grid at the fixture geometry), 16-bit band packs. range(24)
     * covers the max frame count ((2+2)·(4+2)). */
-  private def videoHashSql(catalogCte: String): String = s"""
-      WITH c AS ($catalogCte),
-      fr AS (
+  /** `p` prefixes every CTE name (see [[phashSql]]). */
+  private def videoHashSql(catalogCte: String, p: String = ""): String = s"""
+      WITH ${p}c AS ($catalogCte),
+      ${p}fr AS (
         SELECT id, seed, shots * pershot AS nf, f.range AS f,
                f.range // pershot AS s
-        FROM c, range(24) f WHERE f.range < shots * pershot),
-      px AS (
+        FROM ${p}c, range(24) f WHERE f.range < shots * pershot),
+      ${p}px AS (
         SELECT id, nf, f, j.range AS j,
                (7 * j.range * (s + 1) + seed + 97 * s) % 256 AS g
-        FROM fr, range(64) j),
-      tot AS (SELECT id, f, CAST(SUM(g) AS BIGINT) AS t
-              FROM px GROUP BY id, f),
-      bits AS (
+        FROM ${p}fr, range(64) j),
+      ${p}tot AS (SELECT id, f, CAST(SUM(g) AS BIGINT) AS t
+              FROM ${p}px GROUP BY id, f),
+      ${p}bits AS (
         SELECT px.id, px.nf, px.f, px.j,
                CASE WHEN 64 * px.g >= tot.t THEN 1 ELSE 0 END AS bit
-        FROM px JOIN tot ON px.id = tot.id AND px.f = tot.f),
-      bandv AS (
+        FROM ${p}px px JOIN ${p}tot tot
+          ON px.id = tot.id AND px.f = tot.f),
+      ${p}bandv AS (
         SELECT id, nf, f, j // 16 AS bk,
                CAST(SUM((CAST(1 AS BIGINT) << (j % 16)) * bit)
                  AS BIGINT) AS bv
-        FROM bits GROUP BY id, nf, f, j // 16),
-      fh AS (
+        FROM ${p}bits GROUP BY id, nf, f, j // 16),
+      ${p}fh AS (
         SELECT id, nf, f,
                MAX(CASE WHEN bk = 0 THEN bv END) AS b0,
                MAX(CASE WHEN bk = 1 THEN bv END) AS b1,
                MAX(CASE WHEN bk = 2 THEN bv END) AS b2,
                MAX(CASE WHEN bk = 3 THEN bv END) AS b3
-        FROM bandv GROUP BY id, nf, f),
-      ones AS (
+        FROM ${p}bandv GROUP BY id, nf, f),
+      ${p}ones AS (
         SELECT id, f, CAST(SUM(bit) AS BIGINT) AS n_ones
-        FROM bits GROUP BY id, f)"""
+        FROM ${p}bits GROUP BY id, f)"""
 
   private val videoCatalog = """
         SELECT doc_id AS id,
@@ -1369,6 +1372,248 @@ object Extras {
              SUM(CASE WHEN vham <= 3 THEN 1 ELSE 0 END) * 10
                >= COUNT(*) * 9 AS recall_ok
       FROM vham"""))
+
+  /** The MULTIMODAL corpus release in ONE oracle-gated plan
+    * (VERDICT-r13 "what's missing" #5): [[Pipeline.corpus_release_e2e]]
+    * composes the text pipeline, but the modality dedup verdicts
+    * (mm_dedup_{phash,audio,video}_canonical) never drove a composed
+    * keep/drop decision — this gate is that release. The corpus is a
+    * content-addressable media store (one synthetic payload per
+    * generator id, hashed ONCE per modality through the REAL decode
+    * paths — PPM→aHash, WAVE→energy hash, y4m→keyframe frame-hash);
+    * docs reference payloads through per-modality mappings, with
+    * planted re-uploads (image: doc_id%10=6 references doc_id−1's
+    * payload; audio: %7=4 → −2; video: %13=9 → −3 — disjoint partner
+    * rules so the modality drop sets genuinely differ, and no partner
+    * is itself remapped in the same modality). Keep/drop per
+    * modality: exact-fingerprint classes collapse (canonical = min
+    * doc), non-canonical members DROP; the image tier additionally
+    * drops every class whose canonical pairs at Hamming ≤ 3 with a
+    * smaller-canon class (the mm_dedup_phash_canonical near-dup tier
+    * driving a decision — banded pigeonhole join on the Spark side,
+    * brute-force class pairs in the oracle: two algorithms, one drop
+    * set). The text tier is [[Pipeline.corpus_release_e2e]]'s steep
+    * near-dup rule verbatim (verified Jaccard ≥ 0.8, larger member
+    * drops). Output: one row per doc with the four drop verdicts and
+    * the final kept flag — any wrongly kept/dropped doc in ANY
+    * modality breaks the hash.
+    *
+    * Scale shape: hashing is scan-bound (one decode per payload, no
+    * shuffle before the per-payload row); classes are map-side
+    * combinable aggregates; the banded join runs over the CLASS
+    * table (bounded by content diversity, not corpus size); the drop
+    * sets broadcast back onto the doc spine. */
+  val mm_release_e2e = GQuery(
+    "mm_release_e2e",
+    (s, d) => {
+      import s.implicits._
+      import graft.operators.Dedup
+      val docs = T.documents(s, d).select($"doc_id", $"text")
+      // the media store: one payload per generator id, hashed once
+      val imgH = Multimodal.perceptualHash(
+          Multimodal.toPpm(docs, "doc_id", "text"))
+        .select($"media_id", $"b0", $"b1", $"b2", $"b3")
+      val audH = Multimodal.audioHash(
+          Multimodal.toWavChirp(docs, "doc_id", "text"))
+        .select($"media_id", $"b0", $"b1", $"b2", $"b3")
+      val fh = Multimodal.videoFrameHash(
+        Multimodal.toY4m(docs, "doc_id", "text"))
+      val nf = fh.groupBy($"media_id").agg(count(lit(1)).as("nf"))
+      val vidH = fh.join(nf, Seq("media_id"))
+        .filter($"frame_idx" === ($"nf" / 2).cast("int"))
+        .select($"media_id", $"b0", $"b1", $"b2", $"b3")
+      // docs reference payloads: planted re-uploads borrow a partner's
+      def mapped(h: org.apache.spark.sql.DataFrame,
+          cond: org.apache.spark.sql.Column,
+          partner: org.apache.spark.sql.Column) =
+        docs.select($"doc_id",
+            when(cond, partner).otherwise($"doc_id").as("media_id"))
+          .join(h, Seq("media_id")).drop("media_id")
+      val iDoc = mapped(imgH, $"doc_id" % 10 === 6, $"doc_id" - 1)
+      val aDoc = mapped(audH, $"doc_id" % 7 === 4, $"doc_id" - 2)
+      val vDoc = mapped(vidH, $"doc_id" % 13 === 9, $"doc_id" - 3)
+      def classesOf(dd: org.apache.spark.sql.DataFrame) =
+        dd.groupBy($"b0", $"b1", $"b2", $"b3")
+          .agg(min($"doc_id").as("canon"))
+      // image near-dup tier: banded Hamming ≤ 3 over the class table;
+      // a class pairing with a smaller-canon class drops WHOLE
+      val iCls = classesOf(iDoc).localCheckpoint()
+      val bands = iCls.select($"canon",
+        posexplode(array($"b0", $"b1", $"b2", $"b3")).as(Seq("bk", "bv")))
+      val hx = iCls.select($"canon", $"b0", $"b1", $"b2", $"b3")
+      val victims = bands.alias("a").join(bands.alias("b"),
+          col("a.bk") === col("b.bk") && col("a.bv") === col("b.bv") &&
+            col("a.canon") < col("b.canon"))
+        .select(col("a.canon").as("c1"), col("b.canon").as("c2"))
+        .distinct()
+        .join(hx.toDF("c1", "a0", "a1", "a2", "a3"), "c1")
+        .join(hx.toDF("c2", "x0", "x1", "x2", "x3"), "c2")
+        .filter((bit_count($"a0".bitwiseXOR($"x0")) +
+          bit_count($"a1".bitwiseXOR($"x1")) +
+          bit_count($"a2".bitwiseXOR($"x2")) +
+          bit_count($"a3".bitwiseXOR($"x3"))).cast("long") <= 3L)
+        .select($"c2".as("canon")).distinct()
+        .withColumn("victim", lit(true))
+      val iDrop = iDoc.join(iCls, Seq("b0", "b1", "b2", "b3"))
+        .join(victims, Seq("canon"), "left")
+        .filter($"doc_id" > $"canon" ||
+          coalesce($"victim", lit(false)))
+        .select($"doc_id")
+      def exactDrop(dd: org.apache.spark.sql.DataFrame) =
+        dd.join(classesOf(dd), Seq("b0", "b1", "b2", "b3"))
+          .filter($"doc_id" > $"canon").select($"doc_id")
+      val aDrop = exactDrop(aDoc)
+      val vDrop = exactDrop(vDoc)
+      // text tier: the corpus_release_e2e steep near-dup rule verbatim
+      val tDrop = Dedup.verifiedNearDups(docs, "doc_id", "text", 0.8,
+          numHashes = 16, bandSize = 4)
+        .select($"d2".as("doc_id")).distinct()
+      def flag(dd: org.apache.spark.sql.DataFrame, name: String) =
+        broadcast(dd.withColumn(name, lit(true)))
+      docs.select($"doc_id")
+        .join(flag(iDrop, "di"), Seq("doc_id"), "left")
+        .join(flag(aDrop, "da"), Seq("doc_id"), "left")
+        .join(flag(vDrop, "dv"), Seq("doc_id"), "left")
+        .join(flag(tDrop, "dt"), Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"di", lit(false)).as("drop_img"),
+          coalesce($"da", lit(false)).as("drop_aud"),
+          coalesce($"dv", lit(false)).as("drop_vid"),
+          coalesce($"dt", lit(false)).as("drop_txt"),
+          (!coalesce($"di", lit(false)) && !coalesce($"da", lit(false)) &&
+            !coalesce($"dv", lit(false)) && !coalesce($"dt", lit(false)))
+            .as("kept"))
+        .orderBy($"doc_id")
+    },
+    Some {
+      val imgCatalog = """
+        SELECT doc_id AS id,
+               CAST(8 + doc_id % 8 AS BIGINT) AS w,
+               CAST(8 + octet_length(encode(text)) % 5 AS BIGINT) AS h,
+               13 * doc_id AS seed
+        FROM documents"""
+      val mins = (0 until 16).map(p =>
+        s"MIN(substr(m, ${p * 8 + 1}, 8)) AS h$p").mkString(", ")
+      val txtBands = (0 until 4).map { b =>
+        val key = (0 until 4).map(j => s"h${b * 4 + j}")
+          .mkString(s"'$b:' || ", " || ':' || ", "")
+        val sel = s"SELECT doc_id, md5($key) AS bk FROM txt_sig"
+        if (b == 0) sel else s"UNION ALL $sel"
+      }.mkString(" ")
+      phashSql(imgCatalog, "img_") + "," +
+        audioHashSql(audioCatalog, "aud_").replaceFirst("WITH ", "") +
+        "," +
+        videoHashSql(videoCatalog, "vid_").replaceFirst("WITH ", "") +
+        s""",
+      txt_toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      txt_sh AS (
+        SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        FROM txt_toks, LATERAL (SELECT UNNEST(range(1, len(t) - 1))
+          AS i) u),
+      txt_hx AS (
+        SELECT doc_id, sh,
+               md5(sh) || md5(reverse(sh)) || md5(sh || '#')
+                 || md5('#' || sh) AS m
+        FROM txt_sh),
+      txt_sig AS (SELECT doc_id, $mins FROM txt_hx GROUP BY doc_id),
+      txt_bands AS ($txtBands),
+      txt_cands AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM txt_bands a JOIN txt_bands b
+          ON a.bk = b.bk AND a.doc_id < b.doc_id),
+      txt_sets AS (
+        SELECT doc_id, list_distinct(list(sh)) AS shset
+        FROM txt_sh GROUP BY doc_id),
+      txt_drop AS (
+        SELECT DISTINCT d2 AS doc_id
+        FROM txt_cands JOIN txt_sets x ON d1 = x.doc_id
+                       JOIN txt_sets y ON d2 = y.doc_id
+        WHERE len(x.shset) + len(y.shset)
+              - len(list_intersect(x.shset, y.shset)) > 0
+          AND CAST(len(list_intersect(x.shset, y.shset)) AS DOUBLE) /
+              CAST(len(x.shset) + len(y.shset)
+                   - len(list_intersect(x.shset, y.shset)) AS DOUBLE)
+              >= 0.8),
+      imgh AS (
+        SELECT id,
+               MAX(CASE WHEN bk = 0 THEN bv END) AS b0,
+               MAX(CASE WHEN bk = 1 THEN bv END) AS b1,
+               MAX(CASE WHEN bk = 2 THEN bv END) AS b2,
+               MAX(CASE WHEN bk = 3 THEN bv END) AS b3
+        FROM img_bandv GROUP BY id),
+      audh AS (
+        SELECT id,
+               MAX(CASE WHEN bk = 0 THEN bv END) AS b0,
+               MAX(CASE WHEN bk = 1 THEN bv END) AS b1,
+               MAX(CASE WHEN bk = 2 THEN bv END) AS b2,
+               MAX(CASE WHEN bk = 3 THEN bv END) AS b3
+        FROM aud_bandv GROUP BY id),
+      vidh AS (
+        SELECT id, b0, b1, b2, b3 FROM vid_fh WHERE f = nf // 2),
+      imap AS (
+        SELECT doc_id, CASE WHEN doc_id % 10 = 6 THEN doc_id - 1
+                            ELSE doc_id END AS gid
+        FROM documents),
+      idoc AS (
+        SELECT m.doc_id, h.b0, h.b1, h.b2, h.b3
+        FROM imap m JOIN imgh h ON h.id = m.gid),
+      iclass AS (
+        SELECT b0, b1, b2, b3, MIN(doc_id) AS canon
+        FROM idoc GROUP BY b0, b1, b2, b3),
+      ivictim AS (
+        SELECT DISTINCT b.canon FROM iclass a JOIN iclass b
+          ON a.canon < b.canon
+        WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+            + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+            <= 3),
+      idrop AS (
+        SELECT d.doc_id FROM idoc d JOIN iclass c
+          ON d.b0 = c.b0 AND d.b1 = c.b1 AND d.b2 = c.b2
+             AND d.b3 = c.b3
+        WHERE d.doc_id > c.canon
+           OR c.canon IN (SELECT canon FROM ivictim)),
+      amap AS (
+        SELECT doc_id, CASE WHEN doc_id % 7 = 4 THEN doc_id - 2
+                            ELSE doc_id END AS gid
+        FROM documents),
+      adoc AS (
+        SELECT m.doc_id, h.b0, h.b1, h.b2, h.b3
+        FROM amap m JOIN audh h ON h.id = m.gid),
+      aclass AS (
+        SELECT b0, b1, b2, b3, MIN(doc_id) AS canon
+        FROM adoc GROUP BY b0, b1, b2, b3),
+      adrop AS (
+        SELECT d.doc_id FROM adoc d JOIN aclass c
+          ON d.b0 = c.b0 AND d.b1 = c.b1 AND d.b2 = c.b2
+             AND d.b3 = c.b3
+        WHERE d.doc_id > c.canon),
+      vmap AS (
+        SELECT doc_id, CASE WHEN doc_id % 13 = 9 THEN doc_id - 3
+                            ELSE doc_id END AS gid
+        FROM documents),
+      vdoc AS (
+        SELECT m.doc_id, h.b0, h.b1, h.b2, h.b3
+        FROM vmap m JOIN vidh h ON h.id = m.gid),
+      vclass AS (
+        SELECT b0, b1, b2, b3, MIN(doc_id) AS canon
+        FROM vdoc GROUP BY b0, b1, b2, b3),
+      vdrop AS (
+        SELECT d.doc_id FROM vdoc d JOIN vclass c
+          ON d.b0 = c.b0 AND d.b1 = c.b1 AND d.b2 = c.b2
+             AND d.b3 = c.b3
+        WHERE d.doc_id > c.canon)
+      SELECT d.doc_id,
+             d.doc_id IN (SELECT doc_id FROM idrop) AS drop_img,
+             d.doc_id IN (SELECT doc_id FROM adrop) AS drop_aud,
+             d.doc_id IN (SELECT doc_id FROM vdrop) AS drop_vid,
+             d.doc_id IN (SELECT doc_id FROM txt_drop) AS drop_txt,
+             NOT (d.doc_id IN (SELECT doc_id FROM idrop)
+               OR d.doc_id IN (SELECT doc_id FROM adrop)
+               OR d.doc_id IN (SELECT doc_id FROM vdrop)
+               OR d.doc_id IN (SELECT doc_id FROM txt_drop)) AS kept
+      FROM documents d ORDER BY doc_id"""
+    })
 
   /** HLL approx-distinct with its accuracy contract hash-checked: the
     * oracle pins the exact count, and the boolean asserts the ±2%-rsd
@@ -2272,30 +2517,33 @@ object Extras {
     * rebuilt relationally: sampled byte index base = 7·(3·(sy·w+sx))
     * + seed with sy = y·h//8, sx = x·w//8, g = Σ of three consecutive
     * sawtooth bytes, bit = 64·g ≥ Σg, bands = 16-bit packs. */
-  private def phashSql(catalogCte: String): String = s"""
-      WITH c AS ($catalogCte),
-      cell AS (
+  /** `p` prefixes every CTE name so several modality chains can share
+    * one WITH clause (the composed-release oracle); default "" keeps
+    * the single-modality oracles byte-identical. */
+  private def phashSql(catalogCte: String, p: String = ""): String = s"""
+      WITH ${p}c AS ($catalogCte),
+      ${p}cell AS (
         SELECT id, w, h, seed,
                j.range // 8 AS y, j.range % 8 AS x
-        FROM c, range(64) j),
-      gcell AS (
+        FROM ${p}c, range(64) j),
+      ${p}gcell AS (
         SELECT id, y * 8 + x AS idx,
                (b % 256) + ((b + 7) % 256) + ((b + 14) % 256) AS g
         FROM (
           SELECT id, y, x,
                  7 * (3 * ((y * h // 8) * w + (x * w // 8))) + seed
                    AS b
-          FROM cell)),
-      tot AS (SELECT id, SUM(g) AS t FROM gcell GROUP BY id),
-      bits AS (
+          FROM ${p}cell)),
+      ${p}tot AS (SELECT id, SUM(g) AS t FROM ${p}gcell GROUP BY id),
+      ${p}bits AS (
         SELECT g.id, g.idx,
-               CASE WHEN g.g * 64 >= tot.t THEN 1 ELSE 0 END AS bit
-        FROM gcell g JOIN tot ON g.id = tot.id),
-      bandv AS (
+               CASE WHEN g.g * 64 >= ${p}tot.t THEN 1 ELSE 0 END AS bit
+        FROM ${p}gcell g JOIN ${p}tot ON g.id = ${p}tot.id),
+      ${p}bandv AS (
         SELECT id, idx // 16 AS bk,
                CAST(SUM((CAST(1 AS BIGINT) << (idx % 16)) * bit)
                  AS BIGINT) AS bv
-        FROM bits GROUP BY id, idx // 16)"""
+        FROM ${p}bits GROUP BY id, idx // 16)"""
 
   /** Per-image perceptual hash — the decode→sample→threshold pipeline
     * gated bit-for-bit against a pure-SQL rebuild of the raster
@@ -2524,7 +2772,7 @@ object Extras {
     mm_audio_hash, mm_dedup_audio_canonical,
     mm_phash_shift_recall, mm_audio_gain_recall,
     mm_video_meta, mm_video_frame_hash, mm_video_scenecut,
-    mm_dedup_video_canonical, mm_video_shift_recall,
+    mm_dedup_video_canonical, mm_video_shift_recall, mm_release_e2e,
     agg_approx_distinct, ml_kmeans_profiles, ml_kmeans_contract,
     ml_quadfit_contract, ml_pca_contract, set_ops, w2_rank_lag,
     j6_outer_join, asof_attribution, asof_forward, asof_nearest,

@@ -1821,11 +1821,27 @@ object Pipeline {
     * (b) balance strictly improved (max-cell share dropped), and
     * (c) the full probe over the rebuilt segment still reproduces the
     * exhaustive brute-force scan row-for-row IN-PLAN — retraining
-    * moved cell boundaries, never vectors. Booleans hash-check because
-    * every ingredient is deterministic (seeded Lloyd, hash-ordered
-    * sample); the oracle contributes the data-derived batch size and
-    * pins the contract (the ml_kmeans_contract idiom — Lloyd itself is
-    * not SQL-expressible). */
+    * moved cell boundaries, never vectors.
+    *
+    * Population asymmetry, deliberate (ADVICE-r13): `pre_retrain_needed`
+    * /`pre_ratio` are computed over the ARRIVAL BATCH alone — that is
+    * the population [[Streaming.stream_ann_retrain]]'s monitor actually
+    * thresholds (drift detection watches arrivals; by the time the full
+    * index dilutes the clump below the threshold the damage is already
+    * committed) — while `post_*` are over the full rebuilt index. The
+    * two ratios are therefore NOT commensurate, and `balance_improved`
+    * (post < pre) largely reflects batch-vs-index dilution: a 10%
+    * batch concentrated in one cell is ~15% of the full index, already
+    * under the 25% threshold, so `post_retrain_needed = false` would
+    * hold near-vacuously even for a weak retrain. The gate's real
+    * strength is `probe_exact_ok` (the rebuilt segment still serves
+    * exact answers) plus the batch-population verdict; Round14Spec
+    * measures BOTH populations' pre/post ratios at the test SF so the
+    * commensurate comparison is on record as numbers. Booleans
+    * hash-check because every ingredient is deterministic (seeded
+    * Lloyd, hash-ordered sample); the oracle contributes the
+    * data-derived batch size and pins the contract (the
+    * ml_kmeans_contract idiom — Lloyd itself is not SQL-expressible). */
   val ann_retrain_apply = GQuery(
     "ann_retrain_apply",
     (s, d) => graft.GQuery.withTempTable(s, "graft-ann-retrain") { dir =>
@@ -1933,6 +1949,158 @@ object Pipeline {
       UNION ALL
       SELECT 2 AS epoch, * FROM ($bruteTop5Vec10Oracle)
       ORDER BY epoch, query_id, rank"""))
+
+  /** The RETRAIN COMMITTED AS AN EPOCH (VERDICT-r13 "what's missing"
+    * #3): [[ann_retrain_apply]] certifies the rebuilt segment but
+    * abandons it, and [[ann_probe_asof]]'s manifest stops at epoch 2
+    * — this gate composes the two halves into the rollback story a
+    * deployment needs. The manifest grows a QUANTIZER VERSION column:
+    * a frozen-quantizer delta commit APPENDS segments (epoch 2, qver
+    * 1 — readers union the prefix), while a retrain commit REPLACES
+    * them (epoch 3, qver 2 — a re-encode under new centroids rewrites
+    * every code, so the epoch's reader takes only the highest-qver
+    * rows of its prefix, never mixing cell ids from two quantizer
+    * generations; this is FAISS's re-train epoch under Iceberg
+    * snapshot semantics, where a rewrite commit supersedes rather
+    * than appends). Timeline: epoch 1 = the warm base segment
+    * (quantizer v1); epoch 2 = + the DRIFTED arrival batch
+    * (v → 0.2·v + e₁, [[ann_retrain_apply]]'s shift) encoded under
+    * the FROZEN v1 quantizer; the drift verdict
+    * (max·nlist > 4·total over the arrival batch) then FIRES and
+    * gates the epoch-3 commit — retrain on base ∪ arrivals, re-encode
+    * all, commit (cells, centroids) at qver 2. If the verdict did not
+    * fire, epoch 3 would never commit and the oracle's epoch-3 rows
+    * would be missing — the decision is load-bearing in the hash.
+    * All three epoch probes run at full nprobe (exact), each against
+    * its manifest-pinned segments and its qver's centroids; old
+    * epochs stay servable AFTER the retrain commit — epochs 1/2 still
+    * read v1 segments, which the retrain never touched. The oracle
+    * re-derives every epoch from raw `embeddings` with the drift
+    * transform inlined (float-cast per element, exactly the engine's
+    * encode-time arithmetic): epoch 1 = brute force over base, epochs
+    * 2 and 3 = brute force over base ∪ drifted arrivals — IDENTICAL
+    * rows, because retraining moves cell boundaries, never vectors.
+    * Queries are the 9 base vectors among ids < 10 (the drifted id 7
+    * would otherwise query with a different vector per epoch
+    * side). */
+  val ann_retrain_epoch = GQuery(
+    "ann_retrain_epoch",
+    (s, d) => graft.GQuery.withTempTable(s, "graft-retrain-epoch") { t =>
+      import s.implicits._
+      val A = graft.operators.AnnIndex
+      val seg = A.splitSegmentDir(s, d)
+      val qz1 = A.loadQuantizer(s, seg)
+      val vecs = T.embeddings(s, d).where($"embedding".isNotNull)
+      val base = vecs.filter($"vec_id" % 10L =!= 7L)
+        .select($"vec_id", $"embedding")
+      // the drifted arrival batch (the ann_retrain_apply shift)
+      val delta = vecs.filter($"vec_id" % 10L === 7L)
+        .select($"vec_id", transform($"embedding",
+          (x, i) => (x * lit(0.2) +
+            when(i === 0, lit(1.0)).otherwise(lit(0.0))).cast("float"))
+          .as("embedding"))
+      // epoch-2 commit: arrivals encoded under the FROZEN v1 quantizer
+      A.encode(qz1, delta, "vec_id", "embedding")
+        .write.partitionBy("cell").parquet(s"$t/delta_cells")
+      var manifest = Seq(
+        (1, s"$seg/base_cells", "cells", 1),
+        (1, s"$seg/centroids", "centroids", 1),
+        (2, s"$t/delta_cells", "cells", 1))
+      // the drift verdict over the arrival batch — the decision that
+      // gates the retrain commit (1-row driver action)
+      val fired = delta
+        .select(A.assignCell($"embedding", qz1.centroidMeta).as("cell"))
+        .groupBy($"cell").agg(count(lit(1)).as("n"))
+        .agg((max($"n") * lit(A.NList.toLong) > sum($"n") * lit(4L))
+          .as("v"))
+        .head().getAs[Boolean]("v")
+      if (fired) {
+        // the retrain epoch: quantizer v2 on base ∪ arrivals,
+        // re-encode ALL, commit as a REPLACING (qver 2) manifest row
+        val union = base.unionByName(delta)
+        val q2 = A.trainQuantizer(union, "embedding")
+        A.encode(q2, union, "vec_id", "embedding")
+          .write.partitionBy("cell").parquet(s"$t/retrained_cells")
+        q2.centroidMeta.map { case (i, cv, n2) => (i, cv.toSeq, n2) }
+          .toDF("cell", "cv", "n2")
+          .coalesce(1).write.parquet(s"$t/centroids_v2")
+        manifest ++= Seq(
+          (3, s"$t/retrained_cells", "cells", 2),
+          (3, s"$t/centroids_v2", "centroids", 2))
+      }
+      manifest.toDF("epoch", "path", "kind", "qver")
+        .coalesce(1).write.parquet(s"$t/manifest")
+      def centsAt(path: String): Seq[(Int, Array[Float], Double)] =
+        s.read.parquet(path).collect()
+          .map(r => (r.getAs[Int]("cell"),
+            r.getAs[scala.collection.Seq[Float]]("cv").toArray,
+            r.getAs[Double]("n2"))).toSeq
+      val queries = vecs
+        .filter($"vec_id" < 10L && $"vec_id" % 10L =!= 7L)
+        .select($"vec_id", $"embedding")
+      def probeAsOf(epoch: Int): DataFrame = {
+        // the open() step: manifest prefix, highest quantizer
+        // generation wins (metadata-sized driver read)
+        val m = s.read.parquet(s"$t/manifest")
+          .filter($"epoch" <= epoch).collect()
+        val qv = m.map(_.getAs[Int]("qver")).max
+        val cents = centsAt(m
+          .filter(r => r.getAs[String]("kind") == "centroids" &&
+            r.getAs[Int]("qver") == qv)
+          .map(_.getAs[String]("path")).head)
+        val cellPaths = m
+          .filter(r => r.getAs[String]("kind") == "cells" &&
+            r.getAs[Int]("qver") == qv)
+          .map(_.getAs[String]("path"))
+        A.ivfProbe(queries, "vec_id", "embedding", k = 5,
+            nprobe = A.NList, cents = cents,
+            loadCells = cellSet =>
+              cellPaths.map(p => s.read.parquet(p))
+                .reduce(_ unionByName _)
+                .where($"cell".isin(cellSet: _*)))
+          .withColumn("epoch", lit(epoch))
+      }
+      probeAsOf(1).unionByName(probeAsOf(2)).unionByName(probeAsOf(3))
+        .select($"epoch", $"query_id", $"neighbor_id", $"rank", $"cos")
+        .orderBy($"epoch", $"query_id", $"rank")
+    },
+    Some {
+      val ranked = (corpusFilter: String) => s"""
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos
+        FROM (
+          SELECT query_id, neighbor_id,
+                 ROUND(dot / (SQRT(nq) * SQRT(nc)), 6) AS cos,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY ROUND(dot / (SQRT(nq) * SQRT(nc)), 6) DESC,
+                            neighbor_id) AS rank
+          FROM dots $corpusFilter)
+        WHERE rank <= 5"""
+      s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                 FROM embeddings
+                 WHERE vec_id < 10 AND vec_id % 10 <> 7),
+      c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+                   vec_id % 10 = 7 AS dr
+            FROM embeddings WHERE embedding IS NOT NULL),
+      dots AS (
+        SELECT query_id, neighbor_id, dr,
+               SUM(CAST(qv[i.i+1] AS DOUBLE) * v.dv) AS dot,
+               SUM(CAST(qv[i.i+1] AS DOUBLE) * CAST(qv[i.i+1] AS DOUBLE))
+                 AS nq,
+               SUM(v.dv * v.dv) AS nc
+        FROM q JOIN c ON query_id <> neighbor_id,
+             (SELECT CAST(range AS INT) AS i FROM range(64)) i,
+             LATERAL (SELECT CASE WHEN dr THEN
+                 CAST(CAST(CAST(cv[i.i+1] AS DOUBLE) * 0.2 +
+                      CASE WHEN i.i = 0 THEN 1.0 ELSE 0.0 END
+                    AS FLOAT) AS DOUBLE)
+               ELSE CAST(cv[i.i+1] AS DOUBLE) END AS dv) v
+        GROUP BY query_id, neighbor_id, dr)
+      SELECT 1 AS epoch, * FROM (${ranked("WHERE NOT dr")})
+      UNION ALL SELECT 2 AS epoch, * FROM (${ranked("")})
+      UNION ALL SELECT 3 AS epoch, * FROM (${ranked("")})
+      ORDER BY epoch, query_id, rank"""
+    })
 
   /** IVF-PQ probe over the MERGED segments at full probe + full
     * rerank — the compressed path composed over the same base ∪ delta
@@ -3958,7 +4126,7 @@ object Pipeline {
     ann_ivm_merge, sim_ivf_probe_merged, sim_ivfpq_probe_merged,
     ann_probe_tombstoned, ann_pq_probe_tombstoned, ann_compact,
     ann_probe_refresh, ann_compact_warm, ann_retrain_apply,
-    ann_probe_asof,
+    ann_probe_asof, ann_retrain_epoch,
     text_tokens, text_quality, text_langid,
     text_fingerprint, text_pii_scrub, text_clean, text_repetition, decontaminate,
     decontaminate_bloom,

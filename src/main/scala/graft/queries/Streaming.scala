@@ -124,6 +124,26 @@ object Streaming {
         .coalesce(1).write.mode("append").parquet(dir)
   }
 
+  /** The number of NON-EMPTY slices a [[writeTimeSliced]] call with
+    * the same (df, tsCol, k) produces — the same slice expression,
+    * counted instead of written. The ingest gates' in-band evidence
+    * pins distinct-batch-count == this value (VERDICT-r13: the old
+    * `nb >= 2` floor was a data-size assumption that would read as an
+    * ingest bug if the driver regenerated testdata smaller; equality
+    * against the slice geometry is both data-size-proof and STRICTER
+    * — a dropped or merged micro-batch breaks it exactly). Bounded
+    * driver action: one distinct-count over ≤ 8 slice ids. */
+  private def nonEmptySlices(df: DataFrame, tsCol: String, k: Int): Long = {
+    val r = df.agg(min(unix_micros(col(tsCol))),
+      max(unix_micros(col(tsCol)))).head()
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val span = math.max(hi - lo + 1, 1L)
+    df.select(least(lit(k - 1),
+        ((unix_micros(col(tsCol)) - lo) * k / span).cast("int"))
+        .as("_slice"))
+      .distinct().count()
+  }
+
   /** Replay the time-sliced files under `in` through a foreachBatch
     * INGEST body, one file per micro-batch — the continuous-indexing
     * transport (VERDICT-r12 item 1): each micro-batch lands derived
@@ -677,10 +697,14 @@ object Streaming {
     * the base scan and every batch segment, df a window over the
     * union sliver, stats headers added across base + all batches.
     * Multi-batch evidence rides IN-BAND: the delta rows carry their
-    * batch_id, and the evidence row pins distinct-batch-count ≥ 2
-    * (slice floor is 2 and doc_id is uniform, so ≥ 2 non-empty
-    * batches by construction); the oracle pins it to literal 1 with
-    * a sentinel score that sorts after every real hit. */
+    * batch_id, and the evidence row pins distinct-batch-count ==
+    * [[nonEmptySlices]] — the replay delivered every non-empty slice
+    * as its own micro-batch, none dropped, none merged (VERDICT-r13:
+    * equality against the slice geometry replaces the old data-size
+    * `>= 2` floor; the ≥ 2 multi-batch property itself is asserted
+    * in-engine in Round14Spec); the oracle pins the boolean to
+    * literal 1 with a sentinel score that sorts after every real
+    * hit. */
   val stream_index_ingest = GQuery(
     "stream_index_ingest",
     (s, d) => graft.GQuery.withTempTable(s, "graft-stream-ingest") { t =>
@@ -708,7 +732,9 @@ object Streaming {
       val delta = docs.filter($"doc_id" % 10L === 0L)
         .select($"doc_id", $"text")
         .withColumn("ets", timestamp_seconds($"doc_id"))
-      writeTimeSliced(delta, "ets", s"$t/in", sliceCount(delta.count()))
+      val kSlices = sliceCount(delta.count())
+      val expectedBatches = nonEmptySlices(delta, "ets", kSlices)
+      writeTimeSliced(delta, "ets", s"$t/in", kSlices)
       replayForeach(s, t, s"$t/in") { (batch, id) =>
         val bd = batch.drop("ets")
         postingsOf(bd).withColumn("batch_id", lit(id))
@@ -727,7 +753,7 @@ object Streaming {
       val probe = Retrieval.bm25TopFromSliver(sliver, st)
       val ev = deltaPosts.agg(countDistinct($"batch_id").as("nb"))
         .select(lit(-1L).as("doc_id"),
-          ($"nb" >= 2L).cast("long").as("n_terms"),
+          ($"nb" === lit(expectedBatches)).cast("long").as("n_terms"),
           lit(-999999.0).as("score"))
       probe.unionByName(ev).orderBy($"score".desc, $"doc_id")
     },
@@ -769,7 +795,9 @@ object Streaming {
       val delta = vecs.filter($"vec_id" % 10L === 7L)
         .select($"vec_id", $"embedding")
         .withColumn("ets", timestamp_seconds($"vec_id"))
-      writeTimeSliced(delta, "ets", s"$t/in", sliceCount(delta.count()))
+      val kSlices = sliceCount(delta.count())
+      val expectedBatches = nonEmptySlices(delta, "ets", kSlices)
+      writeTimeSliced(delta, "ets", s"$t/in", kSlices)
       replayForeach(s, t, s"$t/in") { (batch, id) =>
         A.encode(qz, batch.drop("ets"), "vec_id", "embedding")
           .withColumn("batch_id", lit(id))
@@ -786,7 +814,7 @@ object Streaming {
             .where($"cell".isin(cellSet: _*)))
       val ev = deltaCells.agg(countDistinct($"batch_id").as("nb"))
         .select(lit(-1L).as("query_id"),
-          ($"nb" >= 2L).cast("long").as("neighbor_id"),
+          ($"nb" === lit(expectedBatches)).cast("long").as("neighbor_id"),
           lit(-1).as("rank"), lit(-1.0).as("cos"))
       probe.unionByName(ev).orderBy($"query_id", $"rank")
     },
@@ -884,7 +912,9 @@ object Streaming {
       val delta = docs.filter($"doc_id" % 10L === 0L)
         .select($"doc_id", $"text")
         .withColumn("ets", timestamp_seconds($"doc_id"))
-      writeTimeSliced(delta, "ets", s"$t/in", sliceCount(delta.count()))
+      val kSlices = sliceCount(delta.count())
+      val expectedBatches = nonEmptySlices(delta, "ets", kSlices)
+      writeTimeSliced(delta, "ets", s"$t/in", kSlices)
       replayForeach(s, t, s"$t/in") { (batch, id) =>
         trgmsOf(batch.drop("ets")).withColumn("batch_id", lit(id))
           .write.mode("overwrite").parquet(s"$t/delta_trgm/b$id")
@@ -907,7 +937,7 @@ object Streaming {
             lit(pat.length)).cast("long").as("n_occurrences"))
       val ev = deltaTrgm.agg(countDistinct($"batch_id").as("nb"))
         .select(lit(-1L).as("doc_id"),
-          ($"nb" >= 2L).cast("long").as("n_occurrences"))
+          ($"nb" === lit(expectedBatches)).cast("long").as("n_occurrences"))
       probe.unionByName(ev).orderBy($"doc_id")
     },
     Some(s"""
