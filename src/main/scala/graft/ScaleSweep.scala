@@ -208,9 +208,21 @@ object ScaleSweep {
     // lifecycles (documents / embeddings — two warm pruned probes per
     // entry plus a metadata-sized manifest write; expected near-flat)
     "bm25_probe_asof", "ann_probe_asof",
-    // trigram time travel is whole-cycle priced (both segments
-    // re-derived per run — the trgm_probe_merged geometry)
-    "trgm_probe_asof")
+    // r14: trigram time travel now reads the memoized warm split
+    // store (previously whole-cycle priced — the 6.7× decade row)
+    "trgm_probe_asof",
+    // round-14 wave: the trigram steady-state legs priced alone
+    // against the new warm split store (documents); the fused delete
+    // leg (documents + embeddings, both warm indexes masked); the
+    // retrain-as-epoch commit (embeddings — whole-cycle priced:
+    // frozen encode + verdict + retrain + full re-encode + 3 probes);
+    // the composed multimodal release (documents → all three real
+    // codecs + text near-dup dedup in one plan)
+    "trgm_probe_refresh", "trgm_compact_warm",
+    "rrf_probe_tombstoned", "ann_retrain_epoch", "mm_release_e2e",
+    // the fused answer at a pinned snapshot vector (one epoch per
+    // lifecycle) — two warm fused probes + a metadata-sized manifest
+    "rrf_probe_asof")
   // fk_violations is EXCLUDED: it joins customer/part, which MkScale
   // does not scale - a sweep would measure a mixed-scale plan.
   // pareto_frontier is excluded for the same reason (part-backed);

@@ -1980,9 +1980,12 @@ object Pipeline {
     * encode-time arithmetic): epoch 1 = brute force over base, epochs
     * 2 and 3 = brute force over base ∪ drifted arrivals — IDENTICAL
     * rows, because retraining moves cell boundaries, never vectors.
-    * Queries are the 9 base vectors among ids < 10 (the drifted id 7
-    * would otherwise query with a different vector per epoch
-    * side). */
+    * Queries are the 10 ids < 10 with id 7 carrying its DRIFTED
+    * vector — the arrival is a query (the read-your-writes probe a
+    * freshly-ingested uploader runs): at epoch 1 its drifted
+    * neighbors are invisible, from epoch 2 they dominate its top-5,
+    * so the epoch distinction is structurally non-vacuous
+    * (Round14Spec pins epoch 1 ≠ epoch 2 ≡ epoch 3 in-engine). */
   val ann_retrain_epoch = GQuery(
     "ann_retrain_epoch",
     (s, d) => graft.GQuery.withTempTable(s, "graft-retrain-epoch") { t =>
@@ -2035,9 +2038,7 @@ object Pipeline {
           .map(r => (r.getAs[Int]("cell"),
             r.getAs[scala.collection.Seq[Float]]("cv").toArray,
             r.getAs[Double]("n2"))).toSeq
-      val queries = vecs
-        .filter($"vec_id" < 10L && $"vec_id" % 10L =!= 7L)
-        .select($"vec_id", $"embedding")
+      val queries = base.unionByName(delta).filter($"vec_id" < 10L)
       def probeAsOf(epoch: Int): DataFrame = {
         // the open() step: manifest prefix, highest quantizer
         // generation wins (metadata-sized driver read)
@@ -2076,21 +2077,27 @@ object Pipeline {
           FROM dots $corpusFilter)
         WHERE rank <= 5"""
       s"""
-      WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+                        vec_id % 10 = 7 AS qdr
                  FROM embeddings
-                 WHERE vec_id < 10 AND vec_id % 10 <> 7),
+                 WHERE vec_id < 10 AND embedding IS NOT NULL),
       c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
                    vec_id % 10 = 7 AS dr
             FROM embeddings WHERE embedding IS NOT NULL),
       dots AS (
         SELECT query_id, neighbor_id, dr,
-               SUM(CAST(qv[i.i+1] AS DOUBLE) * v.dv) AS dot,
-               SUM(CAST(qv[i.i+1] AS DOUBLE) * CAST(qv[i.i+1] AS DOUBLE))
-                 AS nq,
+               SUM(v.qdv * v.dv) AS dot,
+               SUM(v.qdv * v.qdv) AS nq,
                SUM(v.dv * v.dv) AS nc
         FROM q JOIN c ON query_id <> neighbor_id,
              (SELECT CAST(range AS INT) AS i FROM range(64)) i,
-             LATERAL (SELECT CASE WHEN dr THEN
+             LATERAL (SELECT
+               CASE WHEN qdr THEN
+                 CAST(CAST(CAST(qv[i.i+1] AS DOUBLE) * 0.2 +
+                      CASE WHEN i.i = 0 THEN 1.0 ELSE 0.0 END
+                    AS FLOAT) AS DOUBLE)
+               ELSE CAST(qv[i.i+1] AS DOUBLE) END AS qdv,
+               CASE WHEN dr THEN
                  CAST(CAST(CAST(cv[i.i+1] AS DOUBLE) * 0.2 +
                       CASE WHEN i.i = 0 THEN 1.0 ELSE 0.0 END
                     AS FLOAT) AS DOUBLE)

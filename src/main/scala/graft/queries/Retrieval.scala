@@ -1668,6 +1668,38 @@ object Retrieval {
     * ids, so a deletion leaking through either leg, or a stats
     * header left uncorrected (BM25 is nonlinear in n_docs/avgdl),
     * breaks the fused hash. */
+  /** The masked fused-probe builder behind [[rrf_probe_tombstoned]]
+    * (shared with PlanAuditSpec's corpus-free pin, since the gate's
+    * own returned frame is a withTempTable re-read): both warm
+    * indexes masked by an already-PARKED tombstone table — `tomb`
+    * carries (doc_id, dl) for the lexical leg's anti-join + stats
+    * correction, `vtomb` the cell-co-keyed (cell, vec_id) ids for
+    * the semantic leg, both sides pruned before masking. */
+  private[graft] def rrfFusedProbeMasked(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      tomb: DataFrame, vtomb: DataFrame): DataFrame = {
+    import s.implicits._
+    val sliver = graft.operators.IndexOps.postings(s, d)
+      .filter($"term".isin(QueryTerms: _*))
+      .join(tomb.select($"doc_id"), Seq("doc_id"), "left_anti")
+    val corr = tomb.agg(count(lit(1)).as("del_docs"),
+      sum($"dl").as("del_dl"))
+    val st = graft.operators.IndexOps.stats(s, d)
+      .crossJoin(broadcast(corr))
+      .select(($"n_docs" - $"del_docs").as("n_docs"),
+        ($"sum_dl" - $"del_dl").as("sum_dl"))
+    val lex = bm25TopFromSliver(sliver, st, k = 50)
+    val A = graft.operators.AnnIndex
+    val sem = A.ivfProbe(T.embeddings(s, d).filter($"vec_id" === 0L),
+      "vec_id", "embedding", k = 50, nprobe = A.NList,
+      cents = A.centroidMetaOf(s, d),
+      loadCells = cellSet =>
+        A.cells(s, d).where($"cell".isin(cellSet: _*))
+          .join(vtomb.where($"cell".isin(cellSet: _*)),
+            Seq("cell", "vec_id"), "left_anti"))
+    rrfFuse(lex, sem)
+  }
+
   val rrf_probe_tombstoned = GQuery(
     "rrf_probe_tombstoned",
     (s, d) => graft.GQuery.withTempTable(s, "graft-rrf-tomb") { t =>
@@ -1678,35 +1710,91 @@ object Retrieval {
         .select($"doc_id", size(toks($"text")).cast("long").as("dl"))
         .write.parquet(s"$t/tombstones")
       val tomb = s.read.parquet(s"$t/tombstones")
-      // lexical leg: masked sliver + corrected header, top-50
-      val sliver = graft.operators.IndexOps.postings(s, d)
-        .filter($"term".isin(QueryTerms: _*))
-        .join(tomb.select($"doc_id"), Seq("doc_id"), "left_anti")
-      val corr = tomb.agg(count(lit(1)).as("del_docs"),
-        sum($"dl").as("del_dl"))
-      val st = graft.operators.IndexOps.stats(s, d)
-        .crossJoin(broadcast(corr))
-        .select(($"n_docs" - $"del_docs").as("n_docs"),
-          ($"sum_dl" - $"del_dl").as("sum_dl"))
-      val lex = bm25TopFromSliver(sliver, st, k = 50)
-      // semantic leg: masked cells, top-50 (both anti-join sides
-      // pruned to the probed cells first)
-      val A = graft.operators.AnnIndex
-      val vtomb = A.cells(s, d).filter($"vec_id" % 17L === 3L)
+      val vtomb = graft.operators.AnnIndex.cells(s, d)
+        .filter($"vec_id" % 17L === 3L)
         .select($"cell", $"vec_id")
-      val sem = A.ivfProbe(T.embeddings(s, d).filter($"vec_id" === 0L),
-        "vec_id", "embedding", k = 50, nprobe = A.NList,
-        cents = A.centroidMetaOf(s, d),
-        loadCells = cellSet =>
-          A.cells(s, d).where($"cell".isin(cellSet: _*))
-            .join(vtomb.where($"cell".isin(cellSet: _*)),
-              Seq("cell", "vec_id"), "left_anti"))
-      rrfFuse(lex, sem)
+      rrfFusedProbeMasked(s, d, tomb, vtomb)
     },
     Some(rrfProbeOracle
       .replace("FROM documents", "FROM documents WHERE doc_id % 17 <> 3")
       .replace("WHERE vec_id <> 0",
         "WHERE vec_id <> 0 AND vec_id % 17 <> 3")))
+
+  /** The fused hybrid answer at a pinned SNAPSHOT VECTOR — time
+    * travel composed across BOTH lifecycles (beyond the VERDICT-r13
+    * asks; the [[bm25_probe_asof]]/[[Pipeline.ann_probe_asof]]
+    * discipline lifted to the serving layer): index lifecycles commit
+    * independently (Lucene commit points, FAISS snapshots), so a RAG
+    * server does not pin "an epoch" — it pins one epoch PER lifecycle
+    * and must serve the fused answer consistent with exactly that
+    * pair. One manifest carries both lifecycles' segment rows
+    * (epoch, path, kind, lifecycle); the reader takes each
+    * lifecycle's prefix and serves the RRF top-10 off the listed
+    * segments only. Snapshot (1,1) = both bases (the corpus before
+    * either delta committed: lexical delta = docs with
+    * doc_id % 10 = 0, vector delta = vec_id % 10 = 7 — the two warm
+    * split stores' own commit batches); snapshot (2,2) = both merged.
+    * The oracle re-derives each snapshot's fused answer 100% from the
+    * raw corpus with BOTH epoch filters applied — a segment leaking
+    * across either lifecycle's pin breaks the fused hash
+    * nonlinearly (the rrf_probe_tombstoned argument, applied to
+    * time travel). */
+  val rrf_probe_asof = GQuery(
+    "rrf_probe_asof",
+    (s, d) => graft.GQuery.withTempTable(s, "graft-rrf-asof") { t =>
+      import s.implicits._
+      val A = graft.operators.AnnIndex
+      val lexSeg = graft.operators.IndexOps.splitSegmentDir(s, d)
+      val annSeg = A.splitSegmentDir(s, d)
+      Seq((1, s"$lexSeg/base_postings", "postings", "lex"),
+          (1, s"$lexSeg/base_stats", "stats", "lex"),
+          (1, s"$annSeg/base_cells", "cells", "ann"),
+          (2, s"$lexSeg/delta_postings", "postings", "lex"),
+          (2, s"$lexSeg/delta_stats", "stats", "lex"),
+          (2, s"$annSeg/delta_cells", "cells", "ann"))
+        .toDF("epoch", "path", "kind", "lifecycle")
+        .coalesce(1).write.parquet(s"$t/manifest")
+      val cents = A.loadCentroids(s, annSeg)
+      def fusedAt(lexEpoch: Int, annEpoch: Int): DataFrame = {
+        val m = s.read.parquet(s"$t/manifest").collect()
+        def paths(lc: String, kind: String, e: Int) = m
+          .filter(r => r.getAs[String]("lifecycle") == lc &&
+            r.getAs[String]("kind") == kind &&
+            r.getAs[Int]("epoch") <= e)
+          .map(_.getAs[String]("path"))
+        def rd(ps: Array[String]) =
+          ps.map(p => s.read.parquet(p)).reduce(_ unionByName _)
+        val sliver = rd(paths("lex", "postings", lexEpoch))
+          .filter($"term".isin(QueryTerms: _*))
+        val st = rd(paths("lex", "stats", lexEpoch))
+          .agg(sum($"n_docs").as("n_docs"), sum($"sum_dl").as("sum_dl"))
+        val lex = bm25TopFromSliver(sliver, st, k = 50)
+        val sem = A.ivfProbe(
+          T.embeddings(s, d).filter($"vec_id" === 0L),
+          "vec_id", "embedding", k = 50, nprobe = A.NList,
+          cents = cents,
+          loadCells = cellSet =>
+            rd(paths("ann", "cells", annEpoch))
+              .where($"cell".isin(cellSet: _*)))
+        rrfFuse(lex, sem)
+      }
+      fusedAt(1, 1).withColumn("epoch", lit(1))
+        .unionByName(fusedAt(2, 2).withColumn("epoch", lit(2)))
+        .select($"epoch", $"doc_id", $"lex_rank", $"sem_rank",
+          $"rrf_micro")
+        .orderBy($"epoch", $"rrf_micro".desc, $"doc_id")
+    },
+    Some {
+      val epoch1 = rrfProbeOracle
+        .replace("FROM documents", "FROM documents WHERE doc_id % 10 <> 0")
+        .replace("WHERE vec_id <> 0",
+          "WHERE vec_id <> 0 AND vec_id % 10 <> 7")
+      s"""
+      SELECT 1 AS epoch, * FROM ($epoch1)
+      UNION ALL
+      SELECT 2 AS epoch, * FROM ($rrfProbeOracle)
+      ORDER BY epoch, rrf_micro DESC, doc_id"""
+    })
 
   /** TIME-TRAVEL reads on the persisted postings index — the Lucene
     * commit-point / Iceberg-snapshot discipline applied to index
@@ -1827,5 +1915,6 @@ object Retrieval {
       trgm_compact, trgm_probe_refresh, trgm_compact_warm,
       bm25_probe_refresh, index_compact_warm,
       rrf_probe_persisted, rrf_probe_merged, rrf_probe_production,
-      rrf_probe_tombstoned, bm25_probe_asof, trgm_probe_asof)
+      rrf_probe_tombstoned, rrf_probe_asof, bm25_probe_asof,
+      trgm_probe_asof)
 }

@@ -98,7 +98,7 @@ object Streaming {
     * so its gate slices 2.5× finer (measured at sf10: 700k join rows
     * at 3 slices ran 174 s, at 8 slices 138 s — peak state, not join
     * work, is the cost driver). */
-  private def sliceCount(n: Long, rowsPerSlice: Long = 250000L): Int =
+  private[graft] def sliceCount(n: Long, rowsPerSlice: Long = 250000L): Int =
     math.min(math.max(((n + rowsPerSlice - 1) / rowsPerSlice).toInt, 2), 8)
 
   /** Write `df` as `k` parquet files holding CONTIGUOUS [lo, hi]
@@ -109,7 +109,7 @@ object Streaming {
     * it only shapes batch geometry. Empty slices are fine (fewer
     * batches). Callers append any flush sentinel AFTER, so it is the
     * last file processed. */
-  private def writeTimeSliced(df: DataFrame, tsCol: String, dir: String,
+  private[graft] def writeTimeSliced(df: DataFrame, tsCol: String, dir: String,
       k: Int, loHi: Option[(Long, Long)] = None): Unit = {
     val (lo, hi) = loHi.getOrElse {
       val r = df.agg(min(unix_micros(col(tsCol))),
@@ -133,7 +133,7 @@ object Streaming {
     * against the slice geometry is both data-size-proof and STRICTER
     * — a dropped or merged micro-batch breaks it exactly). Bounded
     * driver action: one distinct-count over ≤ 8 slice ids. */
-  private def nonEmptySlices(df: DataFrame, tsCol: String, k: Int): Long = {
+  private[graft] def nonEmptySlices(df: DataFrame, tsCol: String, k: Int): Long = {
     val r = df.agg(min(unix_micros(col(tsCol))),
       max(unix_micros(col(tsCol)))).head()
     val (lo, hi) = (r.getLong(0), r.getLong(1))
@@ -152,7 +152,7 @@ object Streaming {
     * [[Extras.stream_ivm_refresh]] idempotent-sink discipline). The
     * body runs on the driver per batch; everything it launches is
     * ordinary batch execution over the micro-batch frame. */
-  private def replayForeach(s: SparkSession, t: String, inDir: String)
+  private[graft] def replayForeach(s: SparkSession, t: String, inDir: String)
       (body: (DataFrame, Long) => Unit): Unit = {
     val q = s.readStream.schema(s.read.parquet(inDir).schema)
       .option("maxFilesPerTrigger", "1")

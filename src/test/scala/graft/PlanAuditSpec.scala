@@ -1121,4 +1121,88 @@ class PlanAuditSpec extends SparkSpec {
         s"an embeddings scan without the caller's query bound: $pf\n" + p)
     }
   }
+
+  // The withTempTable gates' returned frames are materialized
+  // re-reads, so the r14 pins below rebuild the PROBE plans inline
+  // against the warm stores (the hybridProbeFor pin's discipline).
+
+  test("r14: the trigram refresh-leg PROBE plan carries no trigram " +
+      "Generate (both segments come warm; the delta generate runs in " +
+      "the refresh write job, not the probe), In(g) pushed on the " +
+      "segment scans, candidates broadcast onto one corpus fetch") {
+    import org.apache.spark.sql.functions._
+    val seg = operators.IndexOps.trgmSplitSegmentDir(spark, sf)
+    val pat = "ash jo"
+    val patTrgs = pat.sliding(3).toSeq.distinct
+    val merged = spark.read.parquet(s"$seg/base_trgm")
+      .unionByName(spark.read.parquet(s"$seg/delta_trgm"))
+    val cands = merged.filter(col("g").isin(patTrgs: _*))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("ng"))
+      .filter(col("ng") === patTrgs.size.toLong)
+      .select(col("doc_id"))
+    val p = Tables.documents(spark, sf)
+      .join(broadcast(cands), Seq("doc_id"))
+      .filter(col("text").contains(pat))
+      .select(col("doc_id"))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Generate"),
+      "a trigram Generate leaked into the probe plan — the warm " +
+        "store is being rebuilt per probe:\n" + p)
+    assert(p.contains("PushedFilters: [In(g, ["),
+      "pattern-trigram pushdown into the segment scans lost:\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "candidates must broadcast onto the corpus scan:\n" + p)
+    val docScans = p.split(raw"\(\d+\) Scan parquet").drop(1)
+      .count(_.contains("documents.parquet"))
+    assert(docScans == 1,
+      s"expected exactly one corpus scan (the verify fetch), got " +
+        s"$docScans:\n" + p)
+  }
+
+  test("r14: the fused delete-leg probe (rrfFusedProbeMasked) is " +
+      "corpus-free — warm segments + parked tombstones only; the " +
+      "only embeddings scan is the 1-row query sliver; masking is " +
+      "anti-join, after pushdown") {
+    import org.apache.spark.sql.functions._
+    val t = java.nio.file.Files
+      .createTempDirectory("plan-rrf-tomb").toString
+    Tables.documents(spark, sf).filter(col("doc_id") % 17 === 3)
+      .select(col("doc_id"),
+        size(filter(split(lower(col("text")), " "), x => x =!= ""))
+          .cast("long").as("dl"))
+      .write.parquet(s"$t/tombstones")
+    val tomb = spark.read.parquet(s"$t/tombstones")
+    val vtomb = operators.AnnIndex.cells(spark, sf)
+      .filter(col("vec_id") % 17 === 3)
+      .select(col("cell"), col("vec_id"))
+    val p = queries.Retrieval.rrfFusedProbeMasked(spark, sf, tomb, vtomb)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("documents"),
+      "a corpus scan leaked into the fused delete-leg probe:\n" + p)
+    assert(p.contains("PushedFilters: [In(term, ["),
+      "query-term pushdown into the postings segment lost:\n" + p)
+    assert(p.contains("LeftAnti"),
+      "the tombstone masking anti-join is missing:\n" + p)
+    assert(p.contains("PartitionFilters: [cell") && p.contains("INSET"),
+      "static cell pruning lost on the cells segment scan:\n" + p)
+    val embBlocks = p.split(raw"\(\d+\) Scan parquet").drop(1)
+      .filter(_.contains("embeddings.parquet"))
+    assert(embBlocks.nonEmpty, "no query sliver at all?\n" + p)
+    for (b <- embBlocks) {
+      val pf = b.linesIterator
+        .find(_.contains("PushedFilters")).getOrElse("")
+      assert(pf.contains("EqualTo(vec_id,0)"),
+        s"an embeddings scan without the query bound: $pf\n" + p)
+    }
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("r14: mm_release_e2e joins the four drop sets back onto the " +
+      "doc spine as broadcasts, never a cartesian") {
+    val p = plan("mm_release_e2e")
+    assert(p.contains("BroadcastHashJoin"),
+      "the drop-set joins lost their broadcast:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
