@@ -33,6 +33,16 @@ object GraftSession {
     .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .config("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // r14 optimization (guide §1/§5): RocksDB changelog checkpointing —
+    // each micro-batch commit uploads the batch's change set instead of
+    // a full SST snapshot (snapshots move to background maintenance).
+    // Commit cost becomes O(batch delta), not O(state size) — the same
+    // reason it is the production recommendation for low-latency
+    // stateful pipelines; measured ~9% off stream_window_agg per run
+    // at sf0.1 (OPTIMIZATION_r14.md §streaming). State contents and
+    // results are unchanged — only the checkpoint wire format differs.
+    .config("spark.sql.streaming.stateStore.rocksdb" +
+      ".changelogCheckpointing.enabled", "true")
 
   /** Local session sized to `cores` (default: all), shuffle partitions
     * matched to cores — the local analogue of sizing partitions to the

@@ -422,7 +422,6 @@ object Dedup {
   def containmentNearDups(df: DataFrame, idCol: String, textCol: String,
       thrTimes10: Int = 9, probeK: Int = 4, dfCap: Int = 64)
       : DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = df.select(col(idCol).as("sid"),
       split(col(textCol), " ").as("toks"))
     val sets = toks.select(col("sid"),
@@ -433,29 +432,45 @@ object Dedup {
     val rare = dsh.groupBy(col("sh")).agg(count(lit(1)).as("dfc"))
       .filter(col("dfc") <= dfCap).select(col("sh"))
     val post = dsh.join(rare, "sh").select(col("sh"), col("sid").as("b"))
-    val probe = dsh.withColumn("rk", row_number().over(
-        Window.partitionBy(col("sid")).orderBy(md5(col("sh")), col("sh"))))
-      .filter(col("rk") <= probeK)
-      .select(col("sid").as("a"), col("sh"))
-    val sized = sets.select(col("sid"), size(col("shset")).as("nsh"))
-    val flip = col("na") > col("nb") ||
-      (col("na") === col("nb") && col("a") > col("b"))
-    val canon = probe.join(post, "sh")
+    // probeK lowest-(md5, sh) shingles per doc via the bounded TopK
+    // aggregate instead of a row_number window (r14 optimization,
+    // guide §2.3 "aggregate before you shuffle"): the window spelling
+    // shuffled and sorted EVERY (sid, sh) row; TopKAgg folds to ≤K
+    // entries map-side, so only ≤K·docs tiny rows cross the exchange.
+    // Priority = md5(sh) ‖ sh — md5 is fixed-width hex, so UTF8String
+    // order on the concatenation IS the (md5(sh), sh) lexicographic
+    // order the window used; the shingle is recovered as the suffix.
+    val probe = dsh.groupBy(col("sid"))
+      .agg(graft.operators.TopK.topK(
+        concat(md5(col("sh")), col("sh")), col("sid"), probeK).as("top"))
+      .select(col("sid").as("a"), explode(col("top")).as("e"))
+      .select(col("a"), expr("substring(e.pri, 33)").as("sh"))
+    // candidate (a, b) pairs, deduped across probe shingles; sizes and
+    // shingle sets are fetched ONCE and the canonical orientation is
+    // derived from the fetched arrays (r14 optimization: the old
+    // spelling joined a node-sized `sized` table twice and re-deduped
+    // the flipped pairs before fetching the arrays again — two joins
+    // and one distinct that the fetch already pays for). A mirrored
+    // pair (a,b)/(b,a) orients to the same (d1,d2) row with identical
+    // scores, so the final distinct keeps the output set unchanged.
+    val cand = probe.join(post, "sh")
       .filter(col("a") =!= col("b"))
       .select(col("a"), col("b")).distinct()
-      .join(sized.select(col("sid").as("a"), col("nsh").as("na")), "a")
-      .join(sized.select(col("sid").as("b"), col("nsh").as("nb")), "b")
+    val flip = size(col("sa")) > size(col("sb")) ||
+      (size(col("sa")) === size(col("sb")) && col("a") > col("b"))
+    cand
+      .join(sets.select(col("sid").as("a"), col("shset").as("sa")), "a")
+      .join(sets.select(col("sid").as("b"), col("shset").as("sb")), "b")
       .select(when(flip, col("b")).otherwise(col("a")).as("d1"),
-        when(flip, col("a")).otherwise(col("b")).as("d2"))
-      .distinct()
-    canon
-      .join(sets.select(col("sid").as("d1"), col("shset").as("s1")), "d1")
-      .join(sets.select(col("sid").as("d2"), col("shset").as("s2")), "d2")
+        when(flip, col("a")).otherwise(col("b")).as("d2"),
+        when(flip, col("sb")).otherwise(col("sa")).as("s1"),
+        when(flip, col("sa")).otherwise(col("sb")).as("s2"))
       .select(col("d1"), col("d2"),
         size(array_intersect(col("s1"), col("s2"))).cast("long")
           .as("inter"),
         size(col("s1")).cast("long").as("n1"),
         size(col("s2")).cast("long").as("n2"))
       .filter(col("inter") * 10 >= col("n1") * thrTimes10)
+      .distinct()
   }
 }

@@ -783,8 +783,15 @@ class PlanAuditSpec extends SparkSpec {
       "joins, never a pairwise cross product") {
     val p = plan("dedup_containment", "simple")
     assert(!p.contains("CartesianProduct"), p)
-    assert(p.split("WindowGroupLimit").length - 1 == 2,
-      "probe selection lost the two-phase group-limit:\n" + p)
+    // r14: probe selection moved from the row_number window (full
+    // (sid, sh) shuffle + per-group sort, pinned here as two-phase
+    // WindowGroupLimit through r13) to the bounded TopKAgg — the
+    // partial aggregate folds to ≤ probeK entries per doc map-side,
+    // so only doc-count-sized rows cross the probe exchange
+    assert(!p.contains("WindowGroupLimit"),
+      "probe selection regressed to the window spelling:\n" + p)
+    assert(p.toLowerCase.contains("partial_topkagg"),
+      "map-side bounded TopKAgg probe selection lost:\n" + p)
   }
 
   test("r11b: the canonical dedup twins pair through banded band " +
