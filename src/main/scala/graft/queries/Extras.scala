@@ -1416,6 +1416,12 @@ object Extras {
       val audH = Multimodal.audioHash(
           Multimodal.toWavChirp(docs, "doc_id", "text"))
         .select($"media_id", $"b0", $"b1", $"b2", $"b3")
+      // r14 note: per-modality lineage cuts (fh + each mapped table)
+      // were tried to collapse the 2-4 decode re-references per
+      // modality — measured SLOWER (3.3 → 4.8 s warm at local[32]):
+      // the duplicated decodes live in independent broadcast subtrees
+      // that build CONCURRENTLY on separate driver threads, while the
+      // eager checkpoints serialize them. Left lazy on purpose.
       val fh = Multimodal.videoFrameHash(
         Multimodal.toY4m(docs, "doc_id", "text"))
       val nf = fh.groupBy($"media_id").agg(count(lit(1)).as("nf"))
