@@ -33,16 +33,16 @@ object GraftSession {
     .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .config("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    // r14 optimization (guide §1/§5): RocksDB changelog checkpointing —
-    // each micro-batch commit uploads the batch's change set instead of
-    // a full SST snapshot (snapshots move to background maintenance).
-    // Commit cost becomes O(batch delta), not O(state size) — the same
-    // reason it is the production recommendation for low-latency
-    // stateful pipelines; measured ~9% off stream_window_agg per run
-    // at sf0.1 (OPTIMIZATION_r14.md §streaming). State contents and
-    // results are unchanged — only the checkpoint wire format differs.
-    .config("spark.sql.streaming.stateStore.rocksdb" +
-      ".changelogCheckpointing.enabled", "true")
+    // r14 note: RocksDB changelog checkpointing was tried here
+    // (commit uploads the batch's change set; snapshots move to
+    // background maintenance). Isolated it measured ~9% off a
+    // streaming gate — but in a full serial bench pass the DEFERRED
+    // snapshot work runs on maintenance threads that compete with
+    // every subsequent query, smearing ~45 s across the 256-entry run
+    // (q1_agg alone absorbed +11.7 s right after the streaming
+    // warm-ups). The work is conserved, not saved; at streaming-gate
+    // state sizes the commit-time snapshot is the cheaper total.
+    // Reverted — see OPTIMIZATION_r14.md §streaming.
 
   /** Local session sized to `cores` (default: all), shuffle partitions
     * matched to cores — the local analogue of sizing partitions to the
