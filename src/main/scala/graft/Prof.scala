@@ -2,9 +2,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Prof {
   def main(args: Array[String]): Unit = {
+    // r15: honor SPARK_GRAFT_CPUS so per-query isolation can run at
+    // the bench-protocol core count (default stays 32 — the historical
+    // Prof setting every prior round's warm numbers were taken at).
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.tuned(SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

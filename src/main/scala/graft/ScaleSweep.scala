@@ -264,6 +264,21 @@ object ScaleSweep {
           operators.IndexOps.resetIndexCache()
         if (name == "ann_index_build")
           operators.AnnIndex.resetIndexCache()
+        // ADVICE-r14 / VERDICT-r14 item 8: the r14 standing state
+        // (containment segments, bucketed catalog tables, graph IVM
+        // state) also needs a cold-pricing hook. Default sweep rounds
+        // keep them warm (the refresh/steady-state split those gates
+        // deliberately price — the graph_ivm_edges precedent);
+        // SPARK_GRAFT_SWEEP_COLD=1 forces the build leg back into the
+        // timed round for exactly these gates, so the derivations
+        // stay priceable by a harness.
+        if (sys.env.get("SPARK_GRAFT_SWEEP_COLD").contains("1")) {
+          if (name == "dedup_containment_incremental" ||
+              name == "bucketed_join")
+            queries.Pipeline.resetStandingState(spark)
+          if (name == "graph_ivm_edges")
+            operators.GraphOps.resetEdgeCache()
+        }
       }
       reset()
       Registry.force(fn(spark, dir)) // warm-up: listing, footers, codegen

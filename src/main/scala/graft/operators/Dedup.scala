@@ -453,9 +453,20 @@ object Dedup {
     // and one distinct that the fetch already pays for). A mirrored
     // pair (a,b)/(b,a) orients to the same (d1,d2) row with identical
     // scores, so the final distinct keeps the output set unchanged.
+    // r15 (guide §2.2 sizing vs CPU density): the pair-dedup exchange
+    // is tiny in BYTES (16 B/pair), so AQE's byte-targeted coalescing
+    // folded it to ONE partition — and the whole downstream verify
+    // span (two broadcast array fetches + array_intersect per pair)
+    // is CPU-dense, so the query's hottest stage ran single-threaded
+    // at any core count. A user-specified repartition is exempt from
+    // AQE coalescing and pins the verify stage at cluster parallelism
+    // (defaultParallelism — scale-adaptive, no local constant).
     val cand = probe.join(post, "sh")
       .filter(col("a") =!= col("b"))
-      .select(col("a"), col("b")).distinct()
+      .select(col("a"), col("b"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("a"), col("b"))
+      .distinct()
     val flip = size(col("sa")) > size(col("sb")) ||
       (size(col("sa")) === size(col("sb")) && col("a") > col("b"))
     cand

@@ -161,16 +161,26 @@ object GraphOps {
     */
   def kCorePeel(und: DataFrame, uCol: String, vCol: String, k: Int,
       rounds: Int): Seq[DataFrame] = {
-    val e0 = und.select(col(uCol).as("u"), col(vCol).as("v"))
-    var e = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+    // r15 (guide §2.3 — shuffle/materialize fewer bytes): the peeling
+    // state is kept in the u < v HALF representation — a symmetric
+    // pair survives a round iff BOTH endpoints are in the keep set,
+    // which is one condition on the single u<v row, so peeling the
+    // half set is exactly peeling the symmetric set at half the rows
+    // through every join and lineage cut. Degrees still count both
+    // directions (the lazy sym() union over the checkpointed half
+    // set); callers keep receiving the symmetrized view, so the
+    // documented contract and every consumer are unchanged.
+    var e = und.select(col(uCol).as("u"), col(vCol).as("v"))
       .localCheckpoint()
+    def sym(d: DataFrame) =
+      d.union(d.select(col("v").as("u"), col("u").as("v")))
     val out = Seq.newBuilder[DataFrame]
-    out += e
+    out += sym(e)
     var prev = e.count()
     var fixed = false
     for (_ <- 1 to rounds) {
       if (!fixed) {
-        val keep = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
+        val keep = sym(e).groupBy(col("u")).agg(count(lit(1)).as("d"))
           .filter(col("d") >= k).select(col("u"))
         e = e.join(keep, "u")
           .join(keep.withColumnRenamed("u", "v"), "v")
@@ -180,7 +190,7 @@ object GraphOps {
         fixed = n == prev
         prev = n
       }
-      out += e
+      out += sym(e)
     }
     out.result()
   }
@@ -208,8 +218,16 @@ object GraphOps {
     val wedges = deg.agg(
       sum(expr("deg * (deg - 1) DIV 2")).as("n_wedges"))
     // orientation rank: (deg, id) totally orders nodes; keep edges
-    // pointing "up" that order — out-degree is O(√m) even on
-    // power-law graphs, which bounds every per-node structure below
+    // pointing "up" that order — OUT-degree is O(√m) even on
+    // power-law graphs. ADVICE-r14 correction: the bound holds for
+    // out-degree only; IN-degree is unbounded, so a hub's in-neighbor
+    // array below is Θ(indeg) in one row and is replicated onto every
+    // incident closing edge (Σ indeg² element copies worst case). On
+    // hub-heavy graphs that is asymptotically worse than the wedge
+    // spelling's Σ C(outdeg,2) rows; on this co-purchase graph (near-
+    // constant degree, max indeg ≈ mean) the array spelling measured
+    // 2× faster end-to-end, which is why it ships. A skewed input
+    // would want chunked In(v) arrays or the wedge fallback.
     val dd = sym
       .join(deg.select(col("u").as("u2"), col("deg").as("du")),
         col("u") === col("u2"))

@@ -126,7 +126,11 @@ object IndexOps {
       // probe (a seek now touches the few consecutive partitions
       // holding the term's range — how a real segmented index splits
       // an oversized posting list across blocks).
-      posts.repartitionByRange(col("term"), col("doc_id"))
+      // localCheckpoint before repartitionByRange (r15, guide §1.2):
+      // the range-boundary sampling job otherwise re-runs the corpus
+      // tokenize+aggregate a second time inside the build.
+      posts.localCheckpoint()
+        .repartitionByRange(col("term"), col("doc_id"))
         .sortWithinPartitions("term", "doc_id")
         .write.parquet(s"$out/postings")
       s.read.parquet(s"$out/postings")
@@ -170,6 +174,7 @@ object IndexOps {
       val base = docs.filter(col("doc_id") % 10L =!= 0L)
       val delta = docs.filter(col("doc_id") % 10L === 0L)
       postingsOf(base)
+        .localCheckpoint() // cut the double sampling pass (guide §1.2)
         .repartitionByRange(col("term"), col("doc_id"))
         .sortWithinPartitions("term", "doc_id")
         .write.parquet(s"$out/base_postings")
@@ -211,10 +216,12 @@ object IndexOps {
             " i -> substring(text, i, 3))")).as("g"))
           .distinct()
       trgmsOf(docs.filter(col("doc_id") % 10L =!= 0L))
+        .localCheckpoint() // cut the double sampling pass (guide §1.2)
         .repartitionByRange(col("g"), col("doc_id"))
         .sortWithinPartitions("g", "doc_id")
         .write.parquet(s"$out/base_trgm")
       trgmsOf(docs.filter(col("doc_id") % 10L === 0L))
+        .localCheckpoint()
         .repartitionByRange(col("g"), col("doc_id"))
         .sortWithinPartitions("g", "doc_id")
         .write.parquet(s"$out/delta_trgm")
@@ -235,6 +242,7 @@ object IndexOps {
           "transform(sequence(1, greatest(length(text) - 2, 1))," +
             " i -> substring(text, i, 3))")).as("g"))
         .distinct()
+        .localCheckpoint() // cut the double sampling pass (guide §1.2)
         // range, not hash, partitioning — common trigrams are Zipfian
         // exactly like stopword terms (see the postings write above)
         .repartitionByRange(col("g"), col("doc_id"))

@@ -43,9 +43,23 @@ object Pipeline {
   private val contCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Pricing hook (ScaleSweep / ADVICE-r14): forget the parked
+    * containment segments and drop the standing bucketed catalog
+    * tables so a sweep can price the cold build legs — the
+    * [[graft.operators.GraphOps.resetEdgeCache]] discipline. Parked
+    * dirs stay on disk until the JVM-exit sweep. */
+  def resetStandingState(s: org.apache.spark.sql.SparkSession): Unit = {
+    contCache.clear()
+    s.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("graft_bkt_"))
+      .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   private def contStateDir(s: org.apache.spark.sql.SparkSession,
       d: String, dfCap: Int): String =
-    contCache.getOrElseUpdate(d, {
+    // keyed by (dir, dfCap) — ADVICE-r14: a caller passing a different
+    // dfCap must not silently receive segments built with the old cap
+    contCache.getOrElseUpdate(s"$d#$dfCap", {
       val t = bucketRoot
         .resolve("cont-" + java.util.UUID.randomUUID().toString).toString
       val base = T.documents(s, d).select(col("doc_id"), col("text"))
@@ -64,7 +78,12 @@ object Pipeline {
 
   private def bucketedTables(s: org.apache.spark.sql.SparkSession,
       d: String): (String, String) = synchronized {
-    val tag = java.lang.Integer.toHexString(d.hashCode)
+    // collision-safe tag (ADVICE-r14): hashCode collisions between two
+    // dataset dirs in one JVM would silently serve the other dir's
+    // bucketed data; md5 of the full path cannot collide in practice
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
     val no = s"graft_bkt_orders_$tag"
     val nl = s"graft_bkt_lineitem_$tag"
     if (!s.catalog.tableExists(no) || !s.catalog.tableExists(nl)) {

@@ -957,8 +957,14 @@ object Retrieval {
           sum(size(toks($"text")).cast("long")).as("sum_dl"))
       val docs = T.documents(s, d)
       // init: the base segment, written once (the IndexOps layout —
-      // range-partitioned so a hot term spans partitions)
+      // range-partitioned so a hot term spans partitions).
+      // localCheckpoint before repartitionByRange (r15, guide §1.2):
+      // RangePartitioner SAMPLES its child in a separate job to pick
+      // boundaries, so the tokenize+aggregate of 90% of the corpus ran
+      // TWICE per timed body; the cut materializes it once and both
+      // the sampling pass and the write read the blocks.
       postingsOf(docs.filter($"doc_id" % 10L =!= 0L))
+        .localCheckpoint()
         .repartitionByRange($"term", $"doc_id")
         .sortWithinPartitions("term", "doc_id")
         .write.parquet(s"$dir/base_postings")
@@ -1113,8 +1119,12 @@ object Retrieval {
             " i -> substring(text, i, 3))")).as("g"))
           .distinct()
       val docs = T.documents(s, d)
-      // init: the base segment, range-partitioned (IndexOps layout)
+      // init: the base segment, range-partitioned (IndexOps layout).
+      // localCheckpoint before repartitionByRange (r15, guide §1.2):
+      // the range-boundary sampling job otherwise re-runs the
+      // generate+distinct of 90% of the corpus a second time.
       trgmsOf(docs.filter($"doc_id" % 10L =!= 0L))
+        .localCheckpoint()
         .repartitionByRange($"g", $"doc_id")
         .sortWithinPartitions("g", "doc_id")
         .write.parquet(s"$t/base_trgm")

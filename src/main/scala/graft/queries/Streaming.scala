@@ -721,8 +721,12 @@ object Streaming {
         dd.agg(count(lit(1)).as("n_docs"),
           sum(size(toksOf($"text")).cast("long")).as("sum_dl"))
       val docs = T.documents(s, d)
-      // init: the base segment, written once (the IndexOps layout)
+      // init: the base segment, written once (the IndexOps layout).
+      // localCheckpoint before repartitionByRange (r15, guide §1.2):
+      // the range-boundary sampling job otherwise re-runs the base
+      // tokenize+aggregate a second time inside the timed body.
       postingsOf(docs.filter($"doc_id" % 10L =!= 0L))
+        .localCheckpoint()
         .repartitionByRange($"term", $"doc_id")
         .sortWithinPartitions("term", "doc_id")
         .write.parquet(s"$t/base_postings")
@@ -905,7 +909,11 @@ object Streaming {
             " i -> substring(text, i, 3))")).as("g"))
           .distinct()
       val docs = T.documents(s, d)
+      // localCheckpoint before repartitionByRange (r15, guide §1.2):
+      // the range-boundary sampling job otherwise re-runs the base
+      // generate+distinct a second time inside the timed body.
       trgmsOf(docs.filter($"doc_id" % 10L =!= 0L))
+        .localCheckpoint()
         .repartitionByRange($"g", $"doc_id")
         .sortWithinPartitions("g", "doc_id")
         .write.parquet(s"$t/base_trgm")
