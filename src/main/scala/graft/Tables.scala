@@ -17,6 +17,23 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame =
     spark.read.parquet(s"$sfDir/$table.parquet")
 
+  /** Ensure at least cluster parallelism ahead of a generation-heavy
+    * derivation (explode / shingle / trigram / vector encode): the
+    * fixtures are single-row-group parquet files, so the scan stage —
+    * and every partial aggregate or generator whole-stage-fused into
+    * it — otherwise runs ONE task at any core count (guide §6:
+    * row-group granularity bounds splitting; `minPartitionNum` cannot
+    * split a single row group). The check makes it scale-honest: at
+    * real corpus sizes the scan already has ≥ cluster-parallelism
+    * splits and this is the identity — no corpus-wide shuffle is ever
+    * added on a properly laid-out input. The pre-explode rows are the
+    * cheap side to shuffle in any case (heavy derivation output stays
+    * where it is produced). */
+  def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")

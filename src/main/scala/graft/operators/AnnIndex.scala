@@ -116,7 +116,12 @@ object AnnIndex {
     }
     val codes = array((0 until M).map(codeOf(col(vecCol), _)): _*)
     val n2Lit = typedlit(q.books.map(_.map(n2Of).toSeq).toSeq)
-    vecs.where(col(vecCol).isNotNull).select(
+    // r15: the per-row encode (fdot × NList cells + M×KSub PQ scoring)
+    // is the CPU-dense part of every build/compact/retrain leg, and it
+    // whole-stage-fuses into the scan — spread() lifts the fixtures'
+    // single-row-group scans to cluster parallelism (identity on a
+    // properly split input; see Tables.spread).
+    graft.Tables.spread(vecs.where(col(vecCol).isNotNull)).select(
       col(idCol).as("vec_id"),
       col(vecCol).as("v"),
       graft.functions.VectorExprs.fnorm(col(vecCol)).as("nrm"),

@@ -52,7 +52,10 @@ object Dedup {
       numHashes: Int = 8, shingleK: Int = 3): DataFrame = {
     require(numHashes <= 16,
       "2×64 hex chars → at most 16 32-bit slices (8 per md5-pair block)")
-    df.select(col(idCol), split(col(textCol), " ").as("toks"))
+    // spread: the minhash kernel fuses into the (single-row-group
+    // fixture) scan and would run single-threaded (Tables.spread)
+    graft.Tables.spread(df)
+      .select(col(idCol), split(col(textCol), " ").as("toks"))
       .filter(size(col("toks")) >= shingleK)
       .select(col(idCol),
         graft.functions.HashExprs.minhashSig(col("toks"), numHashes,
@@ -422,7 +425,9 @@ object Dedup {
   def containmentNearDups(df: DataFrame, idCol: String, textCol: String,
       thrTimes10: Int = 9, probeK: Int = 4, dfCap: Int = 64)
       : DataFrame = {
-    val toks = df.select(col(idCol).as("sid"),
+    // spread: the shingle kernel fuses into the (single-row-group
+    // fixture) scan and would run single-threaded (Tables.spread)
+    val toks = graft.Tables.spread(df).select(col(idCol).as("sid"),
       split(col(textCol), " ").as("toks"))
     val sets = toks.select(col("sid"),
         graft.functions.HashExprs.shingleSet(col("toks"), 3).as("shset"))

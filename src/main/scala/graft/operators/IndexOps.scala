@@ -108,7 +108,7 @@ object IndexOps {
     postingsCache.getOrElseUpdate(d, {
       val out = indexRoot
         .resolve(java.util.UUID.randomUUID().toString).toString
-      val docs = graft.Tables.documents(s, d)
+      val docs = graft.Tables.spread(graft.Tables.documents(s, d))
       val tokenized = docs.select(col("doc_id"),
         size(toks(col("text"))).cast("long").as("dl"),
         explode(toks(col("text"))).as("term"))
@@ -160,7 +160,7 @@ object IndexOps {
     splitCache.getOrElseUpdate(d, {
       val out = indexRoot
         .resolve(java.util.UUID.randomUUID().toString).toString
-      val docs = graft.Tables.documents(s, d)
+      val docs = graft.Tables.spread(graft.Tables.documents(s, d))
       def postingsOf(dd: DataFrame): DataFrame =
         dd.select(col("doc_id"),
             size(toks(col("text"))).cast("long").as("dl"),
@@ -209,7 +209,7 @@ object IndexOps {
     trgmSplitCache.getOrElseUpdate(d, {
       val out = indexRoot
         .resolve(java.util.UUID.randomUUID().toString).toString
-      val docs = graft.Tables.documents(s, d)
+      val docs = graft.Tables.spread(graft.Tables.documents(s, d))
       def trgmsOf(dd: DataFrame): DataFrame =
         dd.select(col("doc_id"), explode(expr(
           "transform(sequence(1, greatest(length(text) - 2, 1))," +
@@ -237,7 +237,7 @@ object IndexOps {
     val path = trgmCache.getOrElseUpdate(d, {
       val out = indexRoot
         .resolve(java.util.UUID.randomUUID().toString).toString
-      graft.Tables.documents(s, d)
+      graft.Tables.spread(graft.Tables.documents(s, d))
         .select(col("doc_id"), explode(expr(
           "transform(sequence(1, greatest(length(text) - 2, 1))," +
             " i -> substring(text, i, 3))")).as("g"))

@@ -62,8 +62,9 @@ object Pipeline {
     contCache.getOrElseUpdate(s"$d#$dfCap", {
       val t = bucketRoot
         .resolve("cont-" + java.util.UUID.randomUUID().toString).toString
-      val base = T.documents(s, d).select(col("doc_id"), col("text"))
-        .filter(col("doc_id") % 5 =!= 4)
+      val base = T.spread(T.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 5 =!= 4))
       base.select(col("doc_id").as("b"),
           explode(graft.functions.HashExprs.shingleSet(
             split(col("text"), " "), 3)).as("sh"))
@@ -4131,7 +4132,7 @@ object Pipeline {
           batch.select($"doc_id", fpOf.as("fp")), "fp")
         .select($"doc_id", lit(1).as("is_new_fp"))
       // ---- near leg: batch probes against the persisted segments
-      val batchSets = batch.select($"doc_id".as("a"),
+      val batchSets = T.spread(batch).select($"doc_id".as("a"),
           graft.functions.HashExprs.shingleSet(split($"text", " "), 3)
             .as("shset"))
         .filter(size($"shset") > 0)

@@ -249,7 +249,9 @@ object Retrieval {
     (s, d) => {
       import s.implicits._
       val q = QueryTerms.toDF("term")
-      val docs = T.documents(s, d)
+      // spread: the fixtures' single-row-group scan otherwise runs the
+      // tokenize+explode single-threaded (identity at real scale)
+      val docs = T.spread(T.documents(s, d))
       val toksed = docs.select($"doc_id",
         size(toks($"text")).cast("long").as("dl"),
         explode(toks($"text")).as("term"))
@@ -550,7 +552,7 @@ object Retrieval {
       import s.implicits._
       val pat = "ash jo"
       val patTrgs = pat.sliding(3).toSeq.distinct // 4 trigrams
-      val cands = T.documents(s, d)
+      val cands = T.spread(T.documents(s, d))
         .select($"doc_id", explode(expr(
           "transform(sequence(1, greatest(length(text) - 2, 1))," +
             " i -> substring(text, i, 3))")).as("g"))
@@ -955,7 +957,7 @@ object Retrieval {
       def statsOf(dd: org.apache.spark.sql.DataFrame) =
         dd.agg(count(lit(1)).as("n_docs"),
           sum(size(toks($"text")).cast("long")).as("sum_dl"))
-      val docs = T.documents(s, d)
+      val docs = T.spread(T.documents(s, d))
       // init: the base segment, written once (the IndexOps layout —
       // range-partitioned so a hot term spans partitions).
       // localCheckpoint before repartitionByRange (r15, guide §1.2):
@@ -1053,7 +1055,7 @@ object Retrieval {
       def statsOf(dd: org.apache.spark.sql.DataFrame) =
         dd.agg(count(lit(1)).as("n_docs"),
           sum(size(toks($"text")).cast("long")).as("sum_dl"))
-      val docs = T.documents(s, d)
+      val docs = T.spread(T.documents(s, d))
       // init + refresh: the two segments (the bm25_probe_merged shape)
       postingsOf(docs.filter($"doc_id" % 10L =!= 0L))
         .write.parquet(s"$t/base_postings")
@@ -1118,7 +1120,7 @@ object Retrieval {
           "transform(sequence(1, greatest(length(text) - 2, 1))," +
             " i -> substring(text, i, 3))")).as("g"))
           .distinct()
-      val docs = T.documents(s, d)
+      val docs = T.spread(T.documents(s, d))
       // init: the base segment, range-partitioned (IndexOps layout).
       // localCheckpoint before repartitionByRange (r15, guide §1.2):
       // the range-boundary sampling job otherwise re-runs the
@@ -1209,7 +1211,7 @@ object Retrieval {
           "transform(sequence(1, greatest(length(text) - 2, 1))," +
             " i -> substring(text, i, 3))")).as("g"))
           .distinct()
-      val docs = T.documents(s, d)
+      val docs = T.spread(T.documents(s, d))
       trgmsOf(docs.filter($"doc_id" % 10L =!= 0L))
         .write.parquet(s"$t/base_trgm")
       trgmsOf(docs.filter($"doc_id" % 10L === 0L))
@@ -1264,8 +1266,8 @@ object Retrieval {
       import s.implicits._
       val seg = graft.operators.IndexOps.trgmSplitSegmentDir(s, d)
       val docs = T.documents(s, d)
-      // the refresh leg: generate(delta) only
-      docs.filter($"doc_id" % 10L === 0L)
+      // the refresh leg: generate(delta) only (spread: see Tables.spread)
+      T.spread(docs.filter($"doc_id" % 10L === 0L))
         .select($"doc_id", explode(expr(
           "transform(sequence(1, greatest(length(text) - 2, 1))," +
             " i -> substring(text, i, 3))")).as("g"))
@@ -1349,7 +1351,7 @@ object Retrieval {
     (s, d) => graft.GQuery.withTempTable(s, "graft-seg-refresh") { t =>
       import s.implicits._
       val baseDir = graft.operators.IndexOps.splitSegmentDir(s, d)
-      val delta = T.documents(s, d).filter($"doc_id" % 10L === 0L)
+      val delta = T.spread(T.documents(s, d).filter($"doc_id" % 10L === 0L))
       // the refresh leg: tokenize(delta) into a fresh delta segment
       delta.select($"doc_id", size(toks($"text")).cast("long").as("dl"),
           explode(toks($"text")).as("term"))

@@ -720,7 +720,7 @@ object Streaming {
       def statsOf(dd: DataFrame) =
         dd.agg(count(lit(1)).as("n_docs"),
           sum(size(toksOf($"text")).cast("long")).as("sum_dl"))
-      val docs = T.documents(s, d)
+      val docs = T.spread(T.documents(s, d))
       // init: the base segment, written once (the IndexOps layout).
       // localCheckpoint before repartitionByRange (r15, guide §1.2):
       // the range-boundary sampling job otherwise re-runs the base
@@ -908,7 +908,7 @@ object Streaming {
           "transform(sequence(1, greatest(length(text) - 2, 1))," +
             " i -> substring(text, i, 3))")).as("g"))
           .distinct()
-      val docs = T.documents(s, d)
+      val docs = T.spread(T.documents(s, d))
       // localCheckpoint before repartitionByRange (r15, guide §1.2):
       // the range-boundary sampling job otherwise re-runs the base
       // generate+distinct a second time inside the timed body.
